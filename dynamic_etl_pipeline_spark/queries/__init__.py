@@ -1,0 +1,9 @@
+"""Driver-facing query catalog. Importing this package registers every
+query module into ``QUERIES`` / ``ORACLES`` (see registry.py)."""
+
+from .registry import ORACLES, QUERIES, query  # noqa: F401
+
+# Importing registers the @query-decorated callables.
+from . import relational  # noqa: E402,F401
+from . import windows  # noqa: E402,F401
+from . import events  # noqa: E402,F401

@@ -1,0 +1,43 @@
+"""Shared helpers for oracle-parity query authoring.
+
+Floating-point sums are order-dependent; Spark's partial aggregation and
+DuckDB's parallel aggregation sum in different orders, so a plain
+``sum(double)`` differs in the last ulps and can cross a rounding
+boundary. ``dsum``/``davg`` therefore accumulate in exact DECIMAL (the
+per-row double->decimal conversion is deterministic on both engines)
+and cast the exact result back to double — bit-identical on both sides.
+
+At 100 TB this costs nothing extra: decimal sum is still a map-side
+partial + final hash aggregate, one shuffle, JVM codegen throughout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def c(col: Column | str) -> Column:
+    return col if isinstance(col, Column) else F.col(col)
+
+
+def dsum(col: Column | str, scale: int = 4) -> Column:
+    """Deterministic double-valued sum via exact decimal accumulation.
+
+    DuckDB oracle equivalent:
+    ``CAST(sum(CAST(x AS DECIMAL(27,{scale}))) AS DOUBLE)``
+    """
+    return F.sum(c(col).cast(f"decimal(27,{scale})")).cast("double")
+
+
+def davg(col: Column | str, scale: int = 4) -> Column:
+    """Deterministic double-valued average (sum_exact / count_nonnull).
+
+    DuckDB: ``CAST(sum(CAST(x AS DECIMAL(27,s))) AS DOUBLE) / count(x)``
+    """
+    return (dsum(col, scale) / F.count(c(col))).cast("double")
+
+
+def ntz(literal: str) -> Column:
+    """A TIMESTAMP_NTZ literal (fixture timestamps are read as NTZ)."""
+    return F.expr(f"TIMESTAMP_NTZ '{literal}'")

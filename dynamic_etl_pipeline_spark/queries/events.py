@@ -1,0 +1,209 @@
+"""Event-stream analytics in batch form (SURVEY §2.9): time-bucket
+rollups, tumbling/sliding windows, sessionization, JSON prop parsing.
+
+These are the DuckDB-verifiable batch equivalents of the Structured
+Streaming surface in ``dynamic_etl_pipeline_spark.streaming`` — same
+logical windowing semantics (`window()`, `session_window()`), which is
+exactly how Spark shares code between batch and streaming.
+
+Scale note: time-bucketed aggregation keys are (bucket, type) — low
+cardinality — so partial aggregation collapses almost everything
+map-side; sessionization shuffles once on user_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load_table
+from ._helpers import davg, dsum
+from .registry import query
+
+
+@query("events_hourly_rollup", oracle="""
+SELECT date_trunc('hour', ts) AS bucket_start, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""")
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly rollup via date_trunc (the driver bench's headline event op)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("bucket_start"),
+            F.col("event_type"),
+        )
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+    )
+
+
+@query("events_tumbling_window", oracle="""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+       count(*) AS n_events
+FROM events
+GROUP BY 1, 2
+""")
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h window via Spark's window() — the same expression a
+    readStream plan uses, here verified in batch against time_bucket."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type", "n_events",
+        )
+    )
+
+
+@query("events_sliding_window", oracle="""
+WITH assigned AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, value FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '1 hour', ts, INTERVAL '30 minutes') AS window_start, value
+  FROM events
+)
+SELECT window_start, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS total_value
+FROM assigned GROUP BY 1
+""")
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1h length, 30m slide): each event lands in two
+    windows; Spark explodes window assignment before aggregating."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            "n_events", "total_value",
+        )
+    )
+
+
+@query("events_sessionize", oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_seq
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM numbered GROUP BY user_id, session_seq
+""")
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap (lag -> flag ->
+    cumulative-sum session id -> per-session aggregate). The streaming
+    twin is session_window() in streaming/events.py."""
+    ev = load_table(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id").orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts") > F.lag("ts").over(w_order) + F.expr("INTERVAL 30 MINUTES"),
+            1,
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn("session_seq", F.sum("new_session").over(w_run))
+    return (
+        numbered.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+
+
+@query("events_session_window", oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_seq
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL '30 minutes' AS session_end,
+       count(*) AS n_events
+FROM numbered GROUP BY user_id, session_seq
+""")
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native session_window() operator (gap-merged sessions;
+    window end = last event + gap), oracle-checked against the lag/cumsum
+    formulation."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("session_window.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query("events_json_props", oracle="""
+SELECT event_id, event_type, CAST(props->>'$.k' AS INT) AS prop_k
+FROM events
+WHERE CAST(props->>'$.k' AS INT) > 50
+""")
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON prop extraction (from_json with an explicit
+    schema — the engine's typed answer to the reference's JSON-blob
+    storage, app.py:364)."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "prop_k", F.from_json("props", T.StructType([T.StructField("k", T.IntegerType())]))["k"]
+    )
+    return parsed.filter(F.col("prop_k") > 50).select("event_id", "event_type", "prop_k")
+
+
+@query("events_user_stats", oracle="""
+SELECT user_id,
+       count(*) AS n_events,
+       count(DISTINCT event_type) AS n_types,
+       CAST(sum(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS total_value,
+       min(ts) AS first_seen, max(ts) AS last_seen
+FROM events GROUP BY user_id
+""")
+def events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity profile (the shape of a streaming state store,
+    computed batch-side)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            dsum("value").alias("total_value"),
+            F.min("ts").alias("first_seen"),
+            F.max("ts").alias("last_seen"),
+        )
+    )

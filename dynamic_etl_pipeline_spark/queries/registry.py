@@ -1,0 +1,38 @@
+"""Query registry: the driver-facing catalog of (name -> query, oracle).
+
+Every operator the engine claims is registered here as a callable
+``(spark, sf_dir) -> DataFrame`` plus (where SQL-expressible) a DuckDB
+oracle SQL string over the same parquet views. Parity conventions
+(applied on BOTH sides so the driver's order-insensitive value-hash
+matches):
+
+- every computed column is aliased identically;
+- computed floats are rounded (``round(x, N)``) — raw columns are not;
+- DuckDB integer results are cast to Spark's narrower types
+  (``count`` stays BIGINT; ``year()``/``length()``/``row_number()``
+  are cast to INT; ``sum(BIGINT)`` is cast back to BIGINT since DuckDB
+  widens to HUGEINT);
+- LIMIT queries order by a deterministic key (rounded measure + unique
+  tie-break) on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a query callable and (optionally) its DuckDB oracle SQL."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco

@@ -1,0 +1,550 @@
+"""Relational core: scans, filters, joins, aggregations, set ops,
+rollup/cube/pivot, sorts/top-k — all pure DataFrame API, all Catalyst-
+optimized (predicate pushdown, column pruning, broadcast-join selection,
+partial aggregation, TakeOrderedAndProject come for free).
+
+The reference has none of this surface (see SURVEY.md §2.3-2.7: its only
+"queries" are point SELECTs with ORDER BY/LIMIT, app.py:144-173); this
+module is the tier-[D] relational engine the driver contract demands.
+
+Scale notes (100 TB stance):
+- star joins broadcast the bounded dims (region/nation) explicitly and
+  leave fact-fact joins to sort-merge with AQE skew handling;
+- every aggregate is expressed so Catalyst plans partial (map-side)
+  aggregation — no collect()-and-loop anywhere;
+- ORDER BY + LIMIT always plans as TakeOrderedAndProject (top-k per
+  partition + merge), never a full sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table, load_tables
+from ._helpers import davg, dsum, ntz
+from .registry import query
+
+
+# --------------------------------------------------------------------------
+# Aggregations (SURVEY §2.4)
+# --------------------------------------------------------------------------
+
+@query("q1_pricing_summary", oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(27,4))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(27,6))) AS DOUBLE) AS sum_charge,
+       CAST(sum(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(27,4))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
+       CAST(sum(CAST(l_discount AS DECIMAL(27,4))) AS DOUBLE) / count(l_discount) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q1-style pricing summary: filter + groupBy + 8 aggregates.
+
+    Catalyst plans this as parquet scan (shipdate min/max pushdown) ->
+    partial hash agg -> single shuffle on (returnflag, linestatus) ->
+    final hash agg; the grouping key cardinality is tiny so the shuffle
+    is a few KB regardless of input scale.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= ntz("1998-09-02 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            # scale 6: the 2+2(+2)-decimal products are exact at 6 decimal
+            # digits, so the double->decimal cast never rounds (a scale-4
+            # cast hits .xxxx5 ties that Spark and DuckDB break differently)
+            dsum(disc_price, 6).alias("sum_disc_price"),
+            dsum(charge, 6).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query("agg_orders_by_status", oracle="""
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) AS total_revenue,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) / count(o_totalprice) AS avg_price,
+       min(o_totalprice) AS min_price,
+       max(o_totalprice) AS max_price
+FROM orders
+GROUP BY o_orderstatus
+""")
+def agg_orders_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped aggregate battery: count/sum/avg/min/max."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("total_revenue"),
+            davg("o_totalprice").alias("avg_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+@query("agg_count_distinct", oracle="""
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       count(DISTINCT o_custkey) AS n_customers
+FROM orders
+GROUP BY o_orderpriority
+""")
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """countDistinct (planned as a two-phase expand + distinct agg)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
+@query("agg_having", oracle="""
+SELECT c_nationkey,
+       count(*) AS n_cust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(27,4))) AS DOUBLE) AS total_bal
+FROM customer
+GROUP BY c_nationkey
+HAVING count(*) > 3
+""")
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_cust"), dsum("c_acctbal").alias("total_bal"))
+        .filter(F.col("n_cust") > 3)
+    )
+
+
+@query("distinct_segments", oracle="""
+SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+""")
+def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+# --------------------------------------------------------------------------
+# Filters / predicates / projections (SURVEY §2.2)
+# --------------------------------------------------------------------------
+
+@query("filter_predicates", oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
+FROM lineitem
+WHERE l_quantity BETWEEN 10 AND 20
+  AND l_returnflag IN ('A', 'R')
+  AND l_linestatus = 'F'
+  AND NOT (l_discount < 0.02)
+""")
+def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate battery: BETWEEN / IN / = / NOT, all pushed to the scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_quantity").between(10, 20)
+        & F.col("l_returnflag").isin("A", "R")
+        & (F.col("l_linestatus") == "F")
+        & ~(F.col("l_discount") < 0.02)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag")
+
+
+@query("filter_like", oracle="""
+SELECT p_partkey, p_name, p_brand, p_type
+FROM part
+WHERE p_brand LIKE 'Brand#1%' AND p_type NOT LIKE '%ECONOMY%'
+""")
+def filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_brand").like("Brand#1%") & ~F.col("p_type").like("%ECONOMY%")
+    ).select("p_partkey", "p_name", "p_brand", "p_type")
+
+
+@query("project_case_when", oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_totalprice < 100000 THEN 'small'
+            WHEN o_totalprice < 300000 THEN 'medium'
+            ELSE 'large' END AS size_band,
+       CAST(o_totalprice >= 200000 AS BOOLEAN) AS is_big
+FROM orders
+""")
+def project_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional projection (the reference's only branch logic is the
+    content-presence check at app.py:319-322; this is the general form)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") < 100000, "small")
+        .when(F.col("o_totalprice") < 300000, "medium")
+        .otherwise("large")
+        .alias("size_band"),
+        (F.col("o_totalprice") >= 200000).alias("is_big"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins (SURVEY §2.3)
+# --------------------------------------------------------------------------
+
+@query("q3_shipping_priority", oracle="""
+SELECT l_orderkey,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""")
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q3-style: 3-way star join + agg + deterministic top-10.
+
+    customer is filtered before the join so Catalyst can broadcast it;
+    orders⋈lineitem shuffles on the join key with AQE skew handling.
+    """
+    t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t["orders"].filter(F.col("o_orderdate") < ntz("1998-03-15 00:00:00"))
+    li = t["lineitem"].filter(F.col("l_shipdate") > ntz("1998-03-15 00:00:00"))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query("q5_local_supplier", oracle="""
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+""")
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q5-style 6-way join; bounded dims broadcast explicitly."""
+    t = load_tables(spark, sf_dir,
+                    ["customer", "orders", "lineitem", "supplier", "nation", "region"])
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= ntz("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < ntz("1997-01-01 00:00:00"))
+    )
+    region = t["region"].filter(F.col("r_name") == "ASIA")
+    return (
+        t["customer"]
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"))
+    )
+
+
+@query("join_semi", oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+""")
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): no duplication, probe side never materialized."""
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    big = t["orders"].filter(F.col("o_totalprice") > 400000)
+    return (
+        t["customer"]
+        .join(big, t["customer"].c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+@query("join_anti", oracle="""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""")
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers who never ordered."""
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    return (
+        t["customer"]
+        .join(t["orders"], t["customer"].c_custkey == t["orders"].o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+@query("join_left_outer_count", oracle="""
+SELECT c_custkey, c_name, count(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+""")
+def join_left_outer_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join + count(non-null) — zero-order customers kept."""
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    return (
+        t["customer"]
+        .join(t["orders"], t["customer"].c_custkey == t["orders"].o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query("join_full_outer", oracle="""
+WITH cust_by_nation AS (
+  SELECT c_nationkey AS nationkey, count(*) AS n_cust FROM customer GROUP BY 1
+), supp_by_nation AS (
+  SELECT s_nationkey AS nationkey, count(*) AS n_supp FROM supplier GROUP BY 1
+)
+SELECT coalesce(c.nationkey, s.nationkey) AS nationkey, n_cust, n_supp
+FROM cust_by_nation c FULL OUTER JOIN supp_by_nation s USING (nationkey)
+""")
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two aggregates (null-padded on both sides)."""
+    t = load_tables(spark, sf_dir, ["customer", "supplier"])
+    cust = (t["customer"].groupBy(F.col("c_nationkey").alias("nationkey"))
+            .agg(F.count("*").alias("n_cust")))
+    supp = (t["supplier"].groupBy(F.col("s_nationkey").alias("nationkey"))
+            .agg(F.count("*").alias("n_supp")))
+    return (
+        cust.join(supp, "nationkey", "full_outer")
+        .select("nationkey", "n_cust", "n_supp")
+    )
+
+
+@query("join_cross", oracle="""
+SELECT r_name, seg.c_mktsegment
+FROM region CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer) seg
+""")
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of two tiny inputs (both broadcast-sized)."""
+    t = load_tables(spark, sf_dir, ["region", "customer"])
+    segs = t["customer"].select("c_mktsegment").distinct()
+    return t["region"].select("r_name").crossJoin(segs)
+
+
+@query("join_theta", oracle="""
+SELECT s_suppkey, s_name, count(*) AS n_poorer_cust
+FROM supplier JOIN customer
+  ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+GROUP BY s_suppkey, s_name
+""")
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + inequality (theta) join: hash on the equi key, residual
+    predicate evaluated post-probe — stays a hash join, not a BNLJ."""
+    t = load_tables(spark, sf_dir, ["supplier", "customer"])
+    s, cust = t["supplier"], t["customer"]
+    return (
+        s.join(
+            cust,
+            (s.s_nationkey == cust.c_nationkey) & (s.s_acctbal > cust.c_acctbal),
+        )
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").alias("n_poorer_cust"))
+    )
+
+
+@query("scalar_subquery", oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_totalprice > 2 * (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE)
+                                 / count(o_totalprice) FROM orders)
+""")
+def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery via spark.sql (Catalyst plans a broadcast of the
+    single-row aggregate into the filter)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > 2 * (
+            SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE)
+                   / count(o_totalprice) FROM orders)
+    """)
+
+
+# --------------------------------------------------------------------------
+# Sorts / limits / top-k (SURVEY §2.6)
+# --------------------------------------------------------------------------
+
+@query("order_limit_topk", oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+""")
+def order_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT — Spark plans TakeOrderedAndProject (true top-k:
+    per-partition heaps + merge, never a global sort). The reference's
+    `ORDER BY id DESC LIMIT 50` (app.py:169-173) generalized."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query("sort_multi_key", oracle="""
+SELECT c_nationkey, c_mktsegment, c_custkey, c_acctbal
+FROM customer
+ORDER BY c_nationkey ASC, c_acctbal DESC, c_custkey
+LIMIT 50
+""")
+def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort with mixed directions + limit."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select("c_nationkey", "c_mktsegment", "c_custkey", "c_acctbal")
+        .orderBy(F.asc("c_nationkey"), F.desc("c_acctbal"), F.asc("c_custkey"))
+        .limit(50)
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations (SURVEY §2.7)
+# --------------------------------------------------------------------------
+
+_SET_A = "SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'"
+_SET_B = "SELECT c_custkey FROM customer WHERE c_acctbal > 5000"
+
+
+def _set_sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    b = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return a, b
+
+
+@query("set_union", oracle=f"{_SET_A} UNION {_SET_B}")
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _set_sides(spark, sf_dir)
+    return a.union(b).distinct()
+
+
+@query("set_intersect", oracle=f"{_SET_A} INTERSECT {_SET_B}")
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _set_sides(spark, sf_dir)
+    return a.intersect(b)
+
+
+@query("set_except", oracle=f"{_SET_A} EXCEPT {_SET_B}")
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _set_sides(spark, sf_dir)
+    return a.exceptAll(b.distinct()).distinct()
+
+
+@query("union_by_name_drift", oracle="""
+SELECT o_orderkey AS order_id, o_totalprice AS price, o_orderstatus AS status
+FROM orders WHERE o_orderstatus = 'F'
+UNION ALL
+SELECT o_orderkey AS order_id, o_totalprice AS price, NULL AS status
+FROM orders WHERE o_orderstatus = 'O'
+""")
+def union_by_name_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName(allowMissingColumns=True): the Spark-native answer to
+    the reference's schema-drift union across batches (app.py:335-350 —
+    new upload may add/remove fields; missing columns null-padded)."""
+    o = load_table(spark, sf_dir, "orders")
+    full = (o.filter(F.col("o_orderstatus") == "F")
+            .select(F.col("o_orderkey").alias("order_id"),
+                    F.col("o_totalprice").alias("price"),
+                    F.col("o_orderstatus").alias("status")))
+    drifted = (o.filter(F.col("o_orderstatus") == "O")
+               .select(F.col("o_orderkey").alias("order_id"),
+                       F.col("o_totalprice").alias("price")))
+    return full.unionByName(drifted, allowMissingColumns=True)
+
+
+# --------------------------------------------------------------------------
+# Rollup / cube / pivot (SURVEY §2.4)
+# --------------------------------------------------------------------------
+
+@query("rollup_region_nation", oracle="""
+SELECT r_name, n_name, count(*) AS n_cust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(27,4))) AS DOUBLE) AS total_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""")
+def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (region -> nation -> grand total)."""
+    t = load_tables(spark, sf_dir, ["customer", "nation", "region"])
+    joined = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count("*").alias("n_cust"), dsum("c_acctbal").alias("total_bal")
+    )
+
+
+@query("cube_status_priority", oracle="""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""")
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all grouping-set combinations."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@query("pivot_status_by_year", oracle="""
+SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(27,4))) FILTER (o_orderstatus = 'F') AS DOUBLE) AS "F",
+       CAST(sum(CAST(o_totalprice AS DECIMAL(27,4))) FILTER (o_orderstatus = 'O') AS DOUBLE) AS "O",
+       CAST(sum(CAST(o_totalprice AS DECIMAL(27,4))) FILTER (o_orderstatus = 'P') AS DOUBLE) AS "P"
+FROM orders
+GROUP BY 1
+""")
+def pivot_status_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order status into columns per year. Pivot values are given
+    explicitly so the plan is a single pass (no values-discovery job)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.withColumn("order_year", F.year("o_orderdate").cast("int"))
+        .groupBy("order_year")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(dsum("o_totalprice"))
+    )

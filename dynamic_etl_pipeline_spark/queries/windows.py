@@ -1,0 +1,159 @@
+"""Window functions (SURVEY §2.5 — absent from the reference, tier [D]):
+ranking, analytic (lag/lead/first/last), and framed running aggregates.
+
+Scale note: every window here partitions by a high-cardinality key
+(custkey), so the single shuffle distributes evenly; no global
+(unpartitioned) windows are used anywhere — those serialize to one task
+and are the classic 100 TB window anti-pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ._helpers import dsum
+from .registry import query
+
+
+@query("window_topk_per_group", oracle="""
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+  FROM orders
+) WHERE rn <= 3
+""")
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer: row_number + filter. At scale this is
+    one hash-partitioned shuffle + per-partition sort; AQE splits skewed
+    customers."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey", "o_orderkey", "o_totalprice",
+            F.row_number().over(w).cast("int").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query("window_rank_dense_ntile", oracle="""
+SELECT c_nationkey, c_custkey, c_acctbal,
+       CAST(rank()       OVER w AS INT) AS bal_rank,
+       CAST(dense_rank() OVER w AS INT) AS bal_dense_rank,
+       CAST(ntile(4)     OVER w AS INT) AS bal_quartile
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+""")
+def window_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_custkey", "c_acctbal",
+        F.rank().over(w).cast("int").alias("bal_rank"),
+        F.dense_rank().over(w).cast("int").alias("bal_dense_rank"),
+        F.ntile(4).over(w).cast("int").alias("bal_quartile"),
+    )
+
+
+@query("window_lag_lead", oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+       lag(o_totalprice)  OVER w AS prev_price,
+       lead(o_totalprice) OVER w AS next_price,
+       round(o_totalprice - coalesce(lag(o_totalprice) OVER w, o_totalprice), 2) AS price_delta
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""")
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics along each customer's order history."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    price = F.col("o_totalprice")
+    prev = F.lag("o_totalprice").over(w)
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+        prev.alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.round(price - F.coalesce(prev, price), 2).alias("price_delta"),
+    )
+
+
+@query("window_running_sum", oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(27,4)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_spend,
+       CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS order_seq
+FROM orders
+""")
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) aggregate over an explicit ROWS frame.
+    Decimal accumulation keeps the running double deterministic."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(27,4)")).over(w)
+         .cast("double").alias("running_spend"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("order_seq"),
+    )
+
+
+@query("window_sliding_avg", oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(27,4))) OVER w AS DOUBLE)
+            / count(*) OVER w AS DOUBLE) AS moving_avg_3
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+""")
+def window_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-row moving average (sliding ROWS frame), deterministic via
+    decimal sum / count."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        (F.sum(F.col("o_totalprice").cast("decimal(27,4)")).over(w).cast("double")
+         / F.count(F.lit(1)).over(w)).cast("double").alias("moving_avg_3"),
+    )
+
+
+@query("window_first_last", oracle="""
+SELECT DISTINCT o_custkey,
+       first_value(o_orderkey) OVER w AS first_order,
+       last_value(o_orderkey)  OVER w AS last_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""")
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last order per customer over the full-partition frame."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.first("o_orderkey").over(w).alias("first_order"),
+            F.last("o_orderkey").over(w).alias("last_order"),
+        )
+        .distinct()
+    )

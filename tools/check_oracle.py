@@ -1,0 +1,132 @@
+"""Local replica of the driver's t2 correctness gate.
+
+Runs every ``queries()`` entry at a given SF and compares it to its
+DuckDB ``oracle_sql()`` twin: row count, sorted column names, and exact
+cell values (after sorting columns by name and rows by all columns).
+Reports max float deviation so any nondeterministic-aggregation risk is
+visible even when a tolerant comparison would pass.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+import traceback
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+from dynamic_etl_pipeline_spark.session import get_spark  # noqa: E402
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df.reset_index(drop=True)
+
+
+def cells_equal(a, b) -> tuple[bool, float]:
+    """Exact equality; returns (equal, float_delta) for diagnostics."""
+    if a is None and b is None:
+        return True, 0.0
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True, 0.0
+        if pd.isna(a) != pd.isna(b):
+            return False, math.inf
+    except (TypeError, ValueError):
+        pass
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            fa, fb = float(a), float(b)
+            return fa == fb, abs(fa - fb)
+        except (TypeError, ValueError):
+            return False, math.inf
+    return a == b, 0.0 if a == b else math.inf
+
+
+def compare(name: str, spark_df, duck_df) -> tuple[bool, str]:
+    if sorted(spark_df.columns) != sorted(duck_df.columns):
+        return False, f"columns differ: {sorted(spark_df.columns)} vs {sorted(duck_df.columns)}"
+    if len(spark_df) != len(duck_df):
+        return False, f"row count: spark={len(spark_df)} duck={len(duck_df)}"
+    s, d = normalize(spark_df), normalize(duck_df)
+    max_delta, bad = 0.0, 0
+    first_bad = None
+    for col in s.columns:
+        sv, dv = s[col].tolist(), d[col].tolist()
+        for i, (a, b) in enumerate(zip(sv, dv)):
+            eq, delta = cells_equal(a, b)
+            max_delta = max(max_delta, delta if delta != math.inf else 0)
+            if not eq:
+                bad += 1
+                if first_bad is None:
+                    first_bad = f"{col}[{i}]: spark={a!r} duck={b!r}"
+    if bad:
+        return False, f"{bad} cells differ; first: {first_bad}"
+    note = f"max_float_delta={max_delta:.3g}" if max_delta else "exact"
+    return True, note
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as e
+
+    spark = get_spark()
+    con = duck_connection(sf_dir)
+    qs, oracles = e.queries(), e.oracle_sql()
+    failures, rows_only = [], []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception:
+            failures.append(name)
+            print(f"FAIL  {name}: spark side raised")
+            traceback.print_exc(limit=3)
+            continue
+        if name not in oracles:
+            rows_only.append(name)
+            print(f"rows  {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            ddf = con.execute(oracles[name]).df()
+        except Exception as ex:
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb side raised: {ex}")
+            continue
+        ok, msg = compare(name, sdf, ddf)
+        status = "ok  " if ok else "FAIL"
+        print(f"{status}  {name}: {len(sdf)} rows, {msg} [{time.time()-t0:.1f}s]")
+        if not ok:
+            failures.append(name)
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} pass; rows-only: {len(rows_only)}")
+    if failures:
+        print("failures:", ", ".join(failures))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
