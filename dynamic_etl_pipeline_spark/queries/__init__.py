@@ -7,3 +7,6 @@ from .registry import ORACLES, QUERIES, query  # noqa: F401
 from . import relational  # noqa: E402,F401
 from . import windows  # noqa: E402,F401
 from . import events  # noqa: E402,F401
+from . import scalars  # noqa: E402,F401
+from . import text  # noqa: E402,F401
+from . import vectors  # noqa: E402,F401

@@ -1,0 +1,291 @@
+"""Text-analysis + dedup operators over the documents table (SURVEY
+§2.12 / the BASELINE north star): token stats, quality scoring,
+fingerprinting, word frequency, exact dedup, n-gram Jaccard near-dup.
+
+All deterministic and DuckDB-oracle-checkable. The probabilistic /
+hash-based variants (MinHash-LSH, SimHash) live in
+``dynamic_etl_pipeline_spark.operators.dedup`` with rows-only checks,
+since their hash functions are engine-specific.
+
+Scale stance: everything here is explode -> shuffle-on-key -> aggregate;
+the n-gram self-join joins on the shingle (high cardinality, uniform),
+never a cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ._helpers import davg
+from .registry import query
+
+
+@query("doc_token_stats", oracle="""
+SELECT doc_id, lang,
+       CAST(length(text) AS INT) AS n_chars_measured,
+       CAST(len(string_split_regex(text, '\\s+')) AS INT) AS n_tokens,
+       CAST(len(list_distinct(string_split_regex(text, '\\s+'))) AS INT)
+         AS n_unique_tokens,
+       CAST(len(list_distinct(string_split_regex(text, '\\s+'))) AS DOUBLE)
+         / len(string_split_regex(text, '\\s+')) AS ttr
+FROM documents
+""")
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts + type-token ratio (all codegen'd
+    builtins; the int/int division is bit-deterministic, no rounding)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    n_tok = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    return d.select(
+        "doc_id", "lang",
+        F.length("text").cast("int").alias("n_chars_measured"),
+        n_tok.cast("int").alias("n_tokens"),
+        n_uniq.cast("int").alias("n_unique_tokens"),
+        (n_uniq.cast("double") / n_tok).alias("ttr"),
+    )
+
+
+@query("doc_stats_by_lang", oracle="""
+SELECT lang, source,
+       count(*) AS n_docs,
+       CAST(sum(CAST(n_chars AS DECIMAL(27,4))) AS DOUBLE) / count(n_chars)
+         AS avg_chars,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars
+FROM documents
+GROUP BY lang, source
+""")
+def doc_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile by language x source."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            davg("n_chars").alias("avg_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+@query("doc_fingerprint", oracle="""
+SELECT doc_id,
+       md5(text) AS content_hash,
+       substring(md5(text), 1, 8) AS short_key,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes
+FROM documents
+""")
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprinting: md5 hashes identically on both engines
+    (UTF-8 bytes), making it the engine-portable dedup key."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("text").cast("binary"))
+    return d.select(
+        "doc_id",
+        h.alias("content_hash"),
+        F.substring(h, 1, 8).alias("short_key"),
+        F.octet_length("text").cast("int").alias("n_bytes"),
+    )
+
+
+@query("word_freq_top20", oracle="""
+SELECT tok, count(*) AS freq
+FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM documents)
+GROUP BY tok
+ORDER BY freq DESC, tok
+LIMIT 20
+""")
+def word_freq_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide term frequency, top-20. Partial aggregation collapses
+    the exploded tokens map-side before the single shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("tok"))
+        .limit(20)
+    )
+
+
+@query("doc_tf_idf_top", oracle="""
+WITH tokens AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+  FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM tokens GROUP BY doc_id, tok
+), df AS (
+  SELECT tok, count(DISTINCT doc_id) AS df FROM tokens GROUP BY tok
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+)
+SELECT doc_id, tok,
+       round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+FROM tf JOIN df USING (tok) CROSS JOIN n
+WHERE doc_id < 10
+""")
+def doc_tf_idf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: explode -> tf per (doc, term) -> df per term -> join.
+
+    The df side is tiny (vocabulary-sized) and broadcast; n_docs is a
+    scalar broadcast. ln() differs in the last ulp between JVM and C
+    libm, hence round(6) on both sides.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tokens = d.select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
+    tf = tokens.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = tokens.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # driver-side scalar: one number, not data movement
+    return (
+        tf.join(F.broadcast(df), "tok")
+        .filter(F.col("doc_id") < 10)
+        .select(
+            "doc_id", "tok",
+            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+            .alias("tfidf"),
+        )
+    )
+
+
+@query("doc_quality_score", oracle="""
+WITH t AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS toks, text FROM documents
+)
+SELECT doc_id,
+       CAST(len(list_filter(toks, w -> w IN ('the','a','and','of','to','in','is')))
+            AS INT) AS n_stopwords,
+       CAST(len(list_filter(toks, w -> w IN ('the','a','and','of','to','in','is')))
+            AS DOUBLE) / len(toks) AS stopword_ratio,
+       CAST(length(text) AS DOUBLE) / len(toks) AS avg_token_span,
+       CAST(length(text) >= 100 AND length(text) <= 1000 AS BOOLEAN) AS len_ok
+FROM t
+""")
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality signals (stopword ratio, token span, length
+    gate) — the quality-annotation idea of the reference's
+    validate_record (app.py:267-276) re-aimed at LLM corpus filtering."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    stop = F.size(F.filter(
+        toks, lambda w: w.isin("the", "a", "and", "of", "to", "in", "is")
+    ))
+    return d.select(
+        "doc_id",
+        stop.cast("int").alias("n_stopwords"),
+        (stop.cast("double") / F.size(toks)).alias("stopword_ratio"),
+        (F.length("text").cast("double") / F.size(toks)).alias("avg_token_span"),
+        (F.length("text").between(100, 1000)).alias("len_ok"),
+    )
+
+
+@query("exact_dedup", oracle="""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+)
+SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM all_docs
+GROUP BY md5(text)
+""")
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup, keep-first: hash-groupBy on content hash.
+
+    The fixture texts are all distinct, so duplicates are synthesized by
+    re-unioning every third doc under a shifted id — the dedup then has
+    real work to do. At 100 TB this is the canonical one-shuffle dedup:
+    group on a 128-bit content hash, never on the full text (shuffle
+    carries 16 bytes + ids per row instead of the document body).
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = (
+        d.filter(F.col("doc_id") % 3 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return (
+        d.unionByName(dups)
+        .groupBy(F.md5(F.col("text").cast("binary")).alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@query("ngram_jaccard_pairs", oracle="""
+WITH tk AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+), shingled AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, len(toks) - 1),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+  FROM tk
+), counts AS (
+  SELECT doc_id, count(*) AS n_sh FROM shingled GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM shingled a JOIN shingled b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common,
+       CAST(ca.n_sh + cb.n_sh - n_common AS BIGINT) AS n_union,
+       CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common) AS jaccard
+FROM pairs
+JOIN counts ca ON ca.doc_id = doc_a
+JOIN counts cb ON cb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common) >= 0.01
+""")
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs by exact word-3-gram Jaccard.
+
+    Shingle -> explode -> self-join **on the shingle key** (inverted
+    index), never an O(n^2) document cross join: only documents that
+    actually share a shingle ever meet. This is the exact-verification
+    stage of the MinHash-LSH pipeline in operators/dedup.py, and is the
+    scale-correct shape on its own (shuffle keyed by shingle, uniform).
+    Jaccard is an int/int division — bit-deterministic, no rounding.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    base = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 3)
+    shingled = base.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - 3),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("toks"), i + 1),
+                        F.element_at(F.col("toks"), i + 2),
+                        F.element_at(F.col("toks"), i + 3),
+                    ),
+                )
+            )
+        ).alias("shingle"),
+    )
+    counts = shingled.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    n_union = F.col("n_a") + F.col("n_b") - F.col("n_common")
+    jaccard = F.col("n_common").cast("double") / n_union
+    return (
+        pairs.join(ca, "doc_a").join(cb, "doc_b")
+        .select(
+            "doc_a", "doc_b", "n_common",
+            n_union.cast("bigint").alias("n_union"),
+            jaccard.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.01)
+    )

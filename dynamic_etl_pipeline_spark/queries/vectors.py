@@ -1,0 +1,175 @@
+"""Embedding similarity search over the embeddings table (SURVEY §2.12):
+brute-force cosine kNN (the exact baseline) and threshold pair search.
+
+The cosine math stays entirely in JVM higher-order functions
+(zip_with + aggregate fold) — no UDF, no Python, codegen throughout.
+The approximate/scale variants (LSH-bucketed ANN) live in
+``dynamic_etl_pipeline_spark.operators.knn`` with recall tests against
+this exact baseline.
+
+Scale stance: brute force is O(Q x N) — correct as a baseline and for
+small Q (broadcast the query set, stream the candidates); for large Q
+at 100 TB switch to the LSH operator, which turns the cross join into
+an equi-join on bucket keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import query
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Double-precision dot product of two float arrays, JVM-side.
+
+    Sequential left-fold matches DuckDB's list_dot_product evaluation
+    order, so results are bit-identical.
+    """
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+@query("embedding_norms", oracle="""
+SELECT vec_id, label,
+       round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))), 6) AS l2_norm
+FROM embeddings
+""")
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    return e.select(
+        "vec_id", "label",
+        F.round(F.sqrt(dot(v, v)), 6).alias("l2_norm"),
+    )
+
+
+@query("knn_bruteforce", oracle="""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+), scored AS (
+  SELECT query_id, vec_id,
+         round(list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+               6) AS cos_sim
+  FROM q CROSS JOIN c
+  WHERE vec_id <> query_id
+)
+SELECT query_id, vec_id, cos_sim, CAST(rn AS INT) AS rn
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM scored)
+WHERE rn <= 10
+""")
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors for a small query set.
+
+    The query side is broadcast (small by construction); candidates
+    stream through map-side scoring, then one shuffle on query_id ranks
+    the top-k. Ranking is on the *rounded* similarity with vec_id
+    tie-break so the ordering is engine-portable.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id",
+            F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 10)
+    )
+
+
+@query("similar_pairs", oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+             6) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+""")
+def similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All embedding pairs above a cosine threshold (near-dup search by
+    embedding). Quadratic by definition — the honest exact baseline the
+    LSH operator's recall is measured against; at production scale the
+    LSH bucket join replaces this plan."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    sim = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .filter(sim >= 0.3)
+        .select("vec_a", "vec_b", F.round(sim, 6).alias("cos_sim"))
+    )
+
+
+@query("label_knn_purity", oracle="""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE vec_id < 50),
+c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT e.vec_id AS query_id, e.label AS query_label, c.label AS cand_label,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY round(list_dot_product(e.v, c.v)
+                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.v, c.v))), 6) DESC,
+                 c.vec_id) AS rn
+  FROM e CROSS JOIN c WHERE c.vec_id <> e.vec_id
+)
+SELECT query_id, query_label,
+       CAST(count(*) FILTER (cand_label = query_label) AS BIGINT) AS n_same_label
+FROM scored WHERE rn <= 5
+GROUP BY query_id, query_label
+""")
+def label_knn_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label agreement: for each of 50 probe vectors, how many of
+    its 5 nearest neighbors share its label (embedding-quality metric)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("qv"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "query_label",
+            F.col("label").alias("cand_label"), F.col("vec_id").alias("cand_id"),
+            F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .groupBy("query_id", "query_label")
+        .agg(
+            F.sum(F.when(F.col("cand_label") == F.col("query_label"), 1).otherwise(0))
+            .cast("bigint").alias("n_same_label")
+        )
+    )

@@ -45,6 +45,19 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 def cells_equal(a, b) -> tuple[bool, float]:
     """Exact equality; returns (equal, float_delta) for diagnostics."""
+    import numpy as np
+
+    if isinstance(a, (list, tuple, np.ndarray)) or isinstance(b, (list, tuple, np.ndarray)):
+        la, lb = list(a), list(b)
+        if len(la) != len(lb):
+            return False, math.inf
+        worst = 0.0
+        for x, y in zip(la, lb):
+            eq, delta = cells_equal(x, y)
+            if not eq:
+                return False, math.inf
+            worst = max(worst, delta)
+        return True, worst
     if a is None and b is None:
         return True, 0.0
     try:
