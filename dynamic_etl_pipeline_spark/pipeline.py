@@ -1,0 +1,100 @@
+"""The end-to-end dynamic ETL pipeline: the reference's upload loop
+(app.py:296-366) as one declarative DataFrame flow.
+
+Reference flow (per upload): suffix dispatch -> per-record regex
+extraction loop -> schema inference -> key-set diff + version bump ->
+per-record validation -> per-record SQLite INSERT (a new connection per
+record, app.py:135 — the measured 955 rec/s bottleneck, BASELINE.md §A).
+
+Engine flow (per batch): read_any (Spark reader) -> extract_patterns
+(codegen regexp) -> SchemaRegistry.register (metadata-only) ->
+validate + lineage (codegen) -> one partition-parallel parquet append.
+Same semantics, no per-row Python, no per-row transactions — the
+whole pipeline is a single Spark job and scales with partition count.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.extract import extract_patterns
+from .ingest import read_any
+from .quality import ISSUES_COL, quality_summary, validate, with_lineage
+from .schema_registry import SchemaRegistry
+
+
+@dataclass
+class IngestReport:
+    """What the reference surfaces in its UI after an upload
+    (app.py:352-371): counts, schema version, whether it evolved."""
+
+    n_records: int
+    n_good: int
+    n_with_issues: int
+    schema_version: int
+    schema_changed: bool
+
+
+class EtlPipeline:
+    """Batch ingestion into a parquet record store with schema
+    versioning, pattern extraction, validation, and lineage."""
+
+    def __init__(self, spark: SparkSession, store_dir: str,
+                 text_column: str = "content"):
+        self.spark = spark
+        self.store = Path(store_dir)
+        self.records_path = str(self.store / "records")
+        self.registry = SchemaRegistry(spark, store_dir)
+        self.text_column = text_column
+
+    def transform(self, df: DataFrame) -> tuple[DataFrame, int, bool]:
+        """Extraction + schema registration + validation + lineage —
+        the full app.py:318-363 pipeline, lazily planned."""
+        if self.text_column in df.columns:
+            # Reference app.py:318-322: only records with truthy content
+            # get _extracted_patterns.
+            df = df.withColumn("_extracted_patterns", extract_patterns(self.text_column))
+        version, changed = self.registry.register_df(df)
+        df = validate(df, self.registry.latest()[1])
+        df = with_lineage(df, version)
+        return df, version, changed
+
+    def ingest(self, path: str, **reader_kwargs) -> IngestReport:
+        """Read -> transform -> append to the record store -> report."""
+        df, version, changed = self.transform(
+            read_any(self.spark, path, **reader_kwargs)
+        )
+        # Record store is partitioned by schema version: batches with
+        # different shapes land in different directories, so reads with
+        # mergeSchema reconstruct the drifted union (SURVEY §1.4).
+        (
+            df.write.mode("append")
+            .option("mergeSchema", "true")
+            .partitionBy("_schema_version")
+            .parquet(self.records_path)
+        )
+        counts = {
+            bool(r["has_issues"]): r["n_records"]
+            for r in quality_summary(df).collect()
+        }
+        n_good = counts.get(False, 0)
+        n_bad = counts.get(True, 0)
+        return IngestReport(
+            n_records=n_good + n_bad,
+            n_good=n_good,
+            n_with_issues=n_bad,
+            schema_version=version,
+            schema_changed=changed,
+        )
+
+    def records(self, latest_n: int | None = None) -> DataFrame:
+        """Browse stored records (reference get_records app.py:169-173;
+        ORDER BY ingest time DESC LIMIT n plans as TakeOrderedAndProject)."""
+        df = self.spark.read.option("mergeSchema", "true").parquet(self.records_path)
+        if latest_n is not None:
+            df = df.orderBy(F.desc("_ingested_at")).limit(latest_n)
+        return df

@@ -10,3 +10,4 @@ from . import events  # noqa: E402,F401
 from . import scalars  # noqa: E402,F401
 from . import text  # noqa: E402,F401
 from . import vectors  # noqa: E402,F401
+from . import etl  # noqa: E402,F401

@@ -1,0 +1,117 @@
+"""ETL-layer operators as driver-checkable queries: the reference's
+pattern extraction and validation (app.py:227-276) exercised over the
+fixture tables, plus the language-ID heuristic (rows-only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.extract import DATE_RE, EMAIL_RE, NUMBER_RE, extract_dates, extract_emails, extract_numbers
+from ..functions.text import detect_lang, quality_signals, token_count
+from .registry import query
+
+
+@query("extract_numbers_events", oracle=f"""
+SELECT event_id,
+       CAST(len(regexp_extract_all(props, '{NUMBER_RE}')) AS INT) AS n_numbers,
+       regexp_extract_all(props, '{NUMBER_RE}')[1] AS first_number
+FROM events
+""")
+def extract_numbers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's number regex (app.py:240) vectorized over the
+    events JSON props."""
+    ev = load_table(spark, sf_dir, "events")
+    nums = extract_numbers("props")
+    return ev.select(
+        "event_id",
+        F.size(nums).cast("int").alias("n_numbers"),
+        F.element_at(nums, 1).alias("first_number"),
+    )
+
+
+@query("extract_patterns_synth", oracle=f"""
+WITH corpus AS (
+  SELECT c_custkey,
+         'contact ' || c_name || ' at user' || CAST(c_custkey AS VARCHAR)
+         || '@example.com or (555) 123-4567 on 12/25/2023' AS body
+  FROM customer
+)
+SELECT c_custkey,
+       regexp_extract_all(body, '{EMAIL_RE}')[1] AS email,
+       regexp_extract_all(body, '{DATE_RE}')[1] AS first_date,
+       CAST(len(regexp_extract_all(body, '{NUMBER_RE}')) AS INT) AS n_numbers
+FROM corpus
+""")
+def extract_patterns_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email/date/number extraction (reference regexes app.py:236-240)
+    over a synthesized corpus with guaranteed hits — both engines build
+    the identical string, so the regex semantics are what's compared."""
+    c = load_table(spark, sf_dir, "customer")
+    body = F.concat(
+        F.lit("contact "), F.col("c_name"),
+        F.lit(" at user"), F.col("c_custkey").cast("string"),
+        F.lit("@example.com or (555) 123-4567 on 12/25/2023"),
+    )
+    synth = c.select("c_custkey", body.alias("body"))
+    return synth.select(
+        "c_custkey",
+        F.element_at(extract_emails("body"), 1).alias("email"),
+        F.element_at(extract_dates("body"), 1).alias("first_date"),
+        F.size(extract_numbers("body")).cast("int").alias("n_numbers"),
+    )
+
+
+@query("validate_profile_documents", oracle="""
+SELECT count(*) AS n_rows,
+       CAST(count(*) FILTER (text IS NULL) AS BIGINT) AS n_null_text,
+       CAST(count(*) FILTER (length(trim(text)) = 0) AS BIGINT) AS n_empty_text,
+       CAST(count(*) FILTER (lang IS NULL) AS BIGINT) AS n_null_lang,
+       count(DISTINCT lang) AS n_langs,
+       CAST(count(*) FILTER (n_chars <> length(text)) AS BIGINT) AS n_chars_mismatch
+FROM documents
+""")
+def validate_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch data-quality profile (the aggregate view of the reference's
+    per-record validation, app.py:267-276): null/empty/consistency
+    counts in one pass."""
+    d = load_table(spark, sf_dir, "documents")
+    cnt_if = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return d.agg(
+        F.count("*").alias("n_rows"),
+        cnt_if(F.col("text").isNull()).alias("n_null_text"),
+        cnt_if(F.length(F.trim("text")) == 0).alias("n_empty_text"),
+        cnt_if(F.col("lang").isNull()).alias("n_null_lang"),
+        F.countDistinct("lang").alias("n_langs"),
+        cnt_if(F.col("n_chars") != F.length("text")).alias("n_chars_mismatch"),
+    )
+
+
+@query("doc_lang_id")  # rows-only: heuristic classifier, not SQL-expressible
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic over documents (functions/text.py) with
+    agreement flag against the fixture's lang label."""
+    d = load_table(spark, sf_dir, "documents")
+    pred = detect_lang("text")
+    return d.select(
+        "doc_id", "lang",
+        pred.alias("lang_pred"),
+        (pred == F.col("lang")).alias("agrees"),
+    )
+
+
+@query("doc_signals")  # rows-only: struct-typed quality signal battery
+def doc_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quality_signals + both token-count modes, flattened."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = quality_signals("text")
+    return d.select(
+        "doc_id",
+        sig.getField("n_chars").alias("n_chars_sig"),
+        sig.getField("punct_ratio").alias("punct_ratio"),
+        sig.getField("upper_ratio").alias("upper_ratio"),
+        token_count("text", "whitespace").cast("int").alias("n_ws_tokens"),
+        token_count("text", "bpe_ish").cast("int").alias("n_bpe_tokens"),
+    )

