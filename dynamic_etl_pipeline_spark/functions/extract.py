@@ -33,9 +33,11 @@ NUMBER_RE = r"-?\d+\.?\d*"
 
 def _all(col: Column | str, pattern: str) -> Column:
     c = col if isinstance(col, Column) else F.col(col)
+    # (?U) = Java UNICODE_CHARACTER_CLASS, matching Python re's default
+    # Unicode-aware \d/\b/\w (Java defaults them to ASCII-only).
     # Null-safe like the reference's non-string guard (app.py:232-234).
     return F.coalesce(
-        F.regexp_extract_all(c, F.lit(pattern), 0),
+        F.regexp_extract_all(c, F.lit("(?U)" + pattern), 0),
         F.array().cast(ArrayType(StringType())),
     )
 

@@ -11,3 +11,4 @@ from . import scalars  # noqa: E402,F401
 from . import text  # noqa: E402,F401
 from . import vectors  # noqa: E402,F401
 from . import etl  # noqa: E402,F401
+from . import northstar  # noqa: E402,F401

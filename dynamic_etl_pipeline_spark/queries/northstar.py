@@ -1,0 +1,108 @@
+"""North-star operators exposed as driver-checkable queries: as-of join
+(full DuckDB ASOF JOIN oracle), MinHash-LSH / SimHash near-dup and LSH
+ANN (rows-only — their hash functions are engine-specific; correctness
+is property-tested against exact baselines in tests/test_operators.py),
+and multimodal metadata extraction (rows-only — Python decode stage).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.asof import asof_join
+from ..operators.dedup import connected_components, minhash_lsh_pairs, simhash_pairs
+from ..operators.knn import lsh_ann_topk
+from ..operators.multimodal import extract_media_meta, fake_payload, media_stats
+from .registry import query
+
+
+@query("asof_join_events", oracle="""
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT clicks.event_id, clicks.user_id, clicks.ts,
+       purchases.value AS value_asof
+FROM clicks ASOF LEFT JOIN purchases
+  ON clicks.user_id = purchases.user_id AND clicks.ts >= purchases.ts
+""")
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click enriched with the user's most recent prior (or
+    simultaneous) purchase value — operators/asof.py vs DuckDB's native
+    ASOF JOIN."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    return asof_join(clicks, purchases, on="user_id", value_cols=["value"])
+
+
+@query("minhash_near_dups")  # rows-only: engine-specific hashing
+def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs over documents + synthesized mutants
+    (fixture texts are all distinct, so high-similarity pairs are
+    created by re-unioning lightly truncated copies)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        # drop the last word: a truly near-duplicate, not identical
+        F.expr("array_join(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), ' ')")
+        .alias("text"),
+    )
+    corpus = d.unionByName(mutated)
+    return minhash_lsh_pairs(corpus, "doc_id", "text", threshold=0.5)
+
+
+@query("minhash_dup_clusters")  # rows-only: iterative algorithm
+def minhash_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup pair graph -> cluster id
+    per duplicated doc (the keep-one-per-cluster dedup decision)."""
+    pairs = minhash_near_dups(spark, sf_dir)
+    return connected_components(pairs).orderBy("id")
+
+
+@query("simhash_near_dups")  # rows-only: engine-specific hashing
+def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-radius pairs over the mutant corpus."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr("array_join(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), ' ')")
+        .alias("text"),
+    )
+    return simhash_pairs(d.unionByName(mutated), "doc_id", "text", max_hamming=3)
+
+
+@query("lsh_ann_topk")  # rows-only: seeded-hyperplane bucketing
+def lsh_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors for 5 probe vectors via
+    random-hyperplane LSH (recall vs exact kNN is property-tested)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_ann_topk(e, queries, k=10)
+
+
+@query("multimodal_media_stats")  # rows-only: Python decode stage
+def multimodal_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media-column pipeline on synthesized payloads: attach fake
+    blobs to documents, decode metadata via mapInPandas, aggregate
+    relationally (operators/multimodal.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(
+            F.lit(b"MM1|"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("image")).otherwise(F.lit("audio")),
+            F.lit("|"),
+            (F.col("n_chars") % 640).cast("string"),
+            F.lit("x"),
+            (F.col("n_chars") % 480).cast("string"),
+            F.lit("|"),
+            F.col("text"),
+        ).cast("binary").alias("payload"),
+    )
+    return media_stats(extract_media_meta(media))

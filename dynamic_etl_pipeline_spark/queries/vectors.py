@@ -19,24 +19,8 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.vectors import cosine, dot
 from .registry import query
-
-
-def dot(a: Column, b: Column) -> Column:
-    """Double-precision dot product of two float arrays, JVM-side.
-
-    Sequential left-fold matches DuckDB's list_dot_product evaluation
-    order, so results are bit-identical.
-    """
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
 @query("embedding_norms", oracle="""

@@ -1,0 +1,233 @@
+"""North-star operator properties: MinHash-LSH recall vs exact Jaccard,
+SimHash behavior, connected components, LSH-ANN recall vs brute force,
+as-of join semantics, multimodal plumbing.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from dynamic_etl_pipeline_spark.operators.asof import asof_join
+from dynamic_etl_pipeline_spark.operators.dedup import (
+    connected_components,
+    dedup_exact,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    shingle_ngrams,
+    simhash64,
+    simhash_pairs,
+)
+from dynamic_etl_pipeline_spark.operators.knn import cosine_topk, lsh_ann_topk
+from dynamic_etl_pipeline_spark.operators.multimodal import (
+    extract_media_meta,
+    fake_payload,
+    frame_sample,
+    media_stats,
+)
+
+
+# ---------------------------------------------------------------------------
+# MinHash / shingles
+# ---------------------------------------------------------------------------
+
+WORDS = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+
+
+def corpus(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+
+
+def test_shingle_ngrams(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], ["text"])
+    rows = df.select(shingle_ngrams("text", 3).alias("s")).collect()
+    assert rows[0]["s"] == ["a b c", "b c d"]
+    assert rows[1]["s"] == []  # shorter than n
+
+
+def test_minhash_identical_docs_identical_sigs(spark):
+    text = " ".join(WORDS * 3)
+    df = corpus(spark, [text, text, "completely different words entirely here now"])
+    sigs = {r["doc_id"]: r["sig"] for r in
+            minhash_signatures(df, "doc_id", "text").collect()}
+    assert sigs[0] == sigs[1]
+    assert sigs[0] != sigs[2]
+
+
+def test_minhash_lsh_finds_near_dups_not_distinct(spark):
+    base = " ".join(WORDS * 4)
+    near = base + " extraword"          # jaccard ~0.95 on 3-gram shingles
+    far = " ".join(reversed(WORDS))     # same vocab, different shingles
+    df = corpus(spark, [base, near, far])
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+             for r in minhash_lsh_pairs(df, "doc_id", "text", threshold=0.5).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.7
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_minhash_lsh_recall_against_exact_jaccard(spark, sf_dir):
+    """Every pair with exact 3-gram Jaccard >= 0.8 must be captured by
+    LSH at threshold 0.5 (the S-curve guarantee, probabilistically ~1
+    at these parameters)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    mutated = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr("array_join(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), ' ')")
+        .alias("text"),
+    )
+    cdf = d.unionByName(mutated)
+
+    sh = cdf.select("doc_id", F.explode(shingle_ngrams("text", 3)).alias("s"))
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        sh.alias("a").join(sh.alias("b"),
+                           (F.col("a.s") == F.col("b.s"))
+                           & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("x"), F.col("b.doc_id").alias("y"))
+        .agg(F.count("*").alias("i"))
+    )
+    exact = (
+        inter.join(counts.select(F.col("doc_id").alias("x"), F.col("n").alias("nx")), "x")
+        .join(counts.select(F.col("doc_id").alias("y"), F.col("n").alias("ny")), "y")
+        .withColumn("j", F.col("i") / (F.col("nx") + F.col("ny") - F.col("i")))
+    )
+    truth = {(r["x"], r["y"]) for r in exact.filter(F.col("j") >= 0.8).collect()}
+    assert truth, "fixture should produce high-jaccard mutant pairs"
+    found = {(r["id_a"], r["id_b"])
+             for r in minhash_lsh_pairs(cdf, "doc_id", "text", threshold=0.5).collect()}
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.95, f"LSH recall {recall} below 0.95"
+
+
+def test_dedup_exact_keep_first(spark):
+    df = spark.createDataFrame(
+        [(3, "x", "c"), (1, "x", "a"), (2, "y", "b")], ["id", "key", "val"]
+    )
+    out = dedup_exact(df, subset=["key"], keep_order_col="id")
+    rows = {r["key"]: (r["id"], r["val"]) for r in out.collect()}
+    assert rows == {"x": (1, "a"), "y": (2, "b")}
+
+
+def test_connected_components_two_clusters(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def test_simhash_near_vs_far(spark):
+    # 40 distinct words: adding one word can only flip zero-margin bits
+    # (expected hamming ~4); an unrelated text re-rolls every bit
+    # (expected hamming ~32, std 4)
+    base = " ".join(f"tok{i}" for i in range(40))
+    far = " ".join(f"other{i}" for i in range(40))
+    df = corpus(spark, [base, base + " extraword", far])
+    fps = {r["doc_id"]: r["fp"] for r in
+           df.select("doc_id", simhash64("text").alias("fp")).collect()}
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")  # noqa: E731
+    assert ham(fps[0], fps[1]) <= 16
+    assert ham(fps[0], fps[2]) > 16
+    assert ham(fps[0], fps[1]) < ham(fps[0], fps[2])
+
+
+def test_simhash_pairs_candidates_and_radius(spark):
+    base = " ".join(f"tok{i}" for i in range(40))
+    df = corpus(spark, [base, base, " ".join(f"other{i}" for i in range(40))])
+    pairs = simhash_pairs(df, "doc_id", "text", max_hamming=4).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    # identical docs: guaranteed chunk agreement, hamming 0
+    assert got.get((0, 1)) == 0
+    # every returned pair respects the radius
+    assert all(h <= 4 for h in got.values())
+
+
+# ---------------------------------------------------------------------------
+# kNN / LSH-ANN
+# ---------------------------------------------------------------------------
+
+def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(e, queries, k=5)
+    # random 64-dim embeddings: best neighbors sit near cos ~0.4 (~66deg),
+    # so per-plane agreement is ~0.63 — short signatures + many tables is
+    # the right operating point (4 planes x 16 tables -> ~0.9 capture)
+    approx = lsh_ann_topk(e, queries, k=5, n_planes=4, n_tables=16)
+    truth = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    got = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.6, f"ANN recall {recall} too low for 4-bit x 16-table LSH"
+
+
+# ---------------------------------------------------------------------------
+# As-of join
+# ---------------------------------------------------------------------------
+
+def ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+def test_asof_join_backward_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, ts(10)), (1, ts(30)), (2, ts(5))], ["k", "ts"]
+    )
+    right = spark.createDataFrame(
+        [(1, ts(9), 100.0), (1, ts(30), 300.0), (2, ts(6), 200.0)],
+        ["k", "ts", "v"],
+    )
+    out = {(r["k"], r["ts"].minute): r["v_asof"]
+           for r in asof_join(left, right, on="k").collect()}
+    assert out[(1, 10)] == 100.0   # latest at-or-before 00:10 is 00:09
+    assert out[(1, 30)] == 300.0   # equal timestamp counts (<=)
+    assert out[(2, 5)] is None     # nothing before -> NULL (left outer)
+
+
+def test_asof_join_strict_excludes_equal(spark):
+    left = spark.createDataFrame([(1, ts(30))], ["k", "ts"])
+    right = spark.createDataFrame(
+        [(1, ts(9), 100.0), (1, ts(30), 300.0)], ["k", "ts", "v"]
+    )
+    row = asof_join(left, right, on="k", strict=True).first()
+    assert row["v_asof"] == 100.0  # strict <: the 00:30 row is invisible
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+def test_media_meta_roundtrip(spark):
+    rows = [
+        (1, fake_payload("image", 640, 480, b"pixels")),
+        (2, fake_payload("audio", 0, 0, b"samples")),
+    ]
+    df = spark.createDataFrame(rows, ["media_id", "payload"])
+    meta = {r["media_id"]: r for r in extract_media_meta(df).collect()}
+    assert meta[1]["kind"] == "image" and meta[1]["width"] == 640
+    assert meta[2]["kind"] == "audio"
+    stats = {r["kind"]: r["n_items"] for r in media_stats(extract_media_meta(df)).collect()}
+    assert stats == {"image": 1, "audio": 1}
+
+
+def test_media_decode_stub_raises_on_real_payload(spark):
+    df = spark.createDataFrame([(1, b"\x89PNG\r\n...")], ["media_id", "payload"])
+    with pytest.raises(Exception) as exc_info:
+        extract_media_meta(df).collect()
+    assert "MM1" in str(exc_info.value) or "NotImplemented" in str(exc_info.value)
+
+
+def test_frame_sample_chunks(spark):
+    df = spark.createDataFrame([(1, b"0123456789abcdef0123")], ["media_id", "payload"])
+    frames = frame_sample(df, every_n_bytes=16).collect()
+    assert [r["frame_no"] for r in frames] == [0, 1]
+    assert bytes(frames[1]["frame"]) == b"0123"
