@@ -12,3 +12,4 @@ from . import text  # noqa: E402,F401
 from . import vectors  # noqa: E402,F401
 from . import etl  # noqa: E402,F401
 from . import northstar  # noqa: E402,F401
+from . import streaming  # noqa: E402,F401

@@ -1,0 +1,119 @@
+"""Structured Streaming queries, driver-checkable (SURVEY §2.9).
+
+Each runs the REAL micro-batch engine (readStream over the fixture,
+availableNow trigger, memory sink in complete mode) and returns the
+drained result. Because the windowed aggregations are the same logical
+plans as their batch twins in queries/events.py, the streaming results
+are held to full DuckDB oracles — not just rows-only checks. The
+stateful applyInPandasWithState op is the one genuinely
+non-SQL-expressible entry (float accumulation order in per-key state
+differs from decimal SQL sums), so it stays rows-only by design.
+
+Multi-batch semantics (watermark-delayed emission, state across
+triggers, dedup of replayed keys) are exercised in
+tests/test_streaming.py, where the fixture is re-chunked into several
+files and replayed one file per trigger.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..streaming.rollups import (
+    dedup_within_watermark,
+    session_counts,
+    sliding_avg,
+    tumbling_rollup,
+)
+from ..streaming.sinks import run_available_now_to_memory
+from ..streaming.source import stream_events
+from ..streaming.stateful import user_running_totals
+from .registry import query
+
+
+@query("streaming_tumbling_rollup", oracle="""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""")
+def streaming_tumbling_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling 1h rollup through the micro-batch engine;
+    complete-mode drain must equal the batch/DuckDB result exactly."""
+    return run_available_now_to_memory(
+        tumbling_rollup(stream_events(spark, sf_dir))
+    )
+
+
+@query("streaming_sliding_window", oracle="""
+WITH assigned AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, value FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '1 hour', ts, INTERVAL '30 minutes') AS window_start, value
+  FROM events
+)
+SELECT window_start, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS total_value
+FROM assigned GROUP BY 1
+""")
+def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/30m windows on the stream (each event assigned to two
+    windows map-side before the keyed state update)."""
+    return run_available_now_to_memory(
+        sliding_avg(stream_events(spark, sf_dir))
+    )
+
+
+@query("streaming_session_window", oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_seq
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+FROM numbered GROUP BY user_id, session_seq
+""")
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window() with a 30-minute gap on the stream,
+    verified against the batch gaps-and-islands formulation."""
+    return run_available_now_to_memory(
+        session_counts(stream_events(spark, sf_dir))
+    )
+
+
+@query("streaming_dedup_events", oracle="""
+SELECT event_id, user_id, ts FROM events
+""")
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark on event_id: fixture keys are
+    unique, so the oracle asserts zero over-drop (every event must
+    survive); duplicate-suppression across replayed batches is covered
+    in tests/test_streaming.py."""
+    from pyspark.sql import functions as F
+
+    deduped = dedup_within_watermark(stream_events(spark, sf_dir))
+    return run_available_now_to_memory(
+        deduped.select(
+            "event_id", "user_id", F.col("ts").cast("timestamp_ntz").alias("ts")
+        ),
+        output_mode="append",
+    )
+
+
+@query("streaming_user_running_totals")  # rows-only: float state accumulation
+def streaming_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom per-key state via applyInPandasWithState: cumulative
+    per-user counts/totals, emitted per trigger."""
+    return run_available_now_to_memory(
+        user_running_totals(stream_events(spark, sf_dir)),
+        output_mode="update",
+    )

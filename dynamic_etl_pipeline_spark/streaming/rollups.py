@@ -1,0 +1,88 @@
+"""Watermarked windowed aggregations over an unbounded events stream
+(SURVEY §2.9): tumbling / sliding / session windows and late-data
+dedup. Each mirrors the batch query in queries/events.py — same
+expressions, same aliases — so a replay of the fixture must match the
+batch (and therefore DuckDB-oracle) results exactly.
+
+State sizing at scale: the watermark bounds how many windows stay open
+per key, so state is O(open_windows x keys) regardless of stream
+length; late rows beyond the watermark are dropped instead of growing
+state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dsum(col: str) -> Column:
+    """Deterministic double sum via exact decimal accumulation (same
+    contract as queries/_helpers.dsum; duplicated here because queries/
+    imports this module — importing back would be circular)."""
+    return F.sum(F.col(col).cast("decimal(27,4)")).cast("double")
+
+
+def tumbling_rollup(events: DataFrame, width: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Hourly event_type rollup (streaming twin of events_hourly_rollup
+    / events_tumbling_window)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("bucket"),
+            "event_type", "n_events", "total_value",
+        )
+    )
+
+
+def sliding_avg(events: DataFrame, width: str = "1 hour",
+                slide: str = "30 minutes",
+                watermark: str = "2 hours") -> DataFrame:
+    """Sliding-window event rate (streaming twin of
+    events_sliding_window)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "n_events", "total_value",
+        )
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes",
+                   watermark: str = "2 hours") -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap
+    (streaming twin of events_session_window; the native
+    session_window op replaces the batch gaps-and-islands rewrite)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, key: str = "event_id",
+                           watermark: str = "2 hours") -> DataFrame:
+    """Drop replayed/duplicate events whose keys re-occur within the
+    watermark horizon. Unlike a global dropDuplicates, state for a key
+    is released once the watermark passes it — bounded state on an
+    unbounded stream."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        [key]
+    )

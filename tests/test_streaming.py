@@ -1,0 +1,107 @@
+"""Multi-batch Structured Streaming semantics: state across triggers,
+duplicate suppression within the watermark, and batch/stream result
+equivalence. The fixture events table is re-chunked into several
+parquet files and replayed one file per trigger so the micro-batch
+engine actually runs >1 batch (the oracle-gate replay is one batch).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dynamic_etl_pipeline_spark.catalog import load_table
+from dynamic_etl_pipeline_spark.streaming.rollups import (
+    dedup_within_watermark,
+    tumbling_rollup,
+)
+from dynamic_etl_pipeline_spark.streaming.sinks import (
+    foreach_batch_parquet,
+    run_available_now_to_memory,
+)
+from dynamic_etl_pipeline_spark.streaming.source import stream_events_dir
+from dynamic_etl_pipeline_spark.streaming.stateful import user_running_totals
+
+
+@pytest.fixture(scope="module")
+def chunked_events(spark, sf_dir, tmp_path_factory):
+    """The fixture events split into 3 parquet files (raw long-nanos ts,
+    same as on-disk) + the schema to stream them with."""
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = str(tmp_path_factory.mktemp("events_chunks"))
+    raw.repartition(3).write.mode("overwrite").parquet(out)
+    return out, raw.schema
+
+
+def test_multibatch_tumbling_equals_batch(spark, sf_dir, chunked_events):
+    directory, schema = chunked_events
+    stream = stream_events_dir(spark, directory, schema, max_files_per_trigger=1)
+    got = run_available_now_to_memory(tumbling_rollup(stream))
+
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("bucket"), "event_type", "n_events")
+    )
+    got_m = {(r["bucket"], r["event_type"]): r["n_events"] for r in got.collect()}
+    # stream ts is TIMESTAMP (UTC session) vs batch NTZ: compare naively
+    batch_m = {(r["bucket"], r["event_type"]): r["n_events"] for r in batch.collect()}
+    assert got_m == batch_m
+
+
+def test_dedup_within_watermark_drops_replays(spark, chunked_events, tmp_path):
+    """The same file written twice = a replayed batch; every event_id
+    must come out exactly once."""
+    directory, schema = chunked_events
+    raw = spark.read.schema(schema).parquet(directory)
+    replay_dir = str(tmp_path / "replayed")
+    raw.coalesce(1).write.mode("overwrite").parquet(replay_dir)
+    raw.coalesce(1).write.mode("append").parquet(replay_dir)
+
+    stream = stream_events_dir(spark, replay_dir, schema, max_files_per_trigger=1)
+    got = run_available_now_to_memory(
+        dedup_within_watermark(stream).select("event_id"), output_mode="append"
+    )
+    n_unique = raw.select("event_id").distinct().count()
+    assert got.count() == n_unique
+    assert got.distinct().count() == n_unique
+
+
+def test_stateful_running_totals_accumulate(spark, sf_dir, chunked_events):
+    """update-mode state emits once per user per batch it appears in;
+    the LAST emission per user must equal the full batch aggregate."""
+    directory, schema = chunked_events
+    stream = stream_events_dir(spark, directory, schema, max_files_per_trigger=1)
+    got = run_available_now_to_memory(
+        user_running_totals(stream), output_mode="update"
+    )
+    # >1 batch => users appearing in several batches emit several rows
+    assert got.count() > got.select("user_id").distinct().count()
+
+    final = (
+        got.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+    )
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id").agg(F.count("*").alias("n_events"))
+    )
+    got_m = {r["user_id"]: r["n_events"] for r in final.collect()}
+    batch_m = {r["user_id"]: r["n_events"] for r in batch.collect()}
+    assert got_m == batch_m
+
+
+def test_foreach_batch_parquet_sink(spark, chunked_events, tmp_path):
+    directory, schema = chunked_events
+    stream = stream_events_dir(spark, directory, schema, max_files_per_trigger=1)
+    out = str(tmp_path / "sink")
+    ck = str(tmp_path / "ck")
+    q = foreach_batch_parquet(
+        stream.select("event_id", "user_id"), out, ck, output_mode="append"
+    )
+    q.awaitTermination(300)
+    q.stop()
+    written = spark.read.parquet(out)
+    assert written.count() == spark.read.schema(schema).parquet(directory).count()
+    # one subdir per micro-batch
+    assert written.select(F.input_file_name()).distinct().count() >= 3
