@@ -1,0 +1,168 @@
+"""Remaining §2 surface: exact + approximate percentiles, approximate
+distinct counts, SQL GROUPING SETS, and a bucketized range join.
+
+Approx sketches (HLL, KLL/GK) are engine-specific — Spark's and
+DuckDB's estimates differ by construction — so those entries are
+rows-only here and bounded-relative-error-vs-exact is asserted in
+tests/test_approx.py. Everything else holds an exact oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import query
+
+
+@query("agg_percentiles", oracle="""
+SELECT o_orderpriority,
+       round(CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE), 4) AS p50,
+       round(CAST(quantile_cont(o_totalprice, 0.9) AS DOUBLE), 4) AS p90,
+       round(CAST(quantile_cont(o_totalprice, 0.99) AS DOUBLE), 4) AS p99
+FROM orders
+GROUP BY o_orderpriority
+""")
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``). The exact variant sorts within groups —
+    fine for bounded groups; unbounded cardinality at scale switches to
+    approx_percentile below."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+            F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+        )
+    )
+
+
+@query("agg_approx_distinct")  # rows-only: HLL estimates are engine-specific
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++): the constant-memory path for
+    COUNT(DISTINCT) at 100 TB — mergeable sketches, no
+    distinct-expansion shuffle. Relative error vs exact is asserted in
+    tests/test_approx.py."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query("agg_approx_quantile")  # rows-only: sketch quantiles are engine-specific
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile: single-pass mergeable quantile sketch (the
+    scale path the exact percentile query above can't take)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .agg(
+            F.approx_percentile(
+                "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)), 10000
+            ).alias("price_quantiles")
+        )
+    )
+
+
+@query("grouping_sets_flag_status", oracle="""
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+""")
+def grouping_sets_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through spark.sql (rollup/cube cousins are
+    covered in queries/relational.py)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_gs"
+    )
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sum_qty
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """)
+
+
+@query("range_join_clicks_before_purchase", oracle="""
+SELECT p.event_id AS purchase_id, count(c.event_id) AS n_clicks_1h
+FROM events p
+LEFT JOIN events c
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL '1 hour'
+ AND c.ts < p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id
+""")
+def range_join_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join, bucketized: clicks within the hour before
+    each purchase.
+
+    A naive theta-join is a broadcast-nested-loop over |purchases| x
+    |clicks|. Bucketizing ts to 1-hour grains turns it into an
+    EQUI-join on (user_id, bucket) — each purchase probes its own and
+    the previous grain, covering every candidate within the interval —
+    then the exact range predicate filters residuals. Shuffle-hash
+    scalable at any corpus size; candidate blowup is bounded at 2x.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    grain = F.floor(F.unix_timestamp(F.col("ts")) / 3600).cast("long")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+        grain.alias("c_bucket"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+        # probe own + previous grain: covers every click in (p_ts-1h, p_ts)
+        F.explode(F.array(grain, grain - 1)).alias("p_bucket"),
+    )
+    # range predicate lives IN the join so purchases with only
+    # out-of-range bucket-mates still keep their left-outer null row
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_bucket") == F.col("c_bucket"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") < F.col("p_ts"))
+    )
+    matched = purchases.join(clicks, cond, "left")
+    # each click carries one bucket, so a (purchase, click) pair joins
+    # at most once — plain count, no distinct shuffle needed; the two
+    # probe rows of a clickless purchase merge to a single 0-count group
+    return (
+        matched.groupBy("purchase_id")
+        .agg(F.count("click_id").alias("n_clicks_1h"))
+    )
+
+
+@query("udtf_doc_sentences", oracle="""
+SELECT d.doc_id, trim(t.s) AS sentence,
+       len(string_split_regex(trim(t.s), '\\s+')) AS n_words
+FROM documents d, unnest(string_split(d.text, '.')) AS t(s)
+WHERE trim(t.s) != ''
+""")
+def udtf_doc_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 lateral table function) splitting each
+    document into sentences — the record-splitting source pattern
+    (reference app.py:186-222) as a first-class operator."""
+    from ..functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf")
+    return spark.sql("""
+        SELECT d.doc_id, s.sentence, s.n_words
+        FROM docs_udtf d, LATERAL split_sentences(d.text) s
+    """)
