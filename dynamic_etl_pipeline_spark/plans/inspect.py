@@ -1,0 +1,66 @@
+"""Parse Spark's formatted explain output into assertable facts."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    """The full ``explain('formatted')`` text of a DataFrame."""
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def has_operator(df: DataFrame, name: str) -> bool:
+    """True if the physical plan contains an operator node whose name
+    matches ``name`` (substring, e.g. 'BroadcastHashJoin',
+    'CartesianProduct', 'TakeOrderedAndProject')."""
+    return name in formatted_plan(df)
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """All PushedFilters entries across the plan's file scans."""
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", formatted_plan(df)):
+        body = m.group(1).strip()
+        if body:
+            out.extend(p.strip() for p in body.split(","))
+    return out
+
+
+def read_schema_columns(df: DataFrame) -> list[list[str]]:
+    """Column lists actually read by each parquet scan (ReadSchema) —
+    the ground truth for column-pruning assertions."""
+    scans: list[list[str]] = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", formatted_plan(df)):
+        body = m.group(1)
+        cols = [f.split(":")[0].strip() for f in body.split(",") if ":" in f]
+        scans.append(cols)
+    return scans
+
+
+def exchange_count(df: DataFrame) -> int:
+    """Number of shuffle exchanges in the plan (broadcast exchanges are
+    counted separately by has_operator('BroadcastExchange'))."""
+    plan = formatted_plan(df)
+    return len(re.findall(r"\bExchange hashpartitioning", plan)) + len(
+        re.findall(r"\bExchange rangepartitioning", plan)
+    )
+
+
+def python_eval_count(df: DataFrame) -> int:
+    """Number of Python-evaluation operators (BatchEvalPython /
+    ArrowEvalPython / MapInPandas...) — 0 means the plan is fully
+    JVM-side."""
+    return len(
+        re.findall(
+            r"BatchEvalPython|ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas",
+            formatted_plan(df),
+        )
+    )

@@ -1,0 +1,92 @@
+"""Physical-plan assertions: the plans Catalyst produces for our
+queries must be the plans we'd accept on a 1000-executor cluster.
+These fail on plan regressions (lost pushdown, join degeneration to
+cartesian/BNLJ, Python creeping into a JVM hot path) long before a
+benchmark would catch them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dynamic_etl_pipeline_spark.catalog import load_table
+from dynamic_etl_pipeline_spark.plans import (
+    formatted_plan,
+    has_operator,
+    pushed_filters,
+    python_eval_count,
+    read_schema_columns,
+)
+from dynamic_etl_pipeline_spark.queries import QUERIES
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
+    df = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 30)
+        .select("l_orderkey", "l_quantity")
+    )
+    pushed = pushed_filters(df)
+    assert any("l_quantity" in p for p in pushed), pushed
+
+
+def test_column_pruning_reaches_parquet_scan(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    [cols] = read_schema_columns(df)
+    assert set(cols) == {"l_orderkey", "l_quantity"}
+
+
+def test_q1_scan_prunes_to_needed_columns(spark, sf_dir):
+    df = QUERIES["q1_pricing_summary"](spark, sf_dir)
+    scans = read_schema_columns(df)
+    assert scans, "expected a parquet scan"
+    # q1 touches 7 lineitem columns; the 16-column table must not be
+    # read in full
+    assert all(len(c) <= 8 for c in scans), scans
+
+
+def test_star_join_broadcasts_dimensions(spark, sf_dir):
+    df = QUERIES["q5_local_supplier"](spark, sf_dir)
+    assert has_operator(df, "BroadcastHashJoin")
+    assert not has_operator(df, "CartesianProduct")
+
+
+def test_q3_no_cartesian_and_pushdown(spark, sf_dir):
+    df = QUERIES["q3_shipping_priority"](spark, sf_dir)
+    assert not has_operator(df, "CartesianProduct")
+    assert pushed_filters(df)
+
+
+def test_topk_plans_as_take_ordered(spark, sf_dir):
+    df = QUERIES["order_limit_topk"](spark, sf_dir)
+    assert has_operator(df, "TakeOrderedAndProject")
+
+
+def test_regex_extraction_stays_jvm_side(spark, sf_dir):
+    df = QUERIES["extract_patterns_synth"](spark, sf_dir)
+    assert python_eval_count(df) == 0, formatted_plan(df)
+
+
+def test_relational_core_is_python_free(spark, sf_dir):
+    for name in ["q1_pricing_summary", "q5_local_supplier",
+                 "window_topk_per_group", "events_hourly_rollup",
+                 "doc_tf_idf_top", "exact_dedup"]:
+        df = QUERIES[name](spark, sf_dir)
+        assert python_eval_count(df) == 0, name
+
+
+def test_range_join_is_equi_not_nested_loop(spark, sf_dir):
+    df = QUERIES["range_join_clicks_before_purchase"](spark, sf_dir)
+    assert not has_operator(df, "BroadcastNestedLoopJoin")
+    assert not has_operator(df, "CartesianProduct")
+
+
+def test_knn_broadcasts_queries_not_corpus(spark, sf_dir):
+    df = QUERIES["knn_bruteforce"](spark, sf_dir)
+    assert has_operator(df, "BroadcastExchange")
+
+
+def test_lsh_pairs_join_is_equi(spark, sf_dir):
+    df = QUERIES["minhash_near_dups"](spark, sf_dir)
+    assert not has_operator(df, "BroadcastNestedLoopJoin")
+    assert not has_operator(df, "CartesianProduct")
