@@ -36,6 +36,64 @@ HEADLINE = [
 ]
 
 
+def _bench_ingest(spark, sf_dir: str) -> dict[str, float]:
+    """The reference's whole data path (read -> extract -> infer/version
+    -> validate -> store, app.py:296-366) on the documents fixture,
+    staged as a CSV upload (the reference's primary format), measured
+    warm at the fixture batch (5k docs) and at 10x (50k) where fixed
+    per-job overhead amortizes. Reference loop: 918 rec/s (BASELINE §A).
+
+    inferSchema=False = the reference's all-string record model
+    (app.py:255-261) AND the production stance at scale: schemas are
+    declared, not re-inferred per batch.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dynamic_etl_pipeline_spark.pipeline import EtlPipeline
+
+    src = tempfile.mkdtemp(prefix="bench_ingest_src_")
+    out: dict[str, float] = {}
+    try:
+        docs = (
+            spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+            .select(F.col("doc_id"), F.col("text").alias("content"))
+        )
+        docs.coalesce(1).write.mode("overwrite").option("header", True).csv(
+            f"{src}/docs"
+        )
+        big = docs
+        for _ in range(9):
+            big = big.unionByName(docs)
+        big.coalesce(8).write.mode("overwrite").option("header", True).csv(
+            f"{src}/docs10x"
+        )
+
+        # warm the whole path once (codegen, Observation listener,
+        # committer classes) so the measurement is warm like every
+        # other bench entry
+        warm = tempfile.mkdtemp(prefix="bench_ingest_warm_")
+        EtlPipeline(spark, warm).ingest(
+            f"{src}/docs", format="csv", inferSchema=False
+        )
+        shutil.rmtree(warm, ignore_errors=True)
+
+        for label, path in [("ingest_documents_e2e", f"{src}/docs"),
+                            ("ingest_documents_e2e_10x", f"{src}/docs10x")]:
+            store = tempfile.mkdtemp(prefix="bench_ingest_store_")
+            t0 = time.perf_counter()
+            EtlPipeline(spark, store).ingest(
+                path, format="csv", inferSchema=False
+            )
+            out[label] = round(time.perf_counter() - t0, 3)
+            shutil.rmtree(store, ignore_errors=True)
+        return out
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -59,6 +117,8 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+
+    timings.update(_bench_ingest(spark, sf_dir))
 
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
     out = {

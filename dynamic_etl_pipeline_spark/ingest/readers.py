@@ -267,9 +267,12 @@ _READERS: dict[str, Callable[..., DataFrame]] = {
 }
 
 
-def read_any(spark: SparkSession, path: str, **kwargs) -> DataFrame:
-    """Suffix-dispatched facade (reference app.py:298-315)."""
-    suffix = Path(path).suffix.lower()
+def read_any(spark: SparkSession, path: str, format: str | None = None,
+             **kwargs) -> DataFrame:
+    """Suffix-dispatched facade (reference app.py:298-315). ``format``
+    overrides the suffix for extensionless paths (e.g. a directory of
+    part files)."""
+    suffix = f".{format.lstrip('.')}" if format else Path(path).suffix.lower()
     try:
         reader = _READERS[suffix]
     except KeyError as exc:

@@ -64,28 +64,41 @@ class EtlPipeline:
         return df, version, changed
 
     def ingest(self, path: str, **reader_kwargs) -> IngestReport:
-        """Read -> transform -> append to the record store -> report."""
+        """Read -> transform -> append to the record store -> report.
+
+        The quality counts ride along as ``observe`` metrics collected
+        DURING the write — one execution of the pipeline, not a write
+        pass plus a count pass (the reference re-loops too,
+        app.py:353-366).
+        """
+        from pyspark.sql import Observation
+
         df, version, changed = self.transform(
             read_any(self.spark, path, **reader_kwargs)
+        )
+        obs = Observation()
+        df = df.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_records"),
+            F.sum((F.size(F.col(ISSUES_COL)) > 0).cast("long")).alias("n_bad"),
         )
         # Record store is partitioned by schema version: batches with
         # different shapes land in different directories, so reads with
         # mergeSchema reconstruct the drifted union (SURVEY §1.4).
+        # The version is constant per batch by construction, so write
+        # straight into the Hive-style partition dir — same on-disk
+        # layout as partitionBy() without the dynamic-partition commit
+        # machinery (mergeSchema is a read-side option; records() sets it).
         (
-            df.write.mode("append")
-            .option("mergeSchema", "true")
-            .partitionBy("_schema_version")
-            .parquet(self.records_path)
+            df.drop("_schema_version")
+            .write.mode("append")
+            .parquet(f"{self.records_path}/_schema_version={version}")
         )
-        counts = {
-            bool(r["has_issues"]): r["n_records"]
-            for r in quality_summary(df).collect()
-        }
-        n_good = counts.get(False, 0)
-        n_bad = counts.get(True, 0)
+        n_records = obs.get["n_records"]
+        n_bad = obs.get["n_bad"] or 0
         return IngestReport(
-            n_records=n_good + n_bad,
-            n_good=n_good,
+            n_records=n_records,
+            n_good=n_records - n_bad,
             n_with_issues=n_bad,
             schema_version=version,
             schema_changed=changed,

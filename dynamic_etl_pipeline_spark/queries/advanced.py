@@ -166,3 +166,80 @@ def udtf_doc_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT d.doc_id, s.sentence, s.n_words
         FROM docs_udtf d, LATERAL split_sentences(d.text) s
     """)
+
+
+@query("udaf_geo_mean_price", oracle="""
+SELECT l_returnflag,
+       round(exp(avg(ln(l_extendedprice))), 4) AS geo_mean_price,
+       count(*) AS n
+FROM lineitem
+WHERE l_extendedprice > 0
+GROUP BY l_returnflag
+""")
+def udaf_geo_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDAF (SURVEY §2.11): geometric mean per
+    return flag. Arrow-batched per group; the log-domain math makes the
+    result order-insensitive, so it holds an exact oracle."""
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit GROUPED_AGG: `from __future__ import annotations` makes
+    # type hints strings this module can't resolve for inference
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def geo_mean(v):
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    # pandas UDAFs can't share an agg() with built-in aggregates, so the
+    # row count is a (trivial) pandas UDAF as well
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def n_rows(v):
+        return len(v)
+
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_extendedprice") > 0)
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(geo_mean("l_extendedprice"), 4).alias("geo_mean_price"),
+            n_rows("l_extendedprice").alias("n"),
+        )
+    )
+
+
+@query("grouped_map_user_zscores", oracle="""
+WITH stats AS (
+  SELECT event_id, user_id, value,
+         avg(value) OVER (PARTITION BY user_id) AS mu,
+         stddev_samp(value) OVER (PARTITION BY user_id) AS sd,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_id, user_id, round(CAST((value - mu) / sd AS DOUBLE), 4) AS z
+FROM stats WHERE n > 1 AND sd > 0
+""")
+def grouped_map_user_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (SURVEY §2.11): per-user z-score
+    normalization — each user's partition arrives as one pandas frame.
+    Expressible as a window too (that's the oracle); the pattern is the
+    scaffold for per-group logic SQL can't state (model scoring,
+    per-entity fitting)."""
+    import pandas as pd
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pdf.iloc[0:0][["event_id", "user_id"]].assign(z=0.0)
+        mu = pdf["value"].mean()
+        sd = pdf["value"].std(ddof=1)
+        if not sd or sd != sd:
+            return pdf.iloc[0:0][["event_id", "user_id"]].assign(z=0.0)
+        out = pdf[["event_id", "user_id"]].copy()
+        out["z"] = ((pdf["value"] - mu) / sd).round(4)
+        return out
+
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "user_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(zscore, "event_id long, user_id long, z double")
+    )

@@ -59,6 +59,10 @@ class SchemaRegistry:
         self.store = Path(store_dir)
         self.history_path = str(self.store / "schema_history")
         self.changes_path = str(self.store / "schema_changes")
+        # single-writer cache of (version, schema): every mutation goes
+        # through register(), so re-reading the catalog per batch would
+        # only repay a Spark job to learn what this instance just wrote
+        self._latest: tuple[int, T.StructType] | None = None
 
     # -- reads ------------------------------------------------------------
 
@@ -82,20 +86,31 @@ class SchemaRegistry:
     def latest(self) -> tuple[int, T.StructType] | None:
         """Latest version + schema (reference get_latest_schema_version,
         app.py:144-152: ORDER BY version DESC LIMIT 1)."""
+        if self._latest is not None:
+            return self._latest
+        if not Path(self.history_path).exists():
+            return None  # no catalog yet: skip the empty-scan Spark job
         row = (
             self._read(self.history_path, _HISTORY_SCHEMA)
             .orderBy(F.desc("version")).limit(1).collect()
         )
         if not row:
             return None
-        return row[0]["version"], T.StructType.fromJson(json.loads(row[0]["schema_json"]))
+        self._latest = (
+            row[0]["version"],
+            T.StructType.fromJson(json.loads(row[0]["schema_json"])),
+        )
+        return self._latest
 
     # -- writes -----------------------------------------------------------
 
     def _append(self, path: str, rows: list, schema: T.StructType) -> None:
-        self.spark.createDataFrame(rows, schema).coalesce(1).write.mode(
-            "append"
-        ).parquet(path)
+        # one explicit slice: the default createDataFrame splits even a
+        # single row across default-parallelism Python partitions, and a
+        # later coalesce(1) drains all of them through sequential Python
+        # worker round-trips (~5s for a 1-row catalog append)
+        rdd = self.spark.sparkContext.parallelize(rows, 1)
+        self.spark.createDataFrame(rdd, schema).write.mode("append").parquet(path)
 
     def register(self, schema: T.StructType) -> tuple[int, bool]:
         """Register a batch schema; returns (version, changed).
@@ -125,6 +140,7 @@ class SchemaRegistry:
             [(new_version, json.dumps(schema.jsonValue()), _now())],
             _HISTORY_SCHEMA,
         )
+        self._latest = (new_version, schema)
         return new_version, True
 
     def register_df(self, df: DataFrame) -> tuple[int, bool]:
