@@ -106,3 +106,17 @@ def multimodal_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("binary").alias("payload"),
     )
     return media_stats(extract_media_meta(media))
+
+
+@query("ivf_ann_topk")  # rows-only: sampled-centroid quantizer is engine-specific
+def ivf_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors for 5 probe vectors (k-means
+    coarse quantizer + inverted-list equi-join; recall vs exact kNN is
+    property-tested in tests/test_operators.py)."""
+    from ..operators.knn import ivf_ann_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_ann_topk(e, queries, k=10, n_centroids=16, n_probe=4)

@@ -231,3 +231,21 @@ def test_frame_sample_chunks(spark):
     frames = frame_sample(df, every_n_bytes=16).collect()
     assert [r["frame_no"] for r in frames] == [0, 1]
     assert bytes(frames[1]["frame"]) == b"0123"
+
+
+def test_ivf_ann_recall_vs_bruteforce(spark, sf_dir):
+    from dynamic_etl_pipeline_spark.operators.knn import ivf_ann_topk
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(e, queries, k=5)
+    # random embeddings are a worst case for IVF; probing 8/16 lists
+    # must still recover most true neighbors
+    approx = ivf_ann_topk(e, queries, k=5, n_centroids=16, n_probe=8)
+    truth = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    got = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.6, f"IVF recall {recall} too low"
