@@ -250,6 +250,9 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
+    # the Filter between the two projections is a CollapseProject
+    # barrier: `toks` stays materialized, so the element_at accesses in
+    # the gram lambda hit a column attribute, not a re-evaluated split
     base = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 3)
     shingled = base.select(
         "doc_id",
