@@ -1,0 +1,91 @@
+"""Skew-salting result parity + bucketed-join shuffle elimination."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dynamic_etl_pipeline_spark.operators.bucketing import (
+    bucketed_join,
+    write_bucketed,
+)
+from dynamic_etl_pipeline_spark.operators.skew import salted_agg, salted_join
+from dynamic_etl_pipeline_spark.plans.inspect import exchange_count
+
+
+@pytest.fixture(scope="module")
+def skewed_df(spark):
+    """100k rows, 99% on one hot key."""
+    return spark.range(100_000).select(
+        F.when(F.col("id") % 100 < 99, F.lit("hot"))
+        .otherwise(F.concat(F.lit("cold"), (F.col("id") % 7).cast("string")))
+        .alias("k"),
+        (F.col("id") % 1000).cast("double").alias("v"),
+    )
+
+
+def test_salted_agg_matches_plain(spark, skewed_df):
+    plain = {
+        r["k"]: (r["n"], r["s"])
+        for r in skewed_df.groupBy("k")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    salted = {
+        r["k"]: (r["n"], r["sum_v"])
+        for r in salted_agg(skewed_df, ["k"], sums=["v"]).collect()
+    }
+    assert set(plain) == set(salted)
+    for k in plain:
+        assert plain[k][0] == salted[k][0]
+        assert abs(plain[k][1] - salted[k][1]) < 1e-6
+
+
+def test_salted_join_matches_plain(spark, skewed_df):
+    dim = spark.createDataFrame(
+        [("hot", 1.0)] + [(f"cold{i}", float(i)) for i in range(7)],
+        ["k", "w"],
+    )
+    plain = skewed_df.join(dim, "k").agg(
+        F.count("*").alias("n"), F.sum(F.col("v") * F.col("w")).alias("s")
+    ).collect()[0]
+    salted = salted_join(skewed_df, dim, "k", salt_buckets=4).agg(
+        F.count("*").alias("n"), F.sum(F.col("v") * F.col("w")).alias("s")
+    ).collect()[0]
+    assert plain["n"] == salted["n"]
+    assert abs(plain["s"] - salted["s"]) < 1e-3
+
+
+def test_salted_join_left_outer_keeps_unmatched(spark):
+    left = spark.createDataFrame([("a", 1), ("b", 2)], ["k", "v"])
+    right = spark.createDataFrame([("a", 10.0)], ["k", "w"])
+    rows = {r["k"]: r["w"] for r in salted_join(left, right, "k", how="left").collect()}
+    assert rows == {"a": 10.0, "b": None}
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("bucket_wh"))
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bucketdb LOCATION '{wh}'")
+    try:
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        write_bucketed(
+            orders.select("o_orderkey", "o_totalprice"),
+            "bucketdb.b_orders", ["o_orderkey"], buckets=8,
+        )
+        write_bucketed(
+            lineitem.select("l_orderkey", "l_quantity")
+            .withColumnRenamed("l_orderkey", "o_orderkey"),
+            "bucketdb.b_lineitem", ["o_orderkey"], buckets=8,
+        )
+        joined = bucketed_join(
+            spark, "bucketdb.b_orders", "bucketdb.b_lineitem", ["o_orderkey"]
+        )
+        assert exchange_count(joined) == 0, "bucketed join must not shuffle"
+        # and it's still correct
+        expected = lineitem.join(
+            orders, lineitem.l_orderkey == orders.o_orderkey
+        ).count()
+        assert joined.count() == expected
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bucketdb CASCADE")
