@@ -189,3 +189,23 @@ def explode_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
         .select("doc_id", F.col("pos").cast("int").alias("pos"), "tok")
     )
+
+
+@query("map_funcs", oracle="""
+SELECT event_id,
+       list_sort(json_keys(props)) AS prop_keys,
+       CAST(len(json_keys(props)) AS INT) AS n_props,
+       CAST(props->>'$.k' AS INT) AS k_val
+FROM events
+""")
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column battery (SURVEY §2.8 map lib): JSON -> map,
+    map_keys / size / element_at, deterministic via sorted key arrays."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return ev.select(
+        "event_id",
+        F.array_sort(F.map_keys(m)).alias("prop_keys"),
+        F.size(m).alias("n_props"),
+        F.element_at(m, "k").alias("k_val"),
+    )

@@ -157,3 +157,50 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@query("window_range_frame", oracle="""
+SELECT event_id, user_id, ts,
+       count(*) OVER w AS n_last_hour,
+       CAST(sum(CAST(value AS DECIMAL(27,4))) OVER w AS DOUBLE) AS sum_last_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+""")
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-valued RANGE frame: per-user trailing-hour count/sum at each
+    event. rangeBetween over the ORDER BY value (not row offsets) — the
+    frame Spark evaluates with one per-key sort, no self-join."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("timestamp").cast("long"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", "ts",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.sum(F.col("value").cast("decimal(27,4)")).over(w)
+        .cast("double").alias("sum_last_hour"),
+    )
+
+
+@query("window_percent_rank_cume", oracle="""
+SELECT o_orderkey, o_orderpriority,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       ntile(10) OVER w AS decile
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+""")
+def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-ranking battery: percent_rank / cume_dist / ntile
+    per priority class."""
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey", "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(10).over(w).alias("decile"),
+    )

@@ -36,10 +36,27 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def _sort_key(v) -> str:
+    """Stable, dtype-insensitive representation used only for row
+    ordering (arrays are unhashable and numpy reprs differ from Python
+    ones; actual comparison still happens on the raw values)."""
+    import numpy as np
+
+    if isinstance(v, np.generic):
+        v = v.item()
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(_sort_key(x) for x in list(v)) + "]"
+    if isinstance(v, float):
+        return repr(v)
+    return repr(v)
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     if len(df):
-        df = df.sort_values(by=list(df.columns), ignore_index=True)
+        keys = pd.DataFrame({c: df[c].map(_sort_key) for c in df.columns})
+        order = keys.sort_values(by=list(keys.columns)).index
+        df = df.loc[order]
     return df.reset_index(drop=True)
 
 
