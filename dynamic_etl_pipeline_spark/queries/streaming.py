@@ -117,3 +117,52 @@ def streaming_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame
         user_running_totals(stream_events(spark, sf_dir)),
         output_mode="update",
     )
+
+
+@query("streaming_stream_stream_join", oracle="""
+SELECT p.event_id AS purchase_id, c.event_id AS click_id
+FROM events p
+JOIN events c
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL '1 hour'
+ AND c.ts < p.ts
+WHERE p.event_type = 'purchase'
+""")
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the same
+    user's clicks in the preceding hour, both sides watermarked so join
+    state is evicted once event time passes the interval bound. Inner
+    matches emit eagerly, so the availableNow drain equals the batch
+    join exactly (the oracle)."""
+    from pyspark.sql import functions as F
+
+    clicks = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr("""
+            c_user = p_user
+            AND c_ts >= p_ts - INTERVAL 1 HOUR
+            AND c_ts < p_ts
+        """),
+    ).select("purchase_id", "click_id")
+    return run_available_now_to_memory(joined, output_mode="append")
