@@ -19,27 +19,40 @@ from pyspark.sql import DataFrame, SparkSession
 
 def run_available_now_to_memory(stream_df: DataFrame,
                                 output_mode: str = "complete",
-                                timeout_s: int = 300) -> DataFrame:
+                                timeout_s: int = 300,
+                                state_partitions: int | None = 8) -> DataFrame:
     """Process everything currently available, stop, return results.
 
     complete mode re-emits the full aggregate result on the final
     trigger, which is what makes streaming output comparable 1:1 with
     the batch twin (append would hold back windows newer than the
     watermark at end-of-stream).
+
+    ``state_partitions`` temporarily lowers shuffle partitions for the
+    run: every stateful operator opens one state store per shuffle
+    partition, and at verification scale 32 stores are pure overhead
+    (a real deployment sizes this to key cardinality and keeps it fixed
+    for the checkpoint's lifetime).
     """
     spark = stream_df.sparkSession
     name = f"vr_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        q.awaitTermination(timeout_s)
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(timeout_s)
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
