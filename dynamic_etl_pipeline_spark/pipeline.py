@@ -104,10 +104,52 @@ class EtlPipeline:
             schema_changed=changed,
         )
 
-    def records(self, latest_n: int | None = None) -> DataFrame:
+    def records(self, latest_n: int | None = None,
+                version: int | None = None) -> DataFrame:
         """Browse stored records (reference get_records app.py:169-173;
-        ORDER BY ingest time DESC LIMIT n plans as TakeOrderedAndProject)."""
+        ORDER BY ingest time DESC LIMIT n plans as TakeOrderedAndProject).
+
+        ``version`` filters on the partition column, so the scan prunes
+        to one schema-version directory instead of listing the store.
+        """
         df = self.spark.read.option("mergeSchema", "true").parquet(self.records_path)
+        if version is not None:
+            df = df.filter(F.col("_schema_version") == version)
         if latest_n is not None:
             df = df.orderBy(F.desc("_ingested_at")).limit(latest_n)
         return df
+
+    def compact(self, target_file_bytes: int = 128 * 1024 * 1024) -> int:
+        """Compact each schema-version partition's micro-batch files.
+
+        Continuous appends leave one small file per batch per partition —
+        the classic small-file problem that throttles scan parallelism at
+        scale (every file is a task + a footer read). Rewrites each
+        partition into ceil(bytes/target) files and swaps atomically via
+        rename. Returns the number of partitions compacted.
+        """
+        import math
+        import shutil
+
+        store = Path(self.records_path)
+        if not store.exists():
+            return 0
+        compacted = 0
+        for part_dir in sorted(store.glob("_schema_version=*")):
+            files = [f for f in part_dir.glob("*.parquet")]
+            if len(files) <= 1:
+                continue
+            total = sum(f.stat().st_size for f in files)
+            n_out = max(1, math.ceil(total / target_file_bytes))
+            tmp = part_dir.with_name(part_dir.name + ".compacting")
+            (
+                self.spark.read.parquet(str(part_dir))
+                .repartition(n_out)
+                .write.mode("overwrite").parquet(str(tmp))
+            )
+            old = part_dir.with_name(part_dir.name + ".old")
+            part_dir.rename(old)
+            tmp.rename(part_dir)
+            shutil.rmtree(old)
+            compacted += 1
+        return compacted

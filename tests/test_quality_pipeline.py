@@ -84,3 +84,27 @@ def test_pipeline_browse_latest(spark, tmp_path, fixtures_dir):
     pipe.ingest(str(fixtures_dir / "notes.txt"))
     latest = pipe.records(latest_n=3)
     assert latest.count() == 3
+
+
+def test_records_version_pruning_and_compaction(spark, tmp_path, fixtures_dir):
+    """Multiple appends leave one file per batch; compact() rewrites each
+    version partition into one file with identical content, and
+    records(version=) prunes to the partition."""
+    from pathlib import Path
+
+    from dynamic_etl_pipeline_spark.pipeline import EtlPipeline
+
+    p = EtlPipeline(spark, str(tmp_path / "store"))
+    csv = str(fixtures_dir / "customers.csv")
+    for _ in range(3):
+        p.ingest(csv)
+
+    before = p.records().count()
+    part = Path(p.records_path) / "_schema_version=1"
+    assert len(list(part.glob("*.parquet"))) >= 3
+
+    assert p.compact() == 1
+    assert len(list(part.glob("*.parquet"))) == 1
+    assert p.records().count() == before
+    assert p.records(version=1).count() == before
+    assert p.records(version=99).count() == 0
