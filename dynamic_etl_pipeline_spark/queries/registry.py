@@ -30,6 +30,8 @@ def query(name: str, oracle: str | None = None):
     """Register a query callable and (optionally) its DuckDB oracle SQL."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name!r}")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

@@ -249,3 +249,39 @@ def test_ivf_ann_recall_vs_bruteforce(spark, sf_dir):
     got = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
     recall = len(truth & got) / len(truth)
     assert recall >= 0.6, f"IVF recall {recall} too low"
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Property check: asof_join == pandas merge_asof (backward) on
+    randomized keyed time series."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    left_pd = pd.DataFrame({
+        "k": rng.integers(0, 5, 200),
+        "ts": pd.to_datetime(rng.integers(0, 10_000, 200), unit="s"),
+    }).sort_values("ts", ignore_index=True)
+    right_pd = pd.DataFrame({
+        "k": rng.integers(0, 5, 80),
+        "ts": pd.to_datetime(rng.integers(0, 10_000, 80), unit="s"),
+        "v": rng.normal(size=80).round(3),
+    }).sort_values("ts", ignore_index=True)
+    # merge_asof requires unique-enough ordering; drop exact dup (k, ts)
+    right_pd = right_pd.drop_duplicates(["k", "ts"], keep="last")
+
+    expected = pd.merge_asof(
+        left_pd, right_pd, on="ts", by="k", direction="backward"
+    )
+
+    left = spark.createDataFrame(left_pd)
+    right = spark.createDataFrame(right_pd)
+    got = (
+        asof_join(left, right, on="k")
+        .toPandas()
+        .sort_values(["ts", "k"], ignore_index=True)
+    )
+    exp = expected.sort_values(["ts", "k"], ignore_index=True)
+    assert len(got) == len(exp)
+    for g, e in zip(got["v_asof"].tolist(), exp["v"].tolist()):
+        assert (pd.isna(g) and pd.isna(e)) or g == e
