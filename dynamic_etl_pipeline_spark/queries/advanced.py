@@ -243,3 +243,52 @@ def grouped_map_user_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .applyInPandas(zscore, "event_id long, user_id long, z double")
     )
+
+
+@query("agg_stats_battery", oracle="""
+SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 6) AS sd_qty,
+       round(var_samp(l_quantity), 6) AS var_qty,
+       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       round(covar_pop(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+       round(skewness(l_quantity), 4) AS skew_qty,
+       round(kurtosis(l_quantity), 4) AS kurt_qty
+FROM lineitem
+GROUP BY l_returnflag
+""")
+def agg_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate battery: stddev/variance/corr/covar/
+    skewness/kurtosis per return flag (single-pass moment aggregates;
+    partial+final merge like any hash agg). Higher moments round to 4:
+    the engines use different numerically-stable one-pass updates and
+    agree only to ~1e-6."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+        F.round(F.skewness("l_quantity"), 4).alias("skew_qty"),
+        F.round(F.kurtosis("l_quantity"), 4).alias("kurt_qty"),
+    )
+
+
+@query("agg_argmax", oracle="""
+SELECT o_orderpriority,
+       arg_max(o_orderkey, o_totalprice) AS biggest_order,
+       round(max(o_totalprice), 2) AS biggest_price,
+       arg_min(o_orderkey, o_totalprice) AS smallest_order,
+       mode(o_orderstatus) AS common_status
+FROM orders
+GROUP BY o_orderpriority
+""")
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / min_by / mode: the keep-the-row-that-wins aggregates
+    (one hash agg, no window + filter detour)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+        F.round(F.max("o_totalprice"), 2).alias("biggest_price"),
+        F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+        F.mode("o_orderstatus").alias("common_status"),
+    )
