@@ -7,7 +7,7 @@ and multimodal metadata extraction (rows-only — Python decode stage).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -120,3 +120,62 @@ def ivf_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivf_ann_topk(e, queries, k=10, n_centroids=16, n_probe=4)
+
+
+@query("corpus_curation_e2e", oracle="""
+WITH deduped AS (
+  SELECT doc_id, text, lang, n_chars,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents
+), kept AS (
+  SELECT doc_id, text, lang, n_chars,
+         string_split_regex(text, '\\s+') AS toks
+  FROM deduped
+  WHERE rn = 1 AND n_chars BETWEEN 50 AND 5000
+), scored AS (
+  SELECT doc_id, lang, n_chars, len(toks) AS n_tokens,
+         CAST(len(list_filter(toks, w -> w IN ('the','a','and','of','to','in','is')))
+              AS DOUBLE) / len(toks) AS stop_ratio
+  FROM kept
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(stop_ratio), 6) AS avg_stop_ratio,
+       CAST(min(n_chars) AS INT) AS min_chars,
+       CAST(max(n_chars) AS INT) AS max_chars
+FROM scored
+WHERE stop_ratio >= 0.05
+GROUP BY lang
+""")
+def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-corpus curation pipeline as ONE composed plan: exact
+    dedup (content-hash keep-first) -> length gate -> stopword-ratio
+    quality filter -> per-language corpus stats. Every stage is a
+    shuffle-parallel relational op; nothing leaves the JVM."""
+    stop = ["the", "a", "and", "of", "to", "in", "is"]
+    d = load_table(spark, sf_dir, "documents")
+    w = F.row_number().over(
+        Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    )
+    deduped = d.withColumn("rn", w).filter(F.col("rn") == 1)
+    kept = deduped.filter(F.col("n_chars").between(50, 5000)).withColumn(
+        "toks", F.split("text", r"\s+")
+    )
+    scored = kept.select(
+        "doc_id", "lang", "n_chars",
+        F.size("toks").alias("n_tokens"),
+        (F.size(F.filter(F.col("toks"), lambda t: t.isin(*stop))).cast("double")
+         / F.size("toks")).alias("stop_ratio"),
+    )
+    return (
+        scored.filter(F.col("stop_ratio") >= 0.05)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.round(F.avg("stop_ratio"), 6).alias("avg_stop_ratio"),
+            F.min("n_chars").cast("int").alias("min_chars"),
+            F.max("n_chars").cast("int").alias("max_chars"),
+        )
+    )
