@@ -109,3 +109,57 @@ def media_stats(meta: DataFrame) -> DataFrame:
         F.avg(F.col("width") * F.col("height")).alias("avg_pixels"),
         F.sum("n_bytes").cast("bigint").alias("total_bytes"),
     )
+
+
+def resize_media(df: DataFrame, width: int, height: int,
+                 id_col: str = "media_id",
+                 payload_col: str = "payload") -> DataFrame:
+    """Resize plumbing: rewrite each payload to the target dimensions
+    (real resamplers slot into the pure-Python body; the fake format
+    just rewrites its header). Output schema == input schema, so resize
+    composes with decode/frame-sample in either order."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, raw in zip(pdf[id_col], pdf[payload_col]):
+                kind, _w, _h = _decode_one(bytes(raw))
+                body = bytes(raw).split(b"|", 3)[3]
+                rows.append((mid, fake_payload(kind, width, height, body)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return df.select(id_col, payload_col).mapInPandas(resize, MEDIA_SCHEMA)
+
+
+FEATURE_DIM = 16
+
+_FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("feature", T.ArrayType(T.FloatType())),
+])
+
+
+def extract_features(df: DataFrame, id_col: str = "media_id",
+                     payload_col: str = "payload") -> DataFrame:
+    """Feature-extraction plumbing: payload -> fixed-dim float vector
+    (deterministic content-hash fake standing in for a vision/audio
+    encoder; batch shape and schema are what a real model UDF uses —
+    the output feeds operators/knn.py unchanged)."""
+    import hashlib
+
+    import numpy as np
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, raw in zip(pdf[id_col], pdf[payload_col]):
+                digest = hashlib.sha256(bytes(raw)).digest()
+                vec = (
+                    np.frombuffer(digest[:FEATURE_DIM * 2], dtype=np.uint16)
+                    .astype(np.float32)
+                )
+                vec = (vec / 65535.0).round(6)
+                rows.append((mid, vec.tolist()))
+            yield pd.DataFrame(rows, columns=["media_id", "feature"])
+
+    return df.select(id_col, payload_col).mapInPandas(featurize, _FEATURE_SCHEMA)

@@ -285,3 +285,28 @@ def test_asof_join_matches_pandas_merge_asof(spark):
     assert len(got) == len(exp)
     for g, e in zip(got["v_asof"].tolist(), exp["v"].tolist()):
         assert (pd.isna(g) and pd.isna(e)) or g == e
+
+
+def test_media_resize_and_features(spark):
+    from dynamic_etl_pipeline_spark.operators.multimodal import (
+        FEATURE_DIM,
+        extract_features,
+        extract_media_meta,
+        resize_media,
+    )
+
+    df = spark.createDataFrame(
+        [(1, fake_payload("image", 640, 480, b"abc")),
+         (2, fake_payload("image", 100, 100, b"xyz"))],
+        ["media_id", "payload"],
+    )
+    resized = resize_media(df, 32, 32)
+    meta = {r["media_id"]: r for r in extract_media_meta(resized).collect()}
+    assert meta[1]["width"] == 32 and meta[2]["height"] == 32
+
+    feats = {r["media_id"]: r["feature"] for r in extract_features(df).collect()}
+    assert len(feats[1]) == FEATURE_DIM
+    assert feats[1] != feats[2]          # content-sensitive
+    again = {r["media_id"]: r["feature"]
+             for r in extract_features(df).collect()}
+    assert feats == again                # deterministic
