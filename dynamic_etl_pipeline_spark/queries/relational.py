@@ -548,3 +548,54 @@ def pivot_status_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("o_orderstatus", ["F", "O", "P"])
         .agg(dsum("o_totalprice"))
     )
+
+
+@query("set_intersect_all", oracle="""
+SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity > 25
+INTERSECT ALL
+SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_extendedprice > 10000
+""")
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset intersection (duplicates preserved by min-multiplicity),
+    on sides where (orderkey, suppkey) repeats."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") > 25).select("l_orderkey", "l_suppkey")
+    b = li.filter(F.col("l_extendedprice") > 10000).select("l_orderkey", "l_suppkey")
+    return a.intersectAll(b)
+
+
+@query("set_except_all", oracle="""
+SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity > 25
+EXCEPT ALL
+SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_extendedprice > 10000
+""")
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset difference (multiplicity-aware EXCEPT ALL)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") > 25).select("l_orderkey", "l_suppkey")
+    b = li.filter(F.col("l_extendedprice") > 10000).select("l_orderkey", "l_suppkey")
+    return a.exceptAll(b)
+
+
+@query("filter_null_safe_eq", oracle="""
+SELECT a.event_id AS left_id, b.event_id AS right_id
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.value IS NOT DISTINCT FROM b.value
+ AND a.event_id < b.event_id
+WHERE a.user_id < 10
+""")
+def filter_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality (<=> / IS NOT DISTINCT FROM): NULL values
+    match each other in the join key, unlike plain `=`."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    a = ev.select(F.col("event_id").alias("left_id"),
+                  F.col("user_id").alias("u"), F.col("value").alias("va"))
+    b = ev.select(F.col("event_id").alias("right_id"),
+                  F.col("user_id").alias("u2"), F.col("value").alias("vb"))
+    return (
+        a.join(b, (F.col("u") == F.col("u2"))
+               & F.col("va").eqNullSafe(F.col("vb"))
+               & (F.col("left_id") < F.col("right_id")))
+        .select("left_id", "right_id")
+    )
