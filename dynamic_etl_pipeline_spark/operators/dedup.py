@@ -7,19 +7,19 @@ DataFrame primitives — explode / hash / groupBy / self-join on band
 keys — so each stage is one shuffle, partition-parallel, and survives a
 100 TB corpus:
 
-- signatures: explode shingles -> one 32-bit base hash per shingle ->
-  k permutation-mins as k aggregate expressions in ONE grouped agg
-  (not k passes);
+- signatures: ZERO shuffle — JVM tokenize + polynomial shingle hashes
+  (zip_with folds, no per-gram strings), then all permutation minima in
+  one Arrow-batched numpy kernel per partition;
 - candidate generation: self-join on (band_id, band_hash) — an
   equi-join on a uniform high-cardinality key, never an O(n^2) cross
   join;
 - verification: candidates only, by signature agreement (and optionally
   exact n-gram Jaccard via queries/text.py's inverted-index join).
 
-Hash choice: Spark's built-in xxhash64/hash (JVM, codegen). These are
-engine-specific, so LSH results are checked by *property* (recall vs
-the exact Jaccard baseline) rather than by DuckDB value-hash — the
-driver records rows-only for these by design.
+Hash choice: Spark's built-in murmur/xxhash64 (JVM, codegen) as the
+base. Hashes are engine-specific, so LSH results are checked by
+*property* (recall vs the exact Jaccard baseline) rather than by DuckDB
+value-hash — the driver records rows-only for these by design.
 """
 
 from __future__ import annotations
@@ -131,7 +131,8 @@ def _sig_udf(num_perm: int, seed: int):
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        num_perm: int = 64, shingle_n: int = 3,
-                       seed: int = 42) -> DataFrame:
+                       seed: int = 42,
+                       udf_partitions: int | None = None) -> DataFrame:
     """(id, sig: array<bigint>[num_perm]) — ZERO-shuffle map-side
     signatures: JVM-side shingle hashing feeds an Arrow-batched numpy
     kernel that takes all permutation minima per batch. (An explode +
@@ -144,6 +145,14 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     dropped, matching grouped-agg semantics.
     """
     sig = _sig_udf(num_perm, seed)
+    if udf_partitions is not None:
+        # Arrow-batch efficiency knob: per-partition Python-worker
+        # round-trips dominate when partitions are tiny (a small file
+        # split across defaultParallelism). repartition (not coalesce):
+        # the shuffle decouples scan parallelism from UDF batch sizing —
+        # measured 2x faster than either alternative at fixture scale.
+        # At corpus scale leave None — partitions are already data-sized.
+        df = df.repartition(udf_partitions)
     return (
         df.select(
             F.col(id_col),
@@ -156,7 +165,8 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       num_perm: int = 64, bands: int = 16,
                       shingle_n: int = 3, threshold: float = 0.5,
-                      seed: int = 42) -> DataFrame:
+                      seed: int = 42,
+                      udf_partitions: int | None = None) -> DataFrame:
     """Near-dup pairs (id_a, id_b, est_jaccard) via banded MinHash-LSH.
 
     bands=16 over 64 perms -> rows-per-band r=4; the LSH S-curve puts
@@ -170,7 +180,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     # both sides, and without this the whole shingle+UDF pipeline runs
     # twice (at cluster scale: persist signatures, join the stored table).
     sigs = minhash_signatures(
-        df, id_col, text_col, num_perm, shingle_n, seed
+        df, id_col, text_col, num_perm, shingle_n, seed, udf_partitions
     ).localCheckpoint(eager=True)
 
     band_entries = sigs.select(
@@ -240,11 +250,14 @@ def simhash64(col: Column | str) -> Column:
 
 
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
-                  max_hamming: int = 3) -> DataFrame:
+                  max_hamming: int = 3,
+                  udf_partitions: int | None = None) -> DataFrame:
     """Candidate pairs within a Hamming radius via the pigeonhole band
     trick: a pair within distance k<=3 must agree exactly on at least
     one of 4 16-bit chunks, so candidates come from an equi-join on
     (chunk_id, chunk_value) and are verified with bit_count(xor)."""
+    if udf_partitions is not None:
+        df = df.repartition(udf_partitions)  # see minhash_signatures
     fp = df.select(
         F.col(id_col).alias("_id"), simhash64(text_col).alias("fp")
     ).localCheckpoint(eager=True)  # fingerprint once, not once per join side
