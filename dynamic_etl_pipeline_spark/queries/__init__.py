@@ -5,6 +5,7 @@ from .registry import ORACLES, QUERIES, query  # noqa: F401
 
 # Importing registers the @query-decorated callables.
 from . import relational  # noqa: E402,F401
+from . import tpch  # noqa: E402,F401
 from . import windows  # noqa: E402,F401
 from . import events  # noqa: E402,F401
 from . import scalars  # noqa: E402,F401

@@ -90,3 +90,38 @@ def test_lsh_pairs_join_is_equi(spark, sf_dir):
     df = QUERIES["minhash_near_dups"](spark, sf_dir)
     assert not has_operator(df, "BroadcastNestedLoopJoin")
     assert not has_operator(df, "CartesianProduct")
+
+
+def test_q21_exists_joins_stay_equi(spark, sf_dir):
+    # EXISTS / NOT EXISTS with inequality residuals must still plan as
+    # hash/sort-merge semi+anti joins on the orderkey equi component —
+    # degeneration to BNLJ would be O(n^2) per order at scale.
+    df = QUERIES["q21_waiting_suppliers"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+    assert not has_operator(df, "BroadcastNestedLoopJoin")
+    assert not has_operator(df, "CartesianProduct")
+
+
+def test_q19_disjunction_is_broadcast_equi_join(spark, sf_dir):
+    df = QUERIES["q19_bracket_revenue"](spark, sf_dir)
+    assert has_operator(df, "BroadcastHashJoin")
+    assert not has_operator(df, "BroadcastNestedLoopJoin")
+
+
+def test_q4_semi_join_pushes_order_window(spark, sf_dir):
+    # the orderdate window predicate must reach the orders parquet scan,
+    # not sit above the semi join
+    df = QUERIES["q4_order_priority"](spark, sf_dir)
+    pushed = pushed_filters(df)
+    assert any("o_orderdate" in p for p in pushed), pushed
+
+
+def test_tpch_battery_is_python_free(spark, sf_dir):
+    for name in ["q4_order_priority", "q7_volume_shipping", "q8_market_share",
+                 "q9_product_profit", "q10_returned_items",
+                 "q13_customer_distribution", "q15_top_supplier",
+                 "q17_small_quantity_revenue", "q18_large_volume_customer",
+                 "q21_waiting_suppliers", "q22_dormant_customers"]:
+        df = QUERIES[name](spark, sf_dir)
+        assert python_eval_count(df) == 0, name
