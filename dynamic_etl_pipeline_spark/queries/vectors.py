@@ -111,6 +111,43 @@ def similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("embedding_near_dup_dedup", oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+dups AS (
+  SELECT DISTINCT b.vec_id AS dup_id
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        >= 0.3
+)
+SELECT vec_id, label FROM embeddings
+WHERE vec_id NOT IN (SELECT dup_id FROM dups)
+""")
+def embedding_near_dup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup (north-star §2.12): drop every
+    vector whose cosine with ANY lower-id vector clears the threshold;
+    survivors are the greedy keep-first representatives.
+
+    The exact pairwise step is the quadratic baseline; at corpus scale
+    the candidate pairs come from operators/knn.py's LSH buckets (same
+    anti-join tail, equi-join candidate generation). The anti join on
+    the distinct dup-id set is a shuffle-hash join on a key set no
+    larger than the input."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    dups = (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= 0.3)
+        .select(F.col("vec_b").alias("dup_id"))
+        .distinct()
+    )
+    return (
+        e.join(dups, F.col("vec_id") == F.col("dup_id"), "left_anti")
+        .select("vec_id", "label")
+    )
+
+
 @query("label_knn_purity", oracle="""
 WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
            WHERE vec_id < 50),
