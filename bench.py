@@ -33,6 +33,7 @@ HEADLINE = [
     "knn_bruteforce",           # broadcast cosine top-k
     "minhash_near_dups",        # MinHash-LSH (rows-only family)
     "asof_join_events",         # custom as-of join operator
+    "doc_chunk_windows",        # context-window chunking (training-data path)
 ]
 
 

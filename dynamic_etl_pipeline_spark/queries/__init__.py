@@ -15,3 +15,4 @@ from . import etl  # noqa: E402,F401
 from . import northstar  # noqa: E402,F401
 from . import streaming  # noqa: E402,F401
 from . import advanced  # noqa: E402,F401
+from . import training  # noqa: E402,F401

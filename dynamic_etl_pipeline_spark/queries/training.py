@@ -1,0 +1,182 @@
+"""Training-data preparation operators (north-star tier, SURVEY §2.12
+extension): the dataset-assembly steps an LLM pipeline runs between raw
+documents and a training corpus — stable splits, context-window
+chunking, PII redaction, cohort/retention analytics.
+
+All four are pure JVM column expressions (zero Python in the hot path)
+and every one has an exact DuckDB oracle: determinism is the point —
+a train/test split or a redaction pass must produce the identical
+corpus on every engine, cluster size, and rerun.
+
+Scale notes:
+- the md5 split is embarrassingly parallel (no shuffle at all: one
+  projection over the scan) and stable under repartitioning — the
+  assignment is a pure function of content, never of row order;
+- chunking is explode-shaped: output ~ (tokens/stride) rows per doc,
+  partition-local, no shuffle until a downstream op asks for one;
+- redaction is a regexp_replace chain in whole-stage codegen.
+
+The reference has none of these (its whole text surface is four
+regex extractions, app.py:227-246); the split/chunk/redact trio is the
+BASELINE.json north-star "training-data pipeline" surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.extract import DATE_RE, EMAIL_RE, PHONE_RE
+from .registry import query
+
+# 16 md5 buckets -> 13/1/2 train/val/test. The last hex digit of the
+# content hash is uniform and engine-portable (md5 is md5 everywhere).
+_BUCKET = "instr('0123456789abcdef', substr(md5(text), 32, 1)) - 1"
+
+
+@query("doc_stable_split", oracle=f"""
+SELECT doc_id,
+       CAST({_BUCKET} AS INT) AS bucket,
+       CASE WHEN {_BUCKET} < 13 THEN 'train'
+            WHEN {_BUCKET} = 13 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""")
+def doc_stable_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 13/1/2-of-16 train/val/test split keyed on the md5
+    of the content itself: duplicate texts always land in the same
+    split (no train/test leakage through near-copies of an exact dup),
+    and the assignment survives re-ingestion, re-partitioning, and
+    engine changes. One narrow projection — no shuffle, no state."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_BUCKET)
+    return d.select(
+        "doc_id",
+        bucket.cast("int").alias("bucket"),
+        F.when(bucket < 13, "train")
+        .when(bucket == 13, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@query("doc_chunk_windows", oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), s AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, len(toks), 30)) AS start
+  FROM t
+)
+SELECT doc_id,
+       CAST((start - 1) // 30 AS INT) AS chunk_id,
+       array_to_string(toks[start:start + 39], ' ') AS chunk_text,
+       CAST(len(toks[start:start + 39]) AS INT) AS n_tokens
+FROM s
+""")
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 40-token windows at stride 30 (10-token
+    overlap so no training example loses cross-boundary context). The
+    stepped sequence + explode is partition-local (output rows stay on
+    their input partition); slice/array_join are codegen'd JVM
+    higher-order ops, so a 100 TB corpus chunks in one map stage."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("toks"))
+    return (
+        toks.select(
+            "doc_id", "toks",
+            F.explode(F.expr("sequence(1, size(toks), 30)")).alias("start"),
+        )
+        .select(
+            "doc_id",
+            F.expr("CAST((start - 1) DIV 30 AS INT)").alias("chunk_id"),
+            F.array_join(F.expr("slice(toks, start, 40)"), " ").alias("chunk_text"),
+            F.size(F.expr("slice(toks, start, 40)")).cast("int").alias("n_tokens"),
+        )
+    )
+
+
+@query("doc_pii_redact", oracle=f"""
+WITH corpus AS (
+  SELECT doc_id,
+         text || ' reach user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example on 3/14/2024 or (555) 867-5309' AS body
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(body, '{EMAIL_RE}', '[EMAIL]', 'g'),
+           '{PHONE_RE}', '[PHONE]', 'g'),
+         '{DATE_RE}', '[DATE]', 'g') AS redacted,
+       CAST(length(body)
+            - length(regexp_replace(body, '{EMAIL_RE}', '', 'g')) AS INT)
+         AS email_chars_removed
+FROM corpus
+""")
+def doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction with the reference's own extraction patterns
+    (app.py:236-240) inverted into replacements: emails, then phones,
+    then dates collapse to typed placeholder tokens. The corpus is
+    synthesized with guaranteed hits (fixture text is clean word soup)
+    so both engines redact the identical string. Order matters and is
+    fixed: the email pattern would otherwise leave digits for the
+    phone pass to mangle."""
+    d = load_table(spark, sf_dir, "documents")
+    body = F.concat(
+        F.col("text"),
+        F.lit(" reach user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example on 3/14/2024 or (555) 867-5309"),
+    )
+    corpus = d.select("doc_id", body.alias("body"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("body"), EMAIL_RE, "[EMAIL]"),
+            PHONE_RE, "[PHONE]",
+        ),
+        DATE_RE, "[DATE]",
+    )
+    return corpus.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        (
+            F.length("body")
+            - F.length(F.regexp_replace(F.col("body"), EMAIL_RE, ""))
+        ).cast("int").alias("email_chars_removed"),
+    )
+
+
+@query("events_weekly_retention", oracle="""
+WITH firstw AS (
+  SELECT user_id, min(CAST(date_trunc('week', ts) AS TIMESTAMP)) AS cohort_week
+  FROM events GROUP BY user_id
+), act AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS active_week
+  FROM events
+)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, active_week) // 7 AS INT)
+         AS week_offset,
+       count(*) AS n_users
+FROM firstw JOIN act USING (user_id)
+GROUP BY cohort_week, week_offset
+""")
+def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort retention: users bucketed by first-seen week,
+    counted in each subsequent active week. Two aggregations and one
+    join, all shuffling on user_id — AQE reuses the exchange between
+    the min-week and distinct-week frames."""
+    ev = load_table(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts"))
+    firstw = ev.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    act = ev.select("user_id", week.alias("active_week")).distinct()
+    return (
+        firstw.join(act, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.expr("CAST(datediff(active_week, cohort_week) DIV 7 AS INT)")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
