@@ -23,7 +23,7 @@ BASELINE.json north-star "training-data pipeline" surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -144,6 +144,86 @@ def doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("body")
             - F.length(F.regexp_replace(F.col("body"), EMAIL_RE, ""))
         ).cast("int").alias("email_chars_removed"),
+    )
+
+
+_KEEP16 = """CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 16
+     WHEN source IN ('src5','src6','src7','src8','src9') THEN 8
+     ELSE 4 END"""
+_COPIES = "CASE WHEN source = 'src0' THEN 2 ELSE 1 END"
+
+
+@query("corpus_mixture_weighted", oracle=f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         instr('0123456789abcdef', substr(md5(text), 32, 1)) - 1 AS bucket,
+         {_KEEP16} AS keep16,
+         {_COPIES} AS copies
+  FROM documents
+)
+SELECT doc_id, source,
+       CAST(unnest(generate_series(1, copies)) AS INT) AS copy_id
+FROM scored
+WHERE bucket < keep16
+""")
+def corpus_mixture_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset mixing for corpus assembly: per-source sampling rates
+    (keep 16/16, 8/16, or 4/16 of content-hash buckets) plus 2x
+    upsampling of the highest-quality source, in one pass. Both the
+    keep/drop decision and the copy fan-out are pure functions of
+    content + source — rerunning on any partitioning of a 100 TB corpus
+    yields the identical mixture, and the explode adds rows without a
+    shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "source",
+        F.expr(_BUCKET).alias("bucket"),
+        F.expr(_KEEP16).alias("keep16"),
+        F.expr(_COPIES).alias("copies"),
+    )
+    return (
+        scored.filter(F.col("bucket") < F.col("keep16"))
+        .select(
+            "doc_id", "source",
+            # sequence(1, int) yields array<int>, matching the oracle's
+            # generate_series cast — explode can't nest inside a cast
+            F.explode(F.expr("sequence(1, copies)")).alias("copy_id"),
+        )
+    )
+
+
+@query("corpus_shuffle_shards", oracle="""
+WITH h AS (
+  SELECT doc_id,
+         md5(text) AS hex,
+         instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1 AS shard
+  FROM documents
+)
+SELECT doc_id, CAST(shard AS INT) AS shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY hex, doc_id) AS INT)
+         AS pos
+FROM h
+""")
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + sharding (the step before writing
+    training shards): shard = first content-hash nibble, position =
+    rank by full hash within the shard. One shuffle on the shard key;
+    the within-shard sort is partition-local. Decoupled from
+    doc_stable_split's bucket (last nibble) so split and shard are
+    independent. At 100 TB, write-out becomes
+    ``partitionBy(shard) + sortWithinPartitions(hex)`` — same plan, no
+    global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("hex"),
+        (F.expr("instr('0123456789abcdef', substr(md5(text), 1, 1))") - 1)
+        .cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("hex", "doc_id")
+    return h.select(
+        "doc_id", "shard",
+        F.row_number().over(w).cast("int").alias("pos"),
     )
 
 

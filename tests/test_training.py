@@ -1,0 +1,102 @@
+"""Property tests for the training-data prep operators
+(queries/training.py) — the invariants that make them safe to run on a
+real corpus, beyond the oracle's value parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dynamic_etl_pipeline_spark.catalog import load_table
+from dynamic_etl_pipeline_spark.queries import QUERIES
+
+
+def test_split_is_total_and_content_stable(spark, sf_dir):
+    split = QUERIES["doc_stable_split"](spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    # total: every doc assigned exactly once
+    assert split.count() == docs.count()
+    assert split.select("doc_id").distinct().count() == docs.count()
+    # stable: re-evaluating under a different partitioning agrees
+    again = (
+        QUERIES["doc_stable_split"](spark, sf_dir).repartition(13)
+        .withColumnRenamed("split", "split2").select("doc_id", "split2")
+    )
+    joined = split.join(again, "doc_id")
+    assert joined.filter(F.col("split") != F.col("split2")).count() == 0
+    # all three splits nonempty at fixture scale
+    got = {r["split"] for r in split.select("split").distinct().collect()}
+    assert got == {"train", "val", "test"}
+
+
+def test_chunks_cover_every_token_in_order(spark, sf_dir):
+    chunks = QUERIES["doc_chunk_windows"](spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    # stride 30 / window 40: dropping the 10-token overlap from every
+    # chunk after the first must reconstruct the document exactly
+    rebuilt = (
+        chunks.withColumn(
+            "body",
+            F.when(F.col("chunk_id") == 0, F.split("chunk_text", " ")).otherwise(
+                F.expr("slice(split(chunk_text, ' '), 11, 30)")
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_id", "body"))),
+                    lambda s: s["body"],
+                )
+            ).alias("rebuilt")
+        )
+    )
+    mismatch = (
+        docs.join(rebuilt, "doc_id")
+        .filter(F.col("rebuilt") != F.split("text", " "))
+        .count()
+    )
+    assert mismatch == 0
+
+
+def test_mixture_respects_rates_and_copies(spark, sf_dir):
+    mix = QUERIES["corpus_mixture_weighted"](spark, sf_dir).cache()
+    # src0 rows come in pairs (2x upsample), all others single
+    per_copy = mix.groupBy("doc_id", "source").agg(F.count("*").alias("n"))
+    assert per_copy.filter(
+        (F.col("source") == "src0") & (F.col("n") != 2)
+    ).count() == 0
+    assert per_copy.filter(
+        (F.col("source") != "src0") & (F.col("n") != 1)
+    ).count() == 0
+    # downsampled sources keep roughly their configured fraction
+    docs = load_table(spark, sf_dir, "documents")
+    kept = dict(
+        per_copy.groupBy("source").count().collect()
+    )
+    totals = dict(docs.groupBy("source").count().collect())
+    lowband = [s for s in totals if s not in
+               {"src0", "src1", "src2", "src3", "src4",
+                "src5", "src6", "src7", "src8", "src9"}]
+    kept_low = sum(kept.get(s, 0) for s in lowband)
+    total_low = sum(totals[s] for s in lowband)
+    assert 0.1 < kept_low / total_low < 0.45  # target 4/16 = 0.25
+    mix.unpersist()
+
+
+def test_shards_are_dense_rankings(spark, sf_dir):
+    shards = QUERIES["corpus_shuffle_shards"](spark, sf_dir).cache()
+    docs = load_table(spark, sf_dir, "documents")
+    assert shards.count() == docs.count()
+    # positions within each shard are exactly 1..n (dense, no gaps)
+    bad = (
+        shards.groupBy("shard")
+        .agg(F.count("*").alias("n"), F.max("pos").alias("mx"),
+             F.min("pos").alias("mn"),
+             F.countDistinct("pos").alias("nd"))
+        .filter(~((F.col("mx") == F.col("n")) & (F.col("mn") == 1)
+                  & (F.col("nd") == F.col("n"))))
+        .count()
+    )
+    assert bad == 0
+    shards.unpersist()
