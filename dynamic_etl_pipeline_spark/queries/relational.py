@@ -550,6 +550,34 @@ def pivot_status_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("unpivot_flag_measures", oracle="""
+SELECT * FROM (
+  UNPIVOT (
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(27,4))) AS DOUBLE) AS sum_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(27,4))) AS DOUBLE) AS sum_disc
+    FROM lineitem GROUP BY l_returnflag
+  ) ON sum_qty, sum_price, sum_disc INTO NAME metric VALUE value
+)
+""")
+def unpivot_flag_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) — the inverse of pivot: three per-flag aggregate
+    columns rotate into (metric, value) rows. Native DataFrame.unpivot
+    plans as a single Expand node over the aggregate — no join, no
+    shuffle beyond the aggregation's own."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_price"),
+        dsum("l_discount").alias("sum_disc"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"],
+        "metric", "value",
+    )
+
+
 @query("set_intersect_all", oracle="""
 SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity > 25
 INTERSECT ALL
