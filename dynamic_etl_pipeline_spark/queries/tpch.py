@@ -418,6 +418,38 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q16: supplier diversity per part bucket — NOT IN subquery via spark.sql
+# --------------------------------------------------------------------------
+
+_Q16_SQL = """
+SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_size IN (1, 10, 20, 30, 40)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 500)
+GROUP BY p_brand, p_size
+"""
+
+
+@query("q16_supplier_diversity", oracle=_Q16_SQL)
+def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct suppliers per (brand, size) bucket excluding a
+    blocklist — run through the engine's SQL facade (``spark.sql`` over
+    registered fixture views; the one battery entry exercising that
+    entry path end to end, same ANSI text on both engines).
+
+    The NOT IN subquery is the null-aware anti-join shape: Spark plans
+    a broadcast null-aware anti join (the blocklist is a bounded dim),
+    which degrades to correct-but-broadcast-only — exactly why NOT IN
+    on an unbounded, nullable key should be rewritten to NOT EXISTS
+    (q21/q22's left-anti) at 100 TB. Keeping one of each shape in the
+    battery documents the trade."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q16_SQL)
+
+
+# --------------------------------------------------------------------------
 # q17: small-quantity revenue — correlated per-part AVG subquery
 # --------------------------------------------------------------------------
 
