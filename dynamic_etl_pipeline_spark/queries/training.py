@@ -227,6 +227,36 @@ def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("doc_stratified_sample")  # rows-only: seeded per-partition RNG
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling (``sampleBy``): per-language keep fractions
+    — the API-level counterpart of corpus_mixture_weighted's content-
+    hash mixing. Seeded Bernoulli per stratum, map-only (no shuffle);
+    engine-specific RNG, so checked by per-stratum rate + determinism
+    properties in tests/test_sampling.py rather than a DuckDB oracle.
+    For reproducibility contracts prefer the content-hash mixture:
+    sample membership here changes if the input partitioning does."""
+    d = load_table(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "es": 0.25, "fr": 0.25, "de": 0.25, "zh": 0.25}
+    return d.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")
+
+
+@query("word_freq_items_approx")  # rows-only: sketch contents are engine-specific
+def word_freq_items_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate frequent items (``df.stat.freqItems``, the
+    Karp-Papadimitriou-Shenker one-pass sketch) over the exploded token
+    stream — the heavy-hitters member of the sketch family (HLL =
+    agg_approx_distinct, KLL-ish quantiles = agg_approx_quantile).
+    Guarantee: a superset of all items above the support threshold,
+    found in one pass with O(1/support) state per partition — at 100 TB
+    this replaces the exact explode+groupBy when only the head of the
+    distribution matters. Superset property is pinned in
+    tests/test_sampling.py against the exact counts."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split("text", " ")).alias("word"))
+    return words.stat.freqItems(["word"], support=0.01)
+
+
 @query("events_weekly_retention", oracle="""
 WITH firstw AS (
   SELECT user_id, min(CAST(date_trunc('week', ts) AS TIMESTAMP)) AS cohort_week
