@@ -119,6 +119,89 @@ class EtlPipeline:
             df = df.orderBy(F.desc("_ingested_at")).limit(latest_n)
         return df
 
+    def export_sqlite(self, db_path: str, batch_size: int = 10_000) -> int:
+        """Export the record store + schema catalog into the reference's
+        SQLite artifact shape (``etl_data.db``: ``records`` app.py:68-74,
+        ``schema_history`` app.py:76-81, ``schema_changes`` app.py:83-91)
+        so downstream consumers of the reference's DB file keep working.
+
+        Interop utility for SMALL extracts, by design driver-side: rows
+        stream through ``toLocalIterator`` in one transaction per batch
+        (vs the reference's connection-per-record, app.py:135). This is
+        deliberately NOT a data path — at corpus scale the store stays
+        parquet and queries run in place; exporting 100 TB through one
+        SQLite file is a category error, so no distributed writer is
+        provided. Returns the number of record rows exported.
+        """
+        import json
+        import sqlite3
+
+        from .quality import INGESTED_COL, VERSION_COL
+
+        recs = self.records()
+        meta = {VERSION_COL, INGESTED_COL, ISSUES_COL}
+        data_cols = [c for c in recs.columns if c not in meta]
+        payload = recs.select(
+            F.to_json(F.struct(*data_cols)).alias("data"),
+            F.col(VERSION_COL).cast("int").alias("schema_version"),
+            F.date_format(INGESTED_COL, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+            .alias("ingested_at"),
+            F.to_json(F.col(ISSUES_COL)).alias("quality_issues"),
+        )
+        con = sqlite3.connect(db_path)
+        try:
+            con.executescript("""
+                CREATE TABLE IF NOT EXISTS records (
+                    id INTEGER PRIMARY KEY AUTOINCREMENT,
+                    data TEXT, schema_version INTEGER,
+                    ingested_at TEXT, quality_issues TEXT);
+                CREATE TABLE IF NOT EXISTS schema_history (
+                    id INTEGER PRIMARY KEY AUTOINCREMENT,
+                    version INTEGER, schema TEXT, created_at TEXT);
+                CREATE TABLE IF NOT EXISTS schema_changes (
+                    id INTEGER PRIMARY KEY AUTOINCREMENT,
+                    old_version INTEGER, new_version INTEGER,
+                    added_fields TEXT, removed_fields TEXT, created_at TEXT);
+            """)
+            n = 0
+            batch: list[tuple] = []
+            for row in payload.toLocalIterator():
+                batch.append(tuple(row))
+                if len(batch) >= batch_size:
+                    con.executemany(
+                        "INSERT INTO records "
+                        "(data, schema_version, ingested_at, quality_issues) "
+                        "VALUES (?,?,?,?)", batch)
+                    n += len(batch)
+                    batch = []
+            if batch:
+                con.executemany(
+                    "INSERT INTO records "
+                    "(data, schema_version, ingested_at, quality_issues) "
+                    "VALUES (?,?,?,?)", batch)
+                n += len(batch)
+            # catalog tables are metadata-small: collect() is correct here
+            for r in self.registry.history().orderBy("version").collect():
+                con.execute(
+                    "INSERT INTO schema_history (version, schema, created_at) "
+                    "VALUES (?,?,?)",
+                    (r["version"], r["schema_json"],
+                     r["created_at"].isoformat()),
+                )
+            for r in self.registry.changes().orderBy("new_version").collect():
+                con.execute(
+                    "INSERT INTO schema_changes (old_version, new_version, "
+                    "added_fields, removed_fields, created_at) VALUES (?,?,?,?,?)",
+                    (r["old_version"], r["new_version"],
+                     json.dumps(list(r["added_fields"])),
+                     json.dumps(list(r["removed_fields"])),
+                     r["created_at"].isoformat()),
+                )
+            con.commit()
+        finally:
+            con.close()
+        return n
+
     def compact(self, target_file_bytes: int = 128 * 1024 * 1024) -> int:
         """Compact each schema-version partition's micro-batch files.
 

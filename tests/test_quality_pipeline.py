@@ -108,3 +108,41 @@ def test_records_version_pruning_and_compaction(spark, tmp_path, fixtures_dir):
     assert p.records().count() == before
     assert p.records(version=1).count() == before
     assert p.records(version=99).count() == 0
+
+
+def test_export_sqlite_reference_artifact_shape(spark, tmp_path, fixtures_dir):
+    import json
+    import sqlite3
+
+    pipe = EtlPipeline(spark, str(tmp_path / "store"))
+    pipe.ingest(str(fixtures_dir / "notes.txt"))
+    pipe.ingest(str(fixtures_dir / "customers.csv"))
+
+    db = str(tmp_path / "etl_data.db")
+    n = pipe.export_sqlite(db)
+    assert n == pipe.records().count()
+
+    con = sqlite3.connect(db)
+    try:
+        tables = {r[0] for r in con.execute(
+            "SELECT name FROM sqlite_master WHERE type='table'")}
+        assert {"records", "schema_history", "schema_changes"} <= tables
+        # records hold the reference's JSON-blob form (app.py:364)
+        data, version, ingested, issues = con.execute(
+            "SELECT data, schema_version, ingested_at, quality_issues "
+            "FROM records LIMIT 1").fetchone()
+        assert isinstance(json.loads(data), dict)
+        assert version >= 1
+        assert "T" in ingested  # ISO-8601 like utcnow().isoformat()
+        assert isinstance(json.loads(issues), list)
+        # two ingests with different shapes -> v1, v2 + one change row
+        versions = [r[0] for r in con.execute(
+            "SELECT version FROM schema_history ORDER BY version")]
+        assert versions == [1, 2]
+        old_v, new_v, added = con.execute(
+            "SELECT old_version, new_version, added_fields "
+            "FROM schema_changes").fetchone()
+        assert (old_v, new_v) == (1, 2)
+        assert isinstance(json.loads(added), list)
+    finally:
+        con.close()
