@@ -207,3 +207,42 @@ def events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("last_seen"),
         )
     )
+
+
+@query("events_funnel_conversion", oracle="""
+WITH f AS (
+  SELECT user_id,
+         min(ts) FILTER (event_type = 'view') AS t_view,
+         min(ts) FILTER (event_type = 'click') AS t_click,
+         min(ts) FILTER (event_type = 'purchase') AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT CAST(count(*) FILTER (t_view IS NOT NULL) AS BIGINT) AS n_viewed,
+       CAST(count(*) FILTER (t_view < t_click) AS BIGINT) AS n_clicked_after_view,
+       CAST(count(*) FILTER (t_view < t_click AND t_click < t_purchase)
+            AS BIGINT) AS n_full_funnel
+FROM f
+""")
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view -> click -> purchase funnel: first-touch time per
+    stage in one conditional-MIN aggregate over user_id, then one
+    global roll-up of the ordering predicates. Two shuffles total
+    (user_id, then the single-row combine) — no self-joins, no
+    per-stage passes, which is what keeps a funnel cheap over an
+    unbounded event log. Null first-touch times make the strict
+    inequalities false, so users who skipped a stage drop out of later
+    counts without explicit IS NOT NULL guards."""
+    ev = load_table(spark, sf_dir, "events")
+    first = lambda t: F.min(  # noqa: E731
+        F.when(F.col("event_type") == t, F.col("ts"))
+    ).alias(f"t_{t}")
+    cnt_if = lambda c: F.sum(c.cast("long")).alias  # noqa: E731
+    f = ev.groupBy("user_id").agg(
+        first("view"), first("click"), first("purchase")
+    )
+    return f.agg(
+        cnt_if(F.col("t_view").isNotNull())("n_viewed"),
+        cnt_if(F.col("t_view") < F.col("t_click"))("n_clicked_after_view"),
+        cnt_if((F.col("t_view") < F.col("t_click"))
+               & (F.col("t_click") < F.col("t_purchase")))("n_full_funnel"),
+    )

@@ -308,6 +308,46 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q11: above-average suppliers — HAVING vs a scalar aggregate-of-aggregate
+# --------------------------------------------------------------------------
+
+@query("q11_concentrated_suppliers", oracle="""
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6)))
+              AS DOUBLE) AS supp_revenue
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT l_suppkey, supp_revenue
+FROM rev
+WHERE supp_revenue > (SELECT CAST(sum(CAST(supp_revenue AS DECIMAL(27,6)))
+                                  AS DOUBLE) / count(*) * 1.02
+                      FROM rev)
+""")
+def q11_concentrated_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers whose revenue exceeds 102% of the mean — the TPC-H q11
+    shape (HAVING compared against an aggregate OF the aggregate)
+    without partsupp. The revenue frame is computed once and reused on
+    both sides of the comparison: Catalyst can't share it across the
+    scalar subquery boundary automatically in the DataFrame form, so
+    the aggregate-of-aggregate broadcasts as a one-row frame over the
+    100-row (bounded: one row per supplier) revenue set."""
+    li, = load_tables(spark, sf_dir, "lineitem")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(dsum(_revenue(), 6).alias("supp_revenue"))
+    )
+    cutoff = rev.agg(
+        (dsum("supp_revenue", 6) / F.count("*") * F.lit(1.02)).alias("cut")
+    )
+    return (
+        rev.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("supp_revenue") > F.col("cut"))
+        .select("l_suppkey", "supp_revenue")
+    )
+
+
+# --------------------------------------------------------------------------
 # q13: customer order-count distribution — outer join preserving zeros
 # --------------------------------------------------------------------------
 
