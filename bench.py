@@ -34,6 +34,7 @@ HEADLINE = [
     "minhash_near_dups",        # MinHash-LSH (rows-only family)
     "asof_join_events",         # custom as-of join operator
     "doc_chunk_windows",        # context-window chunking (training-data path)
+    "q21_waiting_suppliers",    # semi+anti self-join battery (TPC-H q21 style)
 ]
 
 
