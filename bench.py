@@ -110,6 +110,13 @@ def main() -> None:
     QUERIES["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    # Also warm the Python/Arrow worker pool (forked lazily on first UDF
+    # use): steady-state throughput is the metric, not fork latency.
+    from pyspark.sql import functions as F
+
+    spark.range(64).repartition(32).select(
+        F.pandas_udf(lambda s: s, "long")("id")
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
