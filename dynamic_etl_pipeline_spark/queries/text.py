@@ -270,6 +270,11 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("shingle"),
     )
+    # Three consumers (both join sides + counts) would each recompute
+    # the shingle explode; materialize it once (measured 1.5x at sf0.1).
+    # At cluster scale: persist the shingled frame (or reuse the stored
+    # signature table) instead of an executor-local checkpoint.
+    shingled = shingled.localCheckpoint(eager=True)
     counts = shingled.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = shingled.alias("a")
     b = shingled.alias("b")
