@@ -16,3 +16,4 @@ from . import northstar  # noqa: E402,F401
 from . import streaming  # noqa: E402,F401
 from . import advanced  # noqa: E402,F401
 from . import training  # noqa: E402,F401
+from . import analytics  # noqa: E402,F401

@@ -1,0 +1,477 @@
+"""Applied-analytics battery: the composite shapes a production team
+builds on top of the relational core — market-basket co-occurrence,
+RFM customer segmentation, behavioral transition matrices, BM25 keyword
+search, dataset profiling, latency histograms, blocked entity
+resolution, and statistical outlier detection.
+
+The reference (app.py) has none of this — its analytics surface is a
+record count and a preview table (SURVEY.md §2.4, app.py:353-370); all
+queries here are tier-[D] per the driver contract. Each is exact-oracle
+(DuckDB twin) and shuffle-budgeted for the 100 TB stance:
+
+- self-joins (basket pairs, blocked ER) are equi-joins on a blocking
+  key, never cross joins — pair blowup is bounded by block size;
+- windowed segmentations (RFM, transitions) shuffle once on their
+  partition key;
+- profiling / histograms are single-pass grouped aggregations with
+  map-side partial combine.
+
+Float parity follows _helpers.dsum/davg (exact decimal accumulation,
+see that module's docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ._helpers import dsum
+from .registry import query
+
+
+# --------------------------------------------------------------------------
+# Market-basket co-occurrence: part pairs bought in the same order
+# --------------------------------------------------------------------------
+
+@query("basket_part_pairs", oracle="""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       count(*) AS n_orders
+FROM op a JOIN op b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT 20
+""")
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top co-purchased part pairs. The self-join is equi on orderkey
+    (one shuffle, both sides identically partitioned so AQE can plan a
+    single exchange reused by both inputs); the `<` residual halves the
+    pair space. Pair count per order is bounded by lines-per-order
+    (~7), so output stays linear in |lineitem| at any scale."""
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = op.alias("a")
+    b = op.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# RFM segmentation: quartile tiles of recency / frequency / monetary
+# --------------------------------------------------------------------------
+
+@query("rfm_segments", oracle="""
+WITH rfm AS (
+  SELECT o_custkey,
+         datediff('day', max(o_orderdate),
+                  (SELECT max(o_orderdate) FROM orders)) AS recency_days,
+         count(*) AS frequency,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey
+), tiled AS (
+  SELECT ntile(4) OVER (ORDER BY recency_days, o_custkey) AS r_tile,
+         ntile(4) OVER (ORDER BY frequency, o_custkey) AS f_tile,
+         ntile(4) OVER (ORDER BY monetary, o_custkey) AS m_tile,
+         monetary
+  FROM rfm
+)
+SELECT r_tile, f_tile, m_tile, count(*) AS n_customers,
+       CAST(sum(CAST(monetary AS DECIMAL(27,4))) AS DOUBLE) / count(*)
+         AS avg_monetary
+FROM tiled GROUP BY 1, 2, 3
+""")
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic RFM: per-customer recency/frequency/monetary, quartiled
+    with ntile(4) (custkey tie-break makes the total order — and hence
+    the tiles — deterministic on both engines), then segment counts.
+
+    Scale note: the three ntiles are global sorts of the *customer
+    aggregate* (|customers| rows, not |orders|), which is the standard
+    RFM shape; at extreme cardinality swap ntile for percentile-bucket
+    joins. The max-date scalar subquery broadcasts a one-row frame."""
+    o = load_table(spark, sf_dir, "orders")
+    max_date = o.agg(F.max("o_orderdate").alias("_global_max"))
+    rfm = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("_last"),
+            F.count("*").alias("frequency"),
+            dsum("o_totalprice").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(max_date))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("_global_max"), F.col("_last")).alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    tiled = rfm.select(
+        F.ntile(4).over(Window.orderBy("recency_days", "o_custkey")).alias("r_tile"),
+        F.ntile(4).over(Window.orderBy("frequency", "o_custkey")).alias("f_tile"),
+        F.ntile(4).over(Window.orderBy("monetary", "o_custkey")).alias("m_tile"),
+        "monetary",
+    )
+    return (
+        tiled.groupBy("r_tile", "f_tile", "m_tile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            (dsum("monetary") / F.count("*")).alias("avg_monetary"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Behavioral transition matrix: event-type bigrams per user
+# --------------------------------------------------------------------------
+
+@query("events_transition_matrix", oracle="""
+WITH seq AS (
+  SELECT event_type AS next_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, next_type, count(*) AS n_transitions
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+""")
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts between consecutive event
+    types per user (event_id breaks ts ties deterministically). One
+    shuffle on user_id for the lag window; the bigram aggregate is
+    25 keys, collapsed map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            F.col("event_type").alias("next_type"),
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").alias("n_transitions"))
+    )
+
+
+# --------------------------------------------------------------------------
+# BM25 keyword search over documents
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ("data", "model", "system")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@query("bm25_keyword_search", oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), doclen AS (
+  SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+), stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(CAST(dl AS DECIMAL(27,4))) AS DOUBLE) / count(*) AS avgdl
+  FROM doclen
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN {_BM25_TERMS!r} GROUP BY 1, 2
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id,
+         ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * (tf.tf * ({_BM25_K1} + 1))
+           / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+              + {_BM25_B} * doclen.dl / stats.avgdl)) AS term_score
+  FROM tf
+  JOIN df USING (term)
+  JOIN doclen USING (doc_id)
+  CROSS JOIN stats
+)
+SELECT doc_id,
+       round(CAST(sum(CAST(term_score AS DECIMAL(27,8))) AS DOUBLE), 4)
+         AS bm25
+FROM scored GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id LIMIT 20
+""")
+def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking for a fixed term set (k1=1.2, b=0.75). All counts
+    (tf, df, doclen, N) are exact integers; the per-term score is a
+    deterministic scalar expression and per-doc summation accumulates
+    in decimal, so the rounded score is engine-portable.
+
+    Scale shape: tokenize once (explode), filter to query terms BEFORE
+    the tf aggregate (the scan-side IN-filter is the inverted-index
+    moral equivalent), broadcast the tiny df and one-row corpus-stats
+    frames. Nothing here exceeds one shuffle on doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    doclen = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = doclen.agg(
+        F.count("*").alias("n_docs"),
+        (dsum("dl") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    term_score = (
+        F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        )
+        * (F.col("tf") * (_BM25_K1 + 1))
+        / (
+            F.col("tf")
+            + _BM25_K1
+            * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    ).alias("term_score")
+    return (
+        tf.join(F.broadcast(df), "term")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", term_score)
+        .groupBy("doc_id")
+        .agg(F.round(dsum("term_score", 8), 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Dataset profiling: per-column null / distinct / range summary
+# --------------------------------------------------------------------------
+
+@query("profile_orders", oracle="""
+SELECT 'o_custkey' AS col_name, count(*) AS n_rows,
+       count(*) - count(o_custkey) AS n_nulls,
+       count(DISTINCT o_custkey) AS n_distinct,
+       CAST(min(o_custkey) AS DOUBLE) AS min_num,
+       CAST(max(o_custkey) AS DOUBLE) AS max_num,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+       count(DISTINCT o_totalprice),
+       round(min(o_totalprice), 4), round(max(o_totalprice), 4),
+       NULL, NULL
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+       count(DISTINCT o_orderstatus), NULL, NULL,
+       min(o_orderstatus), max(o_orderstatus)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+       count(DISTINCT o_orderpriority), NULL, NULL,
+       min(o_orderpriority), max(o_orderpriority)
+FROM orders
+""")
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level profile of orders (rows / nulls / distinct / range)
+    — the engine-side analogue of the reference's quality counters
+    (app.py:353-366), generalized to per-column statistics.
+
+    All four profiles compute in ONE pass over the table (a single
+    aggregate node emitting every stat, then a tiny literal unpivot),
+    not four scans; at 100 TB this is the difference between one read
+    and four."""
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.count("*").alias("n_rows"),
+        F.count("o_custkey").alias("nn_custkey"),
+        F.countDistinct("o_custkey").alias("nd_custkey"),
+        F.min("o_custkey").cast("double").alias("min_custkey"),
+        F.max("o_custkey").cast("double").alias("max_custkey"),
+        F.count("o_totalprice").alias("nn_totalprice"),
+        F.countDistinct("o_totalprice").alias("nd_totalprice"),
+        F.round(F.min("o_totalprice"), 4).alias("min_totalprice"),
+        F.round(F.max("o_totalprice"), 4).alias("max_totalprice"),
+        F.count("o_orderstatus").alias("nn_status"),
+        F.countDistinct("o_orderstatus").alias("nd_status"),
+        F.min("o_orderstatus").alias("mins_status"),
+        F.max("o_orderstatus").alias("maxs_status"),
+        F.count("o_orderpriority").alias("nn_prio"),
+        F.countDistinct("o_orderpriority").alias("nd_prio"),
+        F.min("o_orderpriority").alias("mins_prio"),
+        F.max("o_orderpriority").alias("maxs_prio"),
+    )
+    null_s = F.lit(None).cast("string")
+    null_d = F.lit(None).cast("double")
+
+    def row(name, nn, nd, mn, mx, mns, mxs):
+        return F.struct(
+            F.lit(name).alias("col_name"),
+            F.col("n_rows").alias("n_rows"),
+            (F.col("n_rows") - F.col(nn)).alias("n_nulls"),
+            F.col(nd).alias("n_distinct"),
+            (F.col(mn) if mn else null_d).alias("min_num"),
+            (F.col(mx) if mx else null_d).alias("max_num"),
+            (F.col(mns) if mns else null_s).alias("min_str"),
+            (F.col(mxs) if mxs else null_s).alias("max_str"),
+        )
+
+    rows = F.array(
+        row("o_custkey", "nn_custkey", "nd_custkey",
+            "min_custkey", "max_custkey", None, None),
+        row("o_totalprice", "nn_totalprice", "nd_totalprice",
+            "min_totalprice", "max_totalprice", None, None),
+        row("o_orderstatus", "nn_status", "nd_status",
+            None, None, "mins_status", "maxs_status"),
+        row("o_orderpriority", "nn_prio", "nd_prio",
+            None, None, "mins_prio", "maxs_prio"),
+    )
+    return agg.select(F.explode(rows).alias("p")).select("p.*")
+
+
+# --------------------------------------------------------------------------
+# Order-to-ship latency histogram (weekly buckets)
+# --------------------------------------------------------------------------
+
+@query("order_ship_latency", oracle="""
+SELECT CAST(floor(datediff('day', o_orderdate, l_shipdate) / 7.0) AS INT)
+         AS latency_week,
+       count(*) AS n_lines,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+""")
+def order_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of order-to-ship latency in whole weeks, with the
+    revenue carried at each latency. Equi-join on orderkey (the fact-
+    to-fact shuffle both tables are naturally keyed by); the histogram
+    key is tiny so aggregation collapses map-side."""
+    li, o = (load_table(spark, sf_dir, t) for t in ("lineitem", "orders"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.floor(
+                F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) / 7.0
+            ).cast("int").alias("latency_week")
+        )
+        .agg(
+            F.count("*").alias("n_lines"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
+            .alias("revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Blocked entity resolution: near-identical part names via levenshtein
+# --------------------------------------------------------------------------
+
+@query("part_name_blocked_pairs", oracle="""
+WITH p AS (
+  SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS block
+  FROM part
+)
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       levenshtein(a.p_name, b.p_name) AS dist
+FROM p a JOIN p b ON a.block = b.block AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+  AND a.p_name <> b.p_name
+ORDER BY dist, key_a, key_b
+LIMIT 50
+""")
+def part_name_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution candidate pairs: block on the first name token,
+    then edit-distance<=3 within blocks. The blocking key turns an
+    O(n^2) all-pairs comparison into an equi-join whose cost is the sum
+    of squared block sizes — the standard ER scale pattern (same shape
+    as the LSH band join in operators/dedup.py, with levenshtein as the
+    verifier instead of Jaccard)."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .select(
+            "p_partkey", "p_name",
+            F.split("p_name", " ").getItem(0).alias("block"),
+        )
+    )
+    a, b = p.alias("a"), p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .filter((dist <= 3) & (F.col("a.p_name") != F.col("b.p_name")))
+        .select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            dist.alias("dist"),
+        )
+        .orderBy("dist", "key_a", "key_b")
+        .limit(50)
+    )
+
+
+# --------------------------------------------------------------------------
+# Statistical outliers: per-type z-score on event values
+# --------------------------------------------------------------------------
+
+@query("events_value_outliers", oracle="""
+WITH stats AS (
+  SELECT event_type,
+         CAST(sum(CAST(value AS DECIMAL(27,8))) AS DOUBLE) / count(value)
+           AS mu,
+         CAST(sum(CAST(value * value AS DECIMAL(27,8))) AS DOUBLE)
+           / count(value) AS m2
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, e.event_id,
+       round(e.value, 4) AS value,
+       round((e.value - s.mu) / sqrt(s.m2 - s.mu * s.mu), 4) AS zscore
+FROM events e JOIN stats s ON e.event_type = s.event_type
+WHERE abs((e.value - s.mu) / sqrt(s.m2 - s.mu * s.mu)) > 2.5
+ORDER BY e.event_id
+""")
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value is >2.5 population standard deviations from
+    their type's mean. Moments (mean, E[x^2]) accumulate in decimal so
+    mu/sigma are bit-identical across engines; the z expression is then
+    a deterministic scalar. Two passes: a 5-row stats frame (broadcast)
+    joined back to the stream — the textbook large-scale outlier shape
+    (never a window over the full table for a global stat)."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        (dsum("value", 8) / F.count("value")).alias("mu"),
+        (dsum(F.col("value") * F.col("value"), 8) / F.count("value")).alias("m2"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.sqrt(
+        F.col("m2") - F.col("mu") * F.col("mu")
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 2.5)
+        .select(
+            "event_type",
+            "event_id",
+            F.round("value", 4).alias("value"),
+            F.round(z, 4).alias("zscore"),
+        )
+        .orderBy("event_id")
+    )

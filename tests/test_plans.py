@@ -125,3 +125,31 @@ def test_tpch_battery_is_python_free(spark, sf_dir):
                  "q21_waiting_suppliers", "q22_dormant_customers"]:
         df = QUERIES[name](spark, sf_dir)
         assert python_eval_count(df) == 0, name
+
+
+def test_analytics_self_joins_stay_equi(spark, sf_dir):
+    # basket pairs and blocked ER are the two self-join shapes whose
+    # whole scale story is "equi-join on the blocking key, never a
+    # cross join" — pin that plan shape.
+    for name in ["basket_part_pairs", "part_name_blocked_pairs"]:
+        df = QUERIES[name](spark, sf_dir)
+        assert not has_operator(df, "BroadcastNestedLoopJoin"), name
+        assert not has_operator(df, "CartesianProduct"), name
+
+
+def test_outlier_stats_frame_broadcasts(spark, sf_dir):
+    # the 5-row per-type moments frame must broadcast back onto the
+    # event stream (a shuffle join here would re-shuffle the full fact
+    # table for a 5-row build side).
+    df = QUERIES["events_value_outliers"](spark, sf_dir)
+    assert has_operator(df, "BroadcastHashJoin")
+
+
+def test_profile_is_single_scan(spark, sf_dir):
+    # the 4-column profile must be ONE aggregate pass over orders, not
+    # a union of four scans.
+    plan = formatted_plan(QUERIES["profile_orders"](spark, sf_dir))
+    # each physical scan contributes exactly one Location: line in the
+    # formatted detail section (the operator name itself appears twice:
+    # tree + detail)
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
