@@ -290,3 +290,127 @@ def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_users"))
     )
+
+
+# --------------------------------------------------------------------------
+# Train/test decontamination: n-gram containment across the stable split
+# --------------------------------------------------------------------------
+
+@query("corpus_decontaminate", oracle=f"""
+WITH b AS (
+  SELECT doc_id, CAST({_BUCKET} AS INT) AS bucket,
+         string_split(text, ' ') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, bucket, array_to_string(toks[s:s+4], ' ') AS shingle
+  FROM (SELECT doc_id, bucket, toks,
+               unnest(generate_series(1, len(toks) - 4, 1)) AS s
+        FROM b)
+), train_sh AS (
+  SELECT DISTINCT shingle FROM sh WHERE bucket < 13
+), test_sh AS (
+  SELECT DISTINCT doc_id, shingle FROM sh WHERE bucket >= 14
+)
+SELECT test_sh.doc_id, count(*) AS n_shared_shingles
+FROM test_sh JOIN train_sh USING (shingle)
+GROUP BY test_sh.doc_id
+""")
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination pass: test-split documents that share
+    any 5-gram with the train split, scored by how many distinct
+    5-grams leak. The shingle frame is computed ONCE from the split
+    assignment (both sides of the containment join are filters over
+    it), the train side is deduped to distinct shingles before the
+    join, and the join is equi on the shingle string — the same
+    inverted-index shape as ngram_jaccard_pairs, so cost scales with
+    shared-shingle postings, never |test|x|train|."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        d.select(
+            "doc_id",
+            F.expr(_BUCKET).cast("int").alias("bucket"),
+            F.split("text", " ").alias("toks"),
+        )
+        .select(
+            "doc_id", "bucket",
+            F.explode(F.expr("sequence(1, size(toks) - 4)")).alias("s"),
+            F.col("toks"),
+        )
+        .select(
+            "doc_id", "bucket",
+            F.array_join(F.expr("slice(toks, s, 5)"), " ").alias("shingle"),
+        )
+    )
+    train_sh = sh.filter(F.col("bucket") < 13).select("shingle").distinct()
+    test_sh = sh.filter(F.col("bucket") >= 14).select("doc_id", "shingle").distinct()
+    return (
+        test_sh.join(train_sh, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_shingles"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing: concatenate the corpus, cut fixed-token bins
+# --------------------------------------------------------------------------
+
+_PACK_CAP = 512
+
+
+@query("corpus_pack_sequences", oracle=f"""
+WITH sized AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+), off AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+              AS BIGINT) AS lo,
+         CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS hi
+  FROM sized
+)
+SELECT CAST(bin_id AS INT) AS bin_id, doc_id,
+       CAST(least(hi, (bin_id + 1) * {_PACK_CAP})
+            - greatest(lo, bin_id * {_PACK_CAP}) AS INT) AS tokens_in_bin
+FROM (SELECT doc_id, lo, hi,
+             unnest(generate_series(lo // {_PACK_CAP},
+                                    (hi - 1) // {_PACK_CAP}, 1)) AS bin_id
+      FROM off)
+""")
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: documents are concatenated in
+    deterministic doc_id order and the token stream is cut into fixed
+    512-token bins; each output row is (bin, doc, tokens contributed),
+    i.e. the packing manifest a dataloader shards on. Document spans
+    are [cumsum - n, cumsum), so bin membership is a pure function of
+    the prefix sum — one global running-sum window (at 100 TB: compute
+    per-partition subtotals + a broadcast prefix instead; the operator
+    is still a single pass) and a bounded explode over the bins each
+    doc straddles."""
+    d = load_table(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    off = sized.select(
+        "doc_id",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("lo"),
+        F.sum("n_tokens").over(w).alias("hi"),
+    )
+    cap = _PACK_CAP
+    return (
+        off.select(
+            "doc_id", "lo", "hi",
+            F.explode(
+                F.expr(f"sequence(lo DIV {cap}, (hi - 1) DIV {cap})")
+            ).alias("bin_id"),
+        )
+        .select(
+            F.col("bin_id").cast("int").alias("bin_id"),
+            "doc_id",
+            (
+                F.least(F.col("hi"), (F.col("bin_id") + 1) * cap)
+                - F.greatest(F.col("lo"), F.col("bin_id") * cap)
+            ).cast("int").alias("tokens_in_bin"),
+        )
+    )

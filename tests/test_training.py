@@ -100,3 +100,35 @@ def test_shards_are_dense_rankings(spark, sf_dir):
     )
     assert bad == 0
     shards.unpersist()
+
+
+def test_packing_conserves_tokens_and_fills_bins(spark, sf_dir):
+    packed = QUERIES["corpus_pack_sequences"](spark, sf_dir).cache()
+    docs = load_table(spark, sf_dir, "documents")
+    # conservation: each doc's contributions sum to its token count
+    per_doc = packed.groupBy("doc_id").agg(
+        F.sum("tokens_in_bin").alias("packed")
+    )
+    sizes = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    diff = per_doc.join(sizes, "doc_id").filter(
+        F.col("packed") != F.col("n_tokens")
+    )
+    assert diff.count() == 0
+    assert per_doc.count() == docs.count()
+    # every bin except the highest-numbered holds exactly 512 tokens
+    per_bin = packed.groupBy("bin_id").agg(F.sum("tokens_in_bin").alias("t"))
+    max_bin = per_bin.agg(F.max("bin_id")).first()[0]
+    short = per_bin.filter((F.col("bin_id") < max_bin) & (F.col("t") != 512))
+    assert short.count() == 0
+    packed.unpersist()
+
+
+def test_decontaminate_flags_only_test_split_docs(spark, sf_dir):
+    flagged = QUERIES["corpus_decontaminate"](spark, sf_dir)
+    split = QUERIES["doc_stable_split"](spark, sf_dir)
+    joined = flagged.join(split, "doc_id")
+    assert joined.filter(F.col("split") != "test").count() == 0
+    # scores are positive counts
+    assert flagged.filter(F.col("n_shared_shingles") <= 0).count() == 0
