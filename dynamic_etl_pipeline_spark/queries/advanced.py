@@ -292,3 +292,49 @@ def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
         F.mode("o_orderstatus").alias("common_status"),
     )
+
+
+_SQL_FACADE_CTE = """
+WITH yearly AS (
+  SELECT n_name,
+         year(o_orderdate) AS o_year,
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+  FROM {customer} c
+  JOIN {orders} o ON o.o_custkey = c.c_custkey
+  JOIN {lineitem} l ON l.l_orderkey = o.o_orderkey
+  JOIN {nation} n ON n.n_nationkey = c.c_nationkey
+  GROUP BY n_name, year(o_orderdate)
+), ranked AS (
+  SELECT n_name, o_year, revenue,
+         CAST(row_number() OVER (PARTITION BY o_year
+                                 ORDER BY revenue DESC, n_name) AS INT) AS rk,
+         round(revenue - lag(revenue) OVER (PARTITION BY n_name
+                                            ORDER BY o_year), 4) AS yoy_delta
+  FROM yearly
+)
+SELECT n_name, o_year, round(revenue, 4) AS revenue, rk, yoy_delta
+FROM ranked
+WHERE rk <= 3
+"""
+
+
+@query("sql_facade_nation_league", oracle=_SQL_FACADE_CTE.format(
+    customer="customer", orders="orders", lineitem="lineitem", nation="nation"
+))
+def sql_facade_nation_league(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ANSI-SQL front door: one statement with chained CTEs,
+    a 4-way join, grouped aggregation, and two window families
+    (partitioned ranking + lag), executed verbatim via spark.sql over
+    registered views — the oracle runs the IDENTICAL text on DuckDB,
+    demonstrating that a reference user can bring plain SQL unchanged.
+    Catalyst plans it exactly like the DataFrame twin (broadcast the
+    nation dim, one shuffle per agg/window key)."""
+    from ..catalog import load_table as _lt
+
+    for t in ("customer", "orders", "lineitem", "nation"):
+        _lt(spark, sf_dir, t).createOrReplaceTempView(f"{t}_sqlf")
+    return spark.sql(_SQL_FACADE_CTE.format(
+        customer="customer_sqlf", orders="orders_sqlf",
+        lineitem="lineitem_sqlf", nation="nation_sqlf",
+    ))
