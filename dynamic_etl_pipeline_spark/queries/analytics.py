@@ -475,3 +475,187 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Time-series gap filling: hourly resample + forward fill (hypertable op)
+# --------------------------------------------------------------------------
+
+@query("events_gap_fill", oracle="""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(sum(CAST(value AS DECIMAL(27,8))) AS DOUBLE) / count(value)
+           AS avg_value
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT unnest(generate_series(date_trunc('hour', min(ts)),
+                                date_trunc('hour', max(ts)),
+                                INTERVAL 1 HOUR)) AS h
+  FROM events
+), grid AS (
+  SELECT t.event_type, s.h
+  FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN span s
+)
+SELECT g.event_type, g.h AS bucket,
+       round(coalesce(hourly.avg_value,
+             last_value(hourly.avg_value IGNORE NULLS)
+               OVER (PARTITION BY g.event_type ORDER BY g.h
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), 4)
+         AS filled_avg
+FROM grid g
+LEFT JOIN hourly ON hourly.event_type = g.event_type AND hourly.h = g.h
+""")
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style dense resample: an hourly bucket grid per
+    event type over the observed span, left-joined to the sparse
+    rollup, empty buckets forward-filled from the last observed value
+    (last(ignorenulls) over the preceding frame — Spark's native gap
+    fill; no UDF, no driver loop).
+
+    Scale shape: the rollup is the only big aggregation (one shuffle,
+    bucket×type keys); the grid is sequence()+explode over a broadcast
+    2-row min/max frame — rows materialize evenly across partitions,
+    and the fill window shuffles the GRID (types × hours, tiny vs raw
+    events), not the event stream."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("h"),
+        )
+        .agg((dsum("value", 8) / F.count("value")).alias("avg_value"))
+    )
+    span = (
+        ev.agg(
+            F.date_trunc("hour", F.min("ts")).cast("timestamp_ntz").alias("lo"),
+            F.date_trunc("hour", F.max("ts")).cast("timestamp_ntz").alias("hi"),
+        )
+        .select(
+            F.explode(
+                F.expr("sequence(lo, hi, INTERVAL 1 HOUR)")
+            ).alias("h")
+        )
+    )
+    grid = ev.select("event_type").distinct().crossJoin(span)
+    fill_w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        grid.join(hourly, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.col("h").alias("bucket"),
+            F.round(
+                F.coalesce(
+                    F.col("avg_value"),
+                    F.last("avg_value", ignorenulls=True).over(
+                        Window.partitionBy("event_type")
+                        .orderBy("h")
+                        .rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                ),
+                4,
+            ).alias("filled_avg"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# PageRank over the co-purchase graph (fixed-iteration, exact oracle)
+# --------------------------------------------------------------------------
+
+_PR_DAMP = 0.85
+_PR_ITERS = 2
+
+
+@query("copurchase_pagerank", oracle=f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
+), deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT count(*) AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+r1 AS (
+  SELECT e.dst AS node,
+         (1 - {_PR_DAMP}) / any_value(nn.n) + {_PR_DAMP} *
+         CAST(sum(CAST(r0.rank / deg.deg AS DECIMAL(27,12))) AS DOUBLE)
+           AS rank
+  FROM edges e
+  JOIN r0 ON r0.node = e.src
+  JOIN deg ON deg.src = e.src
+  CROSS JOIN nn
+  GROUP BY e.dst
+), r2 AS (
+  SELECT e.dst AS node,
+         (1 - {_PR_DAMP}) / any_value(nn.n) + {_PR_DAMP} *
+         CAST(sum(CAST(r1.rank / deg.deg AS DECIMAL(27,12))) AS DOUBLE)
+           AS rank
+  FROM edges e
+  JOIN r1 ON r1.node = e.src
+  JOIN deg ON deg.src = e.src
+  CROSS JOIN nn
+  GROUP BY e.dst
+)
+SELECT node, round(rank, 10) AS pagerank
+FROM r2 ORDER BY pagerank DESC, node LIMIT 20
+""")
+def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (d=0.85, 2 unrolled iterations) on the undirected
+    co-purchase graph: parts are nodes, an edge joins parts that share
+    an order. The iterative pattern is the Pregel-style DataFrame loop
+    (join ranks to edges on src -> shuffle-aggregate contributions on
+    dst); every iteration is one equi-join + one hash aggregate, both
+    shuffling on the node key, so an N-iteration run is N shuffle
+    rounds over the EDGE list — never a driver-side collect. Decimal
+    contribution sums keep each iteration's ranks engine-exact, which
+    is what lets an iterative algorithm carry a value-level oracle.
+
+    At 100 TB the edge list is the thing to pre-partition (bucket by
+    src) so every iteration reuses the layout instead of re-shuffling;
+    the rank frame is |nodes| rows and co-partitions with it."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    # materialize the edge frame once: every iteration reuses it
+    edges = edges.cache()
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n = nodes.count()  # scalar graph size: drives the literal teleport term
+    ranks = nodes.select("node", (F.lit(1.0) / n).alias("rank"))
+    for _ in range(_PR_ITERS):
+        ranks = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("deg")).alias("contrib"),
+            )
+            .groupBy("node")
+            .agg(
+                ((1 - _PR_DAMP) / n + _PR_DAMP * dsum("contrib", 12))
+                .alias("rank")
+            )
+        )
+    return (
+        ranks.select("node", F.round("rank", 10).alias("pagerank"))
+        .orderBy(F.desc("pagerank"), "node")
+        .limit(20)
+    )

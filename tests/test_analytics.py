@@ -1,0 +1,46 @@
+"""Behavioral invariants for the applied-analytics battery
+(queries/analytics.py) beyond oracle value parity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dynamic_etl_pipeline_spark.catalog import load_table
+from dynamic_etl_pipeline_spark.queries import QUERIES
+
+
+def test_gap_fill_grid_is_dense_and_filled(spark, sf_dir):
+    filled = QUERIES["events_gap_fill"](spark, sf_dir).cache()
+    ev = load_table(spark, sf_dir, "events")
+    n_types = ev.select("event_type").distinct().count()
+    lo, hi = ev.agg(
+        F.date_trunc("hour", F.min("ts")), F.date_trunc("hour", F.max("ts"))
+    ).first()
+    n_hours = int((hi - lo).total_seconds() // 3600) + 1
+    # dense: exactly types x hours rows, no duplicate buckets
+    assert filled.count() == n_types * n_hours
+    assert filled.select("event_type", "bucket").distinct().count() == \
+        n_types * n_hours
+    # forward fill: once a type has an observation, no later NULLs
+    first_obs = (
+        QUERIES["events_gap_fill"](spark, sf_dir)
+        .filter(F.col("filled_avg").isNotNull())
+        .groupBy("event_type").agg(F.min("bucket").alias("first_obs"))
+    )
+    holes = (
+        filled.join(first_obs, "event_type")
+        .filter((F.col("bucket") > F.col("first_obs"))
+                & F.col("filled_avg").isNull())
+    )
+    assert holes.count() == 0
+    filled.unpersist()
+
+
+def test_pagerank_output_is_ranked_probability_mass(spark, sf_dir):
+    top = QUERIES["copurchase_pagerank"](spark, sf_dir).collect()
+    assert len(top) == 20
+    ranks = [r["pagerank"] for r in top]
+    # positive, sorted descending, and far below total mass 1.0
+    assert all(r > 0 for r in ranks)
+    assert ranks == sorted(ranks, reverse=True)
+    assert sum(ranks) < 1.0
