@@ -35,6 +35,9 @@ HEADLINE = [
     "asof_join_events",         # custom as-of join operator
     "doc_chunk_windows",        # context-window chunking (training-data path)
     "q21_waiting_suppliers",    # semi+anti self-join battery (TPC-H q21 style)
+    "corpus_pack_sequences",    # global prefix-sum sequence packing
+    "events_gap_fill",          # dense resample + forward fill (time series)
+    "copurchase_pagerank",      # iterative Pregel-style graph loop
 ]
 
 
