@@ -74,3 +74,93 @@ def foreach_batch_parquet(stream_df: DataFrame, path: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def maintain_incremental_rollup(stream_df: DataFrame, store_dir: str,
+                                checkpoint: str, width: str = "1 hour",
+                                timeout_s: int = 300) -> DataFrame:
+    """Streaming materialized view: maintain an at-rest hourly rollup
+    table under foreachBatch, merging each micro-batch's PARTIAL
+    aggregates into the store instead of re-aggregating history.
+
+    The merge exploits associativity: the store keeps (bucket, type) ->
+    (n_events, total_value DECIMAL) partials; each batch computes its
+    own partials and the merge is `union -> groupBy -> sum` over
+    |store| + |batch-keys| rows — cost is proportional to the ROLLUP
+    size, never to accumulated raw history (the property that makes a
+    materialized view viable when the raw stream is 100 TB). DECIMAL
+    totals at rest make merge order irrelevant, so the maintained view
+    is bit-identical to the batch twin.
+
+    Exactly-once across retries: the store records the last merged
+    batch_id in a `_last_batch` marker; a replayed batch (crash between
+    store swap and checkpoint commit) is skipped instead of
+    double-merged. The swap itself is write-staging-then-rename, same
+    idiom as EtlPipeline.compact.
+
+    Returns the final rollup as a DataFrame (bucket, event_type,
+    n_events, total_value DOUBLE) after an availableNow drain.
+    """
+    import shutil
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    spark = stream_df.sparkSession
+    store = Path(store_dir)
+
+    unit = width.split()[-1]  # "1 hour" -> date_trunc('hour', ...)
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc(unit, F.col("ts")).alias("bucket"),
+            "event_type",
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,4)")).alias("total_value"),
+        )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        marker = store / "_last_batch"
+        if marker.exists() and int(marker.read_text()) >= batch_id:
+            return  # replayed batch: already merged
+        new = partials(batch_df)
+        data_dir = store / "data"
+        if data_dir.exists():
+            new = (
+                spark.read.parquet(str(data_dir))
+                .unionByName(new)
+                .groupBy("bucket", "event_type")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("total_value")
+                    .cast("decimal(27,4)")
+                    .alias("total_value"),
+                )
+            )
+        staging = store / f"_staging-{batch_id}"
+        new.write.mode("overwrite").parquet(str(staging))
+        old = store / f"_old-{batch_id}"
+        if data_dir.exists():
+            data_dir.rename(old)
+        staging.rename(data_dir)
+        if old.exists():
+            shutil.rmtree(old)
+        store.mkdir(exist_ok=True)
+        marker.write_text(str(batch_id))
+
+    q = (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        q.stop()
+    return spark.read.parquet(str(store / "data")).select(
+        "bucket", "event_type", "n_events",
+        F.col("total_value").cast("double").alias("total_value"),
+    )

@@ -105,3 +105,48 @@ def test_foreach_batch_parquet_sink(spark, chunked_events, tmp_path):
     assert written.count() == spark.read.schema(schema).parquet(directory).count()
     # one subdir per micro-batch
     assert written.select(F.input_file_name()).distinct().count() >= 3
+
+
+def test_incremental_rollup_matches_batch_and_skips_replays(
+        spark, sf_dir, chunked_events, tmp_path):
+    from dynamic_etl_pipeline_spark.streaming.sinks import (
+        maintain_incremental_rollup,
+    )
+
+    directory, schema = chunked_events
+    store = tmp_path / "rollup_store"
+    stream = stream_events_dir(spark, directory, schema,
+                               max_files_per_trigger=1)
+    got = maintain_incremental_rollup(
+        stream, str(store), str(tmp_path / "ck_inc")
+    )
+    # merged-over-3-micro-batches view == batch twin, value-exact
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("bucket"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,4)"))
+            .cast("double").alias("total_value"),
+        )
+    )
+    key = lambda r: (r["bucket"], r["event_type"])  # noqa: E731
+    got_m = {key(r): (r["n_events"], r["total_value"]) for r in got.collect()}
+    batch_m = {key(r): (r["n_events"], r["total_value"])
+               for r in batch.collect()}
+    assert got_m == batch_m
+    # store cost is rollup-sized: data dir holds partials, not history
+    assert (store / "_last_batch").exists()
+    last = int((store / "_last_batch").read_text())
+    assert last >= 1  # multiple micro-batches actually ran
+    # replaying an already-merged batch must be a no-op (exactly-once)
+    before = got_m
+    re_stream = stream_events_dir(spark, directory, schema,
+                                  max_files_per_trigger=1)
+    again = maintain_incremental_rollup(
+        re_stream, str(store), str(tmp_path / "ck_replay")
+    )
+    # fresh checkpoint -> batch ids restart at 0 -> all skipped by marker
+    after = {key(r): (r["n_events"], r["total_value"])
+             for r in again.collect()}
+    assert after == before
