@@ -14,7 +14,7 @@ never a cross join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -296,4 +296,100 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             jaccard.alias("jaccard"),
         )
         .filter(F.col("jaccard") >= 0.01)
+    )
+
+
+@query("source_token_divergence", oracle="""
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+), src_tot AS (
+  SELECT source, count(*) AS n_src FROM tok GROUP BY source
+), corp AS (
+  SELECT term, count(*) AS n_term FROM tok GROUP BY term
+), corp_tot AS (SELECT count(*) AS n_all FROM tok),
+per AS (
+  SELECT tok.source, tok.term, count(*) AS n_st FROM tok GROUP BY 1, 2
+)
+SELECT per.source,
+       round(CAST(sum(CAST(
+         (CAST(n_st AS DOUBLE) / n_src)
+         * ln((CAST(n_st AS DOUBLE) / n_src)
+              / (CAST(n_term AS DOUBLE) / n_all))
+         AS DECIMAL(27,12))) AS DOUBLE), 6) AS kl_divergence
+FROM per
+JOIN src_tot USING (source)
+JOIN corp USING (term)
+CROSS JOIN corp_tot
+GROUP BY per.source
+""")
+def source_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence of each source's token distribution from the
+    whole-corpus distribution — the drifted-source detector a corpus
+    pipeline runs per ingestion batch. Support is per-source terms, so
+    q(term) > 0 wherever p(term) > 0 by construction and the sum is
+    well-defined. Per-term contributions are deterministic scalars
+    (counts + ln), summed in decimal.
+
+    Shape: one tokenize pass feeds three aggregations (per-source-term,
+    per-term, totals); the joins fan the small per-term frame back onto
+    the per-source-term frame — all equi-joins on term/source, with
+    the 1-row corpus total cross-joined (broadcast)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("term"))
+    src_tot = tok.groupBy("source").agg(F.count("*").alias("n_src"))
+    corp = tok.groupBy("term").agg(F.count("*").alias("n_term"))
+    n_all = tok.agg(F.count("*").alias("n_all"))
+    per = tok.groupBy("source", "term").agg(F.count("*").alias("n_st"))
+    p = F.col("n_st").cast("double") / F.col("n_src")
+    q = F.col("n_term").cast("double") / F.col("n_all")
+    contrib = (p * F.log(p / q)).cast("decimal(27,12)")
+    return (
+        per.join(src_tot, "source")
+        .join(F.broadcast(corp), "term")
+        .crossJoin(F.broadcast(n_all))
+        .groupBy("source")
+        .agg(
+            F.round(F.sum(contrib).cast("double"), 6).alias("kl_divergence")
+        )
+    )
+
+
+@query("dup_rate_by_source", oracle="""
+WITH hashed AS (
+  SELECT source, md5(text) AS h FROM documents
+), ranked AS (
+  SELECT source, h,
+         row_number() OVER (PARTITION BY h ORDER BY source) AS rn
+  FROM hashed
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dups,
+       round(CAST(count(*) FILTER (WHERE rn > 1) AS DOUBLE) / count(*), 6)
+         AS dup_rate
+FROM ranked GROUP BY source
+""")
+def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate rate per ingestion source: content-hash the
+    text, keep-first within each hash group (source as the
+    deterministic survivor order), count survivors vs casualties per
+    source — the per-source quality panel a curation run reports.
+    One shuffle on the content hash (uniform by construction), then a
+    small per-source aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("h").orderBy("source")
+    return (
+        d.select("source", F.md5("text").alias("h"))
+        .withColumn("rn", F.row_number().over(w))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+            .cast("bigint").alias("n_dups"),
+            F.round(
+                F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+                .cast("double") / F.count("*"),
+                6,
+            ).alias("dup_rate"),
+        )
     )

@@ -194,3 +194,36 @@ def label_knn_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint").alias("n_same_label")
         )
     )
+
+
+@query("label_centroids", oracle="""
+WITH expl AS (
+  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+)
+SELECT label, CAST(pos AS INT) AS pos,
+       round(CAST(sum(CAST(v AS DECIMAL(27,12))) AS DOUBLE) / count(*), 8)
+         AS centroid_v
+FROM expl GROUP BY label, pos
+""")
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, one row per (label, dimension): posexplode
+    the vectors and decimal-average each coordinate — the aggregation
+    form of a k-means maintenance step (IVF's Lloyd iterations in
+    operators/knn.py use the same shape). One shuffle on (label, pos);
+    64 x 10 output keys collapse map-side. Emitting (label, pos, v)
+    rows instead of re-assembled arrays keeps the oracle comparison
+    scalar-typed; array_agg ordering is where engines diverge."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos0", "v"))
+        .groupBy("label", (F.col("pos0") + 1).cast("int").alias("pos"))
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast("double").cast("decimal(27,12)"))
+                .cast("double") / F.count("*"),
+                8,
+            ).alias("centroid_v")
+        )
+    )
