@@ -674,3 +674,91 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pagerank"), "node")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# RFM via percentile cutpoints: the no-global-sort scale path
+# --------------------------------------------------------------------------
+
+@query("rfm_segments_bucketed", oracle="""
+WITH rfm AS (
+  SELECT o_custkey,
+         datediff('day', max(o_orderdate),
+                  (SELECT max(o_orderdate) FROM orders)) AS recency_days,
+         count(*) AS frequency,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey
+), cuts AS (
+  SELECT quantile_cont(recency_days, 0.25) AS r1,
+         quantile_cont(recency_days, 0.50) AS r2,
+         quantile_cont(recency_days, 0.75) AS r3,
+         quantile_cont(frequency, 0.25) AS f1,
+         quantile_cont(frequency, 0.50) AS f2,
+         quantile_cont(frequency, 0.75) AS f3,
+         quantile_cont(monetary, 0.25) AS m1,
+         quantile_cont(monetary, 0.50) AS m2,
+         quantile_cont(monetary, 0.75) AS m3
+  FROM rfm
+)
+SELECT CAST(1 + CAST(recency_days > r1 AS INT) + CAST(recency_days > r2 AS INT)
+            + CAST(recency_days > r3 AS INT) AS INT) AS r_tile,
+       CAST(1 + CAST(frequency > f1 AS INT) + CAST(frequency > f2 AS INT)
+            + CAST(frequency > f3 AS INT) AS INT) AS f_tile,
+       CAST(1 + CAST(monetary > m1 AS INT) + CAST(monetary > m2 AS INT)
+            + CAST(monetary > m3 AS INT) AS INT) AS m_tile,
+       count(*) AS n_customers
+FROM rfm CROSS JOIN cuts
+GROUP BY 1, 2, 3
+""")
+def rfm_segments_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-path twin of rfm_segments: quartile CUTPOINTS (one
+    9-value aggregate row, broadcast back) replace the three global
+    ntile sorts, so no total order is ever materialized — the form that
+    survives a customer dimension too large to sort. Tie semantics
+    differ from ntile by design (equal values share a tile instead of
+    being split by the tie-break), which is the standard trade when
+    moving to cutpoint bucketing; exact interpolated percentiles keep
+    both engines bit-identical."""
+    o = load_table(spark, sf_dir, "orders")
+    max_date = o.agg(F.max("o_orderdate").alias("_global_max"))
+    rfm = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("_last"),
+            F.count("*").alias("frequency"),
+            dsum("o_totalprice").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(max_date))
+        .select(
+            F.datediff(F.col("_global_max"), F.col("_last")).alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    qs = [0.25, 0.50, 0.75]
+    cuts = rfm.agg(
+        *[F.percentile("recency_days", F.lit(q)).alias(f"r{i+1}")
+          for i, q in enumerate(qs)],
+        *[F.percentile("frequency", F.lit(q)).alias(f"f{i+1}")
+          for i, q in enumerate(qs)],
+        *[F.percentile("monetary", F.lit(q)).alias(f"m{i+1}")
+          for i, q in enumerate(qs)],
+    )
+
+    def tile(col: str, pfx: str):
+        return (
+            1
+            + (F.col(col) > F.col(f"{pfx}1")).cast("int")
+            + (F.col(col) > F.col(f"{pfx}2")).cast("int")
+            + (F.col(col) > F.col(f"{pfx}3")).cast("int")
+        ).cast("int")
+
+    return (
+        rfm.crossJoin(F.broadcast(cuts))
+        .groupBy(
+            tile("recency_days", "r").alias("r_tile"),
+            tile("frequency", "f").alias("f_tile"),
+            tile("monetary", "m").alias("m_tile"),
+        )
+        .agg(F.count("*").alias("n_customers"))
+    )
