@@ -44,3 +44,31 @@ def test_pagerank_output_is_ranked_probability_mass(spark, sf_dir):
     assert all(r > 0 for r in ranks)
     assert ranks == sorted(ranks, reverse=True)
     assert sum(ranks) < 1.0
+
+
+def test_kl_divergence_is_nonnegative(spark, sf_dir):
+    # Gibbs' inequality: KL(p||q) >= 0, zero only if p == q exactly
+    rows = QUERIES["source_token_divergence"](spark, sf_dir).collect()
+    assert rows and all(r["kl_divergence"] >= 0 for r in rows)
+
+
+def test_dup_rate_bounds_and_totals(spark, sf_dir):
+    rows = QUERIES["dup_rate_by_source"](spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    for r in rows:
+        assert 0 <= r["n_dups"] <= r["n_docs"]
+        assert 0.0 <= r["dup_rate"] <= 1.0
+
+
+def test_rfm_variants_partition_the_same_population(spark, sf_dir):
+    # ntile and cutpoint tiling bucket differently at ties, but both
+    # must partition every customer into tiles 1..4 exactly once
+    orders = load_table(spark, sf_dir, "orders")
+    n_cust = orders.select("o_custkey").distinct().count()
+    for name in ("rfm_segments", "rfm_segments_bucketed"):
+        rows = QUERIES[name](spark, sf_dir).collect()
+        assert sum(r["n_customers"] for r in rows) == n_cust, name
+        for r in rows:
+            for t in ("r_tile", "f_tile", "m_tile"):
+                assert 1 <= r[t] <= 4, (name, t)
