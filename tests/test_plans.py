@@ -153,3 +153,11 @@ def test_profile_is_single_scan(spark, sf_dir):
     # formatted detail section (the operator name itself appears twice:
     # tree + detail)
     assert plan.count("Location: InMemoryFileIndex") == 1, plan
+
+
+def test_pagerank_year_scope_reaches_scan(spark, sf_dir):
+    # the windowed-graph range predicate must prune at the parquet
+    # scan (row-group min/max on shipdate), not filter post-read
+    pushed = pushed_filters(QUERIES["copurchase_pagerank"](spark, sf_dir))
+    assert any(p.startswith("GreaterThanOrEqual(l_shipdate") for p in pushed)
+    assert any(p.startswith("LessThan(l_shipdate") for p in pushed)
