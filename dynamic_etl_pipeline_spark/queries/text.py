@@ -393,3 +393,59 @@ def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_rate"),
         )
     )
+
+
+_WIN_K = 5          # char k-gram width
+_WIN_W = 4          # winnowing window (selects one min hash per window)
+_WIN_B = 257        # polynomial base
+_WIN_M = 1000000007  # modulus (int64-safe: acc*B + 255 < 2^63)
+
+
+@query("doc_winnow_fingerprint", oracle=f"""
+WITH h AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text) - {_WIN_K} + 2),
+           i -> list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(0, {_WIN_K}),
+                      j -> CAST(ascii(substring(text, CAST(i + j AS INT), 1))
+                                AS BIGINT))),
+                  (acc, c) -> (acc * {_WIN_B} + c) % {_WIN_M})) AS hs
+  FROM documents
+)
+SELECT DISTINCT doc_id,
+       unnest(list_distinct(
+         list_transform(range(1, len(hs) - {_WIN_W} + 2),
+                        i -> list_min(hs[i:i+{_WIN_W}-1])))) AS fp
+FROM h
+""")
+def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (MOSS-style): a polynomial ROLLING hash
+    over character 5-grams, then the minimum hash of every 4-hash
+    window, deduplicated — the guarantee is any shared substring of
+    length >= k + w - 1 = 8 chars yields at least one shared
+    fingerprint, so joining on `fp` finds partial-overlap/plagiarized
+    spans that whole-content hashing (doc_fingerprint) cannot.
+
+    All arithmetic is int64 mod-space — bit-exact on any engine — and
+    the whole computation is JVM higher-order functions (transform /
+    aggregate / slice / array_min): map-only, no UDF, no shuffle until
+    the final distinct. Output (doc_id, fp) is the inverted-index key
+    for an overlap join, same posting shape as ngram_jaccard_pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    hashes = F.expr(f"""
+      transform(sequence(1, length(text) - {_WIN_K} + 1),
+                i -> aggregate(sequence(0, {_WIN_K} - 1), 0L,
+                               (acc, j) -> (acc * {_WIN_B}
+                                 + ascii(substring(text, i + j, 1)))
+                                 % {_WIN_M}))
+    """)
+    fps = F.expr(
+        f"array_distinct(transform(sequence(1, size(hs) - {_WIN_W} + 1),"
+        f" i -> array_min(slice(hs, i, {_WIN_W}))))"
+    )
+    return (
+        d.select("doc_id", hashes.alias("hs"))
+        .select("doc_id", F.explode(fps).alias("fp"))
+        .distinct()
+    )

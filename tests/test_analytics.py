@@ -72,3 +72,21 @@ def test_rfm_variants_partition_the_same_population(spark, sf_dir):
         for r in rows:
             for t in ("r_tile", "f_tile", "m_tile"):
                 assert 1 <= r[t] <= 4, (name, t)
+
+
+def test_winnow_fingerprints_cover_docs_and_find_overlap(spark, sf_dir):
+    fps = QUERIES["doc_winnow_fingerprint"](spark, sf_dir).cache()
+    docs = load_table(spark, sf_dir, "documents")
+    # every document yields at least one fingerprint
+    assert fps.select("doc_id").distinct().count() == docs.count()
+    # the winnowing guarantee in action: docs sharing an 8+-char span
+    # share a fingerprint, so the fp self-join surfaces overlapping
+    # pairs (the fixture's small vocabulary guarantees some exist)
+    a, b = fps.alias("a"), fps.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy("a.doc_id", "b.doc_id").count()
+    )
+    assert pairs.filter(F.col("count") >= 2).count() > 0
+    fps.unpersist()
