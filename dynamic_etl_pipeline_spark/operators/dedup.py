@@ -227,17 +227,23 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
 def _simhash_votes(hs: pd.Series) -> pd.Series:
     """Majority vote per bit over a doc's token hashes, vectorized: per
     doc, a (tokens x 64) bit matrix summed down the columns. numpy C
-    throughput vs 64 interpreted ``aggregate`` passes per row."""
+    throughput vs 64 interpreted ``aggregate`` passes per row.
+
+    Null/empty token arrays (NULL or empty text upstream) yield NULL,
+    mirroring the MinHash signature kernel's null handling."""
     shifts = np.arange(64, dtype=np.uint64)
-    out = np.empty(len(hs), dtype=np.int64)
-    for j, x in enumerate(hs):
+    out: list[int | None] = []
+    for x in hs:
+        if x is None or len(x) == 0:
+            out.append(None)
+            continue
         arr = np.asarray(x, dtype=np.int64).view(np.uint64)
         ones = ((arr[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
         fp = np.bitwise_or.reduce(
             ((2 * ones > len(arr)).astype(np.uint64)) << shifts
         )
-        out[j] = np.array([fp], dtype=np.uint64).view(np.int64)[0]
-    return pd.Series(out)
+        out.append(int(np.array([fp], dtype=np.uint64).view(np.int64)[0]))
+    return pd.Series(out, dtype="Int64")
 
 
 def simhash64(col: Column | str) -> Column:
@@ -245,7 +251,11 @@ def simhash64(col: Column | str) -> Column:
     (one higher-order pass), bit-majority vote in an Arrow-batched
     numpy kernel. No explode, no shuffle — map-side per row."""
     c = col if isinstance(col, Column) else F.col(col)
-    toks = F.split(F.trim(c), r"\s+")
+    # split(trim('')) is [''] not [], so blank out NULL/whitespace-only
+    # text explicitly: those docs get a NULL fingerprint (no tokens).
+    toks = F.when(
+        F.length(F.trim(c)) > 0, F.split(F.trim(c), r"\s+")
+    )
     return _simhash_votes(F.transform(toks, lambda t: F.xxhash64(t)))
 
 
@@ -258,9 +268,11 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
     (chunk_id, chunk_value) and are verified with bit_count(xor)."""
     if udf_partitions is not None:
         df = df.repartition(udf_partitions)  # see minhash_signatures
-    fp = df.select(
-        F.col(id_col).alias("_id"), simhash64(text_col).alias("fp")
-    ).localCheckpoint(eager=True)  # fingerprint once, not once per join side
+    fp = (
+        df.select(F.col(id_col).alias("_id"), simhash64(text_col).alias("fp"))
+        .filter(F.col("fp").isNotNull())  # null/empty text has no fingerprint
+        .localCheckpoint(eager=True)  # fingerprint once, not once per join side
+    )
     chunks = fp.select(
         "_id", "fp",
         F.posexplode(

@@ -61,7 +61,18 @@ def salted_join(skewed: DataFrame, other: DataFrame, on: str,
                 how: str = "inner", salt_buckets: int = 8) -> DataFrame:
     """Equi-join where ``skewed`` has hot values of ``on`` and ``other``
     is too large to broadcast: probe side salted, build side replicated
-    per salt, join on (on, salt). Output columns match a plain join."""
+    per salt, join on (on, salt). Output matches a plain join ONLY for
+    probe-side-preserving join types: the build side is replicated
+    ``salt_buckets`` times, so right/full outer would emit each
+    unmatched build row once per salt value. Those types are rejected."""
+    allowed = {"inner", "left", "left_outer", "leftouter",
+               "left_semi", "leftsemi", "semi",
+               "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} is not result-identical under "
+            f"build-side replication; use one of {sorted(allowed)}"
+        )
     left = skewed.withColumn("_salt", _salt(salt_buckets))
     right = other.withColumn(
         "_salt",

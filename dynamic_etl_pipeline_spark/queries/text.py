@@ -431,8 +431,15 @@ def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole computation is JVM higher-order functions (transform /
     aggregate / slice / array_min): map-only, no UDF, no shuffle until
     the final distinct. Output (doc_id, fp) is the inverted-index key
-    for an overlap join, same posting shape as ngram_jaccard_pairs."""
-    d = load_table(spark, sf_dir, "documents")
+    for an overlap join, same posting shape as ngram_jaccard_pairs.
+
+    Docs shorter than k + w - 1 chars have no complete winnowing window;
+    the oracle's range() yields no rows for them, and Spark's sequence()
+    would instead produce a DESCENDING sequence (then slice(..., 0, ...)
+    throws), so they are filtered out up front."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= _WIN_K + _WIN_W - 1
+    )
     hashes = F.expr(f"""
       transform(sequence(1, length(text) - {_WIN_K} + 1),
                 i -> aggregate(sequence(0, {_WIN_K} - 1), 0L,

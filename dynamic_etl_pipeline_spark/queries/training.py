@@ -331,6 +331,11 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_BUCKET).cast("int").alias("bucket"),
             F.split("text", " ").alias("toks"),
         )
+        # Docs with < 5 tokens have no 5-gram: the oracle's
+        # generate_series(1, n-4, 1) is empty for them, while Spark's
+        # sequence(1, n-4) would be DESCENDING (and explode into a
+        # slice(toks, 0, ...) runtime error) — filter them out first.
+        .filter(F.size("toks") >= 5)
         .select(
             "doc_id", "bucket",
             F.explode(F.expr("sequence(1, size(toks) - 4)")).alias("s"),

@@ -92,15 +92,20 @@ def maintain_incremental_rollup(stream_df: DataFrame, store_dir: str,
     totals at rest make merge order irrelevant, so the maintained view
     is bit-identical to the batch twin.
 
-    Exactly-once across retries: the store records the last merged
-    batch_id in a `_last_batch` marker; a replayed batch (crash between
-    store swap and checkpoint commit) is skipped instead of
-    double-merged. The swap itself is write-staging-then-rename, same
-    idiom as EtlPipeline.compact.
+    Exactly-once across retries: commits use the atomic-pointer idiom
+    (Delta/Hive-style). Each merged batch is written to its own
+    versioned directory ``v-<batch_id>``; the single commit point is an
+    ``os.replace`` of the ``CURRENT`` pointer file, which is atomic on
+    POSIX. The pointer doubles as the replay marker, so data and marker
+    can never disagree, and readers always see a complete version —
+    there is no window where the store is absent or half-swapped. A
+    crash after the data write but before the pointer swap leaves an
+    orphan ``v-`` directory that the replayed batch simply overwrites.
 
     Returns the final rollup as a DataFrame (bucket, event_type,
     n_events, total_value DOUBLE) after an availableNow drain.
     """
+    import os
     import shutil
     from pathlib import Path
 
@@ -120,15 +125,19 @@ def maintain_incremental_rollup(stream_df: DataFrame, store_dir: str,
             F.sum(F.col("value").cast("decimal(27,4)")).alias("total_value"),
         )
 
+    pointer = store / "CURRENT"
+
+    def current_version() -> int | None:
+        return int(pointer.read_text()) if pointer.exists() else None
+
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        marker = store / "_last_batch"
-        if marker.exists() and int(marker.read_text()) >= batch_id:
-            return  # replayed batch: already merged
+        last = current_version()
+        if last is not None and last >= batch_id:
+            return  # replayed batch: already committed
         new = partials(batch_df)
-        data_dir = store / "data"
-        if data_dir.exists():
+        if last is not None:
             new = (
-                spark.read.parquet(str(data_dir))
+                spark.read.parquet(str(store / f"v-{last}"))
                 .unionByName(new)
                 .groupBy("bucket", "event_type")
                 .agg(
@@ -138,16 +147,13 @@ def maintain_incremental_rollup(stream_df: DataFrame, store_dir: str,
                     .alias("total_value"),
                 )
             )
-        staging = store / f"_staging-{batch_id}"
-        new.write.mode("overwrite").parquet(str(staging))
-        old = store / f"_old-{batch_id}"
-        if data_dir.exists():
-            data_dir.rename(old)
-        staging.rename(data_dir)
-        if old.exists():
-            shutil.rmtree(old)
-        store.mkdir(exist_ok=True)
-        marker.write_text(str(batch_id))
+        vdir = store / f"v-{batch_id}"
+        new.write.mode("overwrite").parquet(str(vdir))
+        tmp = store / f"_CURRENT.tmp-{batch_id}"
+        tmp.write_text(str(batch_id))
+        os.replace(tmp, pointer)  # atomic commit: pointer IS the marker
+        if last is not None:  # post-commit GC; orphans on crash are harmless
+            shutil.rmtree(store / f"v-{last}", ignore_errors=True)
 
     q = (
         stream_df.writeStream.foreachBatch(merge_batch)
@@ -160,7 +166,7 @@ def maintain_incremental_rollup(stream_df: DataFrame, store_dir: str,
         q.awaitTermination(timeout_s)
     finally:
         q.stop()
-    return spark.read.parquet(str(store / "data")).select(
+    return spark.read.parquet(str(store / f"v-{current_version()}")).select(
         "bucket", "event_type", "n_events",
         F.col("total_value").cast("double").alias("total_value"),
     )

@@ -1,0 +1,85 @@
+"""Regressions for the round-1 advisor findings (ADVICE.md):
+
+- doc_winnow_fingerprint / corpus_decontaminate crashed on documents
+  shorter than one shingle/window (Spark `sequence(1, n)` is DESCENDING
+  for n < 1, so the downstream slice(…, 0, …) threw at runtime, while
+  the DuckDB oracle's range()/generate_series() just emit no rows);
+- simhash64 crashed on NULL/empty text while the MinHash kernel
+  null-guards;
+- salted_join silently produced wrong results for build-side-preserving
+  join types (each unmatched build row replicated per salt).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from dynamic_etl_pipeline_spark.operators.dedup import simhash64, simhash_pairs
+from dynamic_etl_pipeline_spark.operators.skew import salted_join
+from dynamic_etl_pipeline_spark.queries.text import doc_winnow_fingerprint
+from dynamic_etl_pipeline_spark.queries.training import corpus_decontaminate
+
+_DOC_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("text", StringType()),
+])
+
+
+@pytest.fixture(scope="module")
+def short_doc_dir(spark, tmp_path_factory):
+    """A documents table containing every degenerate length class."""
+    rows = [
+        (1, "hi"),                      # shorter than one k-gram
+        (2, ""),                        # empty
+        (3, None),                      # NULL
+        (4, "seven77"),                 # exactly k+w-2: still no window
+        (5, "one two three four"),      # < 5 tokens: no 5-gram shingle
+        (6, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (7, "alpha beta gamma delta epsilon different tail tokens here now"),
+    ]
+    d = tmp_path_factory.mktemp("shortdocs")
+    spark.createDataFrame(rows, _DOC_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_winnow_fingerprint_survives_short_docs(spark, short_doc_dir):
+    out = doc_winnow_fingerprint(spark, short_doc_dir).collect()
+    got_ids = {r["doc_id"] for r in out}
+    # degenerate docs contribute nothing (matching the oracle), long docs do
+    assert got_ids.issubset({5, 6, 7}) and {6, 7} <= got_ids
+    assert all(r["fp"] is not None for r in out)
+
+
+def test_decontaminate_survives_short_docs(spark, short_doc_dir):
+    # must not throw; docs with < 5 tokens contribute no shingles
+    out = corpus_decontaminate(spark, short_doc_dir).collect()
+    assert all(r["doc_id"] not in {1, 2, 3, 4, 5} for r in out)
+
+
+def test_simhash_null_and_empty_text(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "the quick brown fox"),
+         (5, "the quick brown fox")],
+        _DOC_SCHEMA,
+    )
+    fps = df.select("doc_id", simhash64("text").alias("fp")).collect()
+    by_id = {r["doc_id"]: r["fp"] for r in fps}
+    assert by_id[1] is None and by_id[2] is None
+    assert by_id[4] == by_id[5] is not None
+    # pair mining skips the null-fingerprint docs instead of crashing
+    pairs = simhash_pairs(df, "doc_id", "text", max_hamming=0).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(4, 5)}
+
+
+def test_salted_join_rejects_build_preserving_types(spark):
+    left = spark.createDataFrame([("a", 1)], ["k", "v"])
+    right = spark.createDataFrame([("a", 1.0), ("b", 2.0)], ["k", "w"])
+    for how in ("right", "full", "outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(left, right, "k", how=how)
+    # probe-preserving types still work
+    assert salted_join(left, right, "k", how="left_anti").count() == 0

@@ -135,10 +135,14 @@ def test_incremental_rollup_matches_batch_and_skips_replays(
     batch_m = {key(r): (r["n_events"], r["total_value"])
                for r in batch.collect()}
     assert got_m == batch_m
-    # store cost is rollup-sized: data dir holds partials, not history
-    assert (store / "_last_batch").exists()
-    last = int((store / "_last_batch").read_text())
+    # store cost is rollup-sized: the version dir holds partials, not
+    # history; CURRENT is the atomic commit pointer (= replay marker)
+    assert (store / "CURRENT").exists()
+    last = int((store / "CURRENT").read_text())
     assert last >= 1  # multiple micro-batches actually ran
+    assert (store / f"v-{last}").is_dir()
+    # post-commit GC: only the current version dir survives
+    assert [p.name for p in store.glob("v-*")] == [f"v-{last}"]
     # replaying an already-merged batch must be a no-op (exactly-once)
     before = got_m
     re_stream = stream_events_dir(spark, directory, schema,
