@@ -7,9 +7,10 @@ DataFrame primitives — explode / hash / groupBy / self-join on band
 keys — so each stage is one shuffle, partition-parallel, and survives a
 100 TB corpus:
 
-- signatures: ZERO shuffle — JVM tokenize + polynomial shingle hashes
-  (zip_with folds, no per-gram strings), then all permutation minima in
-  one Arrow-batched numpy kernel per partition;
+- signatures: ZERO shuffle — JVM tokenize + per-token hash (one
+  codegen pass, no per-gram strings), then the rolling shingle
+  polynomial and all permutation minima in one Arrow-batched numpy
+  kernel per partition;
 - candidate generation: self-join on (band_id, band_hash) — an
   equi-join on a uniform high-cardinality key, never an O(n^2) cross
   join;
@@ -90,40 +91,73 @@ def _perm_coeffs(num_perm: int, seed: int) -> list[tuple[int, int]]:
     return list(zip(a.tolist(), b.tolist()))
 
 
-def _sig_udf(num_perm: int, seed: int):
-    """Arrow-batched numpy kernel: all permutation minima for a batch of
-    shingle-hash arrays at once (flatten ragged -> one (a*h+b) mod M
-    sweep + segmented min per permutation). Vectorized C throughput —
-    the same math as 64 interpreted higher-order transforms, ~20x
-    faster; zero shuffle either way."""
+def _sig_udf(num_perm: int, seed: int, shingle_n: int):
+    """Arrow-batched numpy kernel: from per-doc TOKEN-hash arrays, the
+    rolling shingle polynomial AND all permutation minima in one C
+    sweep per batch. Doing the n-gram fold here (instead of zip_with
+    column expressions) keeps the whole shingle pipeline out of the
+    interpreted higher-order-function path — one flat vectorized pass
+    over every token in the batch. MinHash minima are insensitive to
+    duplicate shingles, so no distinct step is needed anywhere.
+
+    The gram value matches the old zip_with fold bit-for-bit:
+    (sum_j h_j * 8191^(n-1-j)) mod M31 with h_j pre-reduced mod M31
+    (congruent to the chained Horner form, and both land reduced).
+
+    Docs with fewer than ``shingle_n`` tokens (or NULL input) yield
+    NULL signatures."""
     coeffs = _perm_coeffs(num_perm, seed)
     A = np.array([a for a, _ in coeffs], dtype=np.int64)
     B = np.array([b for _, b in coeffs], dtype=np.int64)
+    # h < 2^31 and 8191^2 < 2^27, so each term < 2^57: n=3 sums stay
+    # far from int64 overflow.
+    P = np.array(
+        [8191 ** (shingle_n - 1 - j) for j in range(shingle_n)],
+        dtype=np.int64,
+    )
 
     @pandas_udf(ArrayType(LongType()))
-    def sig(hs: pd.Series) -> pd.Series:
+    def sig(th: pd.Series) -> pd.Series:
+        n = shingle_n
         lens = np.fromiter(
-            (0 if x is None else len(x) for x in hs),
-            dtype=np.int64, count=len(hs),
+            (0 if x is None else len(x) for x in th),
+            dtype=np.int64, count=len(th),
         )
-        out: list[list[int] | None] = [None] * len(hs)
-        if lens.sum() > 0:
-            flat = np.concatenate(
-                [np.asarray(x, dtype=np.int64)
-                 for x in hs if x is not None and len(x)]
-            )
-            ne_lens = lens[lens > 0]
-            offs = np.zeros(len(ne_lens), dtype=np.int64)
-            np.cumsum(ne_lens[:-1], out=offs[1:])
-            mins = np.empty((len(ne_lens), num_perm), dtype=np.int64)
-            for i in range(num_perm):
-                vals = (A[i] * flat + B[i]) % _MERSENNE
-                mins[:, i] = np.minimum.reduceat(vals, offs)
-            j = 0
-            for row, ln in enumerate(lens):
-                if ln > 0:
-                    out[row] = mins[j].tolist()
-                    j += 1
+        gcounts = np.maximum(lens - n + 1, 0)
+        out: list[list[int] | None] = [None] * len(th)
+        if gcounts.sum() == 0:
+            return pd.Series(out)
+        flat = np.concatenate(
+            [np.asarray(x, dtype=np.int64) for x in th
+             if x is not None and len(x)]
+        ) % _M31
+        ne_lens = lens[lens > 0]
+        # gram values over the concatenated token stream ...
+        gall = np.zeros(len(flat) - n + 1, dtype=np.int64)
+        for j in range(n):
+            gall += flat[j: len(flat) - n + 1 + j] * P[j]
+        gall %= _M31
+        # ... dropping the grams that straddle a row boundary
+        starts = np.zeros(len(ne_lens), dtype=np.int64)
+        np.cumsum(ne_lens[:-1], out=starts[1:])
+        valid = np.ones(len(gall), dtype=bool)
+        for j in range(1, n):
+            cross = starts[1:] - j
+            valid[cross[cross >= 0]] = False
+        gvalid = gall[valid]
+        ne_g = np.maximum(ne_lens - n + 1, 0)
+        seg = ne_g[ne_g > 0]
+        goffs = np.zeros(len(seg), dtype=np.int64)
+        np.cumsum(seg[:-1], out=goffs[1:])
+        mins = np.empty((len(seg), num_perm), dtype=np.int64)
+        for i in range(num_perm):
+            vals = (A[i] * gvalid + B[i]) % _MERSENNE
+            mins[:, i] = np.minimum.reduceat(vals, goffs)
+        j = 0
+        for row, gc in enumerate(gcounts):
+            if gc > 0:
+                out[row] = mins[j].tolist()
+                j += 1
         return pd.Series(out)
 
     return sig
@@ -144,7 +178,7 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     Documents with no shingles (shorter than shingle_n words) are
     dropped, matching grouped-agg semantics.
     """
-    sig = _sig_udf(num_perm, seed)
+    sig = _sig_udf(num_perm, seed, shingle_n)
     if udf_partitions is not None:
         # Arrow-batch efficiency knob: per-partition Python-worker
         # round-trips dominate when partitions are tiny (a small file
@@ -153,11 +187,12 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
         # measured 2x faster than either alternative at fixture scale.
         # At corpus scale leave None — partitions are already data-sized.
         df = df.repartition(udf_partitions)
+    c = F.col(text_col)
+    token_hashes = F.transform(
+        F.split(F.trim(c), r"\s+"), lambda t: F.hash(t).cast("long")
+    )
     return (
-        df.select(
-            F.col(id_col),
-            sig(shingle_hashes(text_col, shingle_n)).alias("sig"),
-        )
+        df.select(F.col(id_col), sig(token_hashes).alias("sig"))
         .filter(F.col("sig").isNotNull())
     )
 
@@ -183,8 +218,14 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
         df, id_col, text_col, num_perm, shingle_n, seed, udf_partitions
     ).localCheckpoint(eager=True)
 
+    # The band self-join moves SKINNY rows only (id, band_id, band_hash):
+    # carrying the num_perm-long signature array through the bands-way
+    # posexplode would replicate every signature `bands` times into the
+    # join shuffle (measured ~2x the whole pipeline at sf0.1, and pure
+    # dead weight at corpus scale). Signatures are re-attached to the
+    # few surviving candidate pairs afterwards.
     band_entries = sigs.select(
-        F.col(id_col).alias("_id"), "sig",
+        F.col(id_col).alias("_id"),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -193,21 +234,22 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                 ),
             )
         ).alias("band_id", "band_hash"),
-    )
-    left = band_entries.select(
-        F.col("_id").alias("id_a"), F.col("sig").alias("sig_a"),
-        "band_id", "band_hash",
-    )
-    right = band_entries.select(
-        F.col("_id").alias("id_b"), F.col("sig").alias("sig_b"),
-        "band_id", "band_hash",
-    )
+    ).select("_id", "band_id", "band_hash")
+    left = band_entries.select(F.col("_id").alias("id_a"), "band_id", "band_hash")
+    right = band_entries.select(F.col("_id").alias("id_b"), "band_id", "band_hash")
     cand = (
         left.join(right, ["band_id", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    # Signature lookup joins: the sig table has one row per doc (tiny
+    # next to the banded postings). At fixture scale Catalyst broadcasts
+    # it; at corpus scale these become shuffle hash joins on id — still
+    # proportional to |docs| + |candidates|, never |postings| x sig.
+    sig_a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sig_b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    cand = cand.join(sig_a, "id_a").join(sig_b, "id_b")
     agree = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: x == y),

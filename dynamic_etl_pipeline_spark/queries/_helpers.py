@@ -13,12 +13,26 @@ partial + final hash aggregate, one shuffle, JVM codegen throughout.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
 def c(col: Column | str) -> Column:
     return col if isinstance(col, Column) else F.col(col)
+
+
+def spread(df: DataFrame, n: int | None = None) -> DataFrame:
+    """Decouple compute parallelism from scan parallelism.
+
+    The fixture parquet files are written as a single row group, and
+    parquet splits only at row-group boundaries — so every scan is ONE
+    task, and any compute-heavy narrow stage chained onto it (explode,
+    higher-order shingle folds, Arrow UDFs) runs on one core. A row
+    shuffle of the pre-explode rows is tiny compared to the work it
+    parallelizes. On a real cluster the input is already many-partition
+    and this becomes a partition-count sizing knob for UDF batching."""
+    n = n or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
 
 
 def dsum(col: Column | str, scale: int = 4) -> Column:

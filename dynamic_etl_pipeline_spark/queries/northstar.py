@@ -52,7 +52,7 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     corpus = d.unionByName(mutated)
-    return minhash_lsh_pairs(corpus, "doc_id", "text", threshold=0.5, udf_partitions=8)
+    return minhash_lsh_pairs(corpus, "doc_id", "text", threshold=0.5, udf_partitions=32)
 
 
 @query("minhash_dup_clusters")  # rows-only: iterative algorithm
@@ -73,7 +73,7 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return simhash_pairs(d.unionByName(mutated), "doc_id", "text", max_hamming=3,
-                         udf_partitions=8)
+                         udf_partitions=32)
 
 
 @query("lsh_ann_topk")  # rows-only: seeded-hyperplane bucketing

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ._helpers import davg
+from ._helpers import davg, spread
 from .registry import query
 
 
@@ -131,14 +131,20 @@ WHERE doc_id < 10
 def doc_tf_idf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF: explode -> tf per (doc, term) -> df per term -> join.
 
+    Document frequency is DERIVED from the tf aggregate (a (doc, tok)
+    row exists iff the doc contains the tok, so df = count over tf) —
+    the token explode and the (doc_id, tok) shuffle happen once and the
+    df branch is a ReusedExchange, not a second pass over the corpus.
     The df side is tiny (vocabulary-sized) and broadcast; n_docs is a
     scalar broadcast. ln() differs in the last ulp between JVM and C
     libm, hence round(6) on both sides.
     """
     d = load_table(spark, sf_dir, "documents")
-    tokens = d.select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
+    tokens = spread(d).select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    )
     tf = tokens.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    df = tokens.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
     n_docs = d.count()  # driver-side scalar: one number, not data movement
     return (
         tf.join(F.broadcast(df), "tok")
@@ -253,7 +259,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the Filter between the two projections is a CollapseProject
     # barrier: `toks` stays materialized, so the element_at accesses in
     # the gram lambda hit a column attribute, not a re-evaluated split
-    base = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 3)
+    base = spread(d).select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 3)
     shingled = base.select(
         "doc_id",
         F.explode(
@@ -437,8 +443,10 @@ def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle's range() yields no rows for them, and Spark's sequence()
     would instead produce a DESCENDING sequence (then slice(..., 0, ...)
     throws), so they are filtered out up front."""
-    d = load_table(spark, sf_dir, "documents").filter(
-        F.length("text") >= _WIN_K + _WIN_W - 1
+    d = spread(
+        load_table(spark, sf_dir, "documents").filter(
+            F.length("text") >= _WIN_K + _WIN_W - 1
+        )
     )
     hashes = F.expr(f"""
       transform(sequence(1, length(text) - {_WIN_K} + 1),

@@ -388,19 +388,48 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     512-token bins; each output row is (bin, doc, tokens contributed),
     i.e. the packing manifest a dataloader shards on. Document spans
     are [cumsum - n, cumsum), so bin membership is a pure function of
-    the prefix sum — one global running-sum window (at 100 TB: compute
-    per-partition subtotals + a broadcast prefix instead; the operator
-    is still a single pass) and a bounded explode over the bins each
-    doc straddles."""
+    the prefix sum.
+
+    The prefix sum is TWO-LEVEL (no global single-partition window):
+    docs are bucketed by the monotone map doc_id DIV 4096 (order
+    preserving for any int ids, <= 4096 rows per bucket), the running
+    sum is computed per bucket in parallel, and each bucket's starting
+    offset comes from a window over the per-bucket totals — a frame
+    with one row per bucket, broadcast-joined back. At 100 TB the
+    bucket width is sized so the totals frame stays ~#partitions rows;
+    the data-sized windows all shuffle by bucket and run in parallel."""
     d = load_table(spark, sf_dir, "documents")
+    bucket_width = 4096
     sized = d.select(
-        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
-    )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    off = sized.select(
         "doc_id",
-        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("lo"),
-        F.sum("n_tokens").over(w).alias("hi"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        (F.col("doc_id") / bucket_width).cast("long").alias("bucket"),
+    )
+    w_local = (
+        Window.partitionBy("bucket").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = sized.select(
+        "doc_id", "bucket", "n_tokens",
+        F.sum("n_tokens").over(w_local).alias("local_hi"),
+    )
+    w_buckets = (
+        Window.partitionBy(F.lit(0)).orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        sized.groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("bucket_total"))
+        .select(
+            "bucket",
+            F.coalesce(F.sum("bucket_total").over(w_buckets), F.lit(0))
+            .alias("bucket_off"),
+        )
+    )
+    off = local.join(F.broadcast(offsets), "bucket").select(
+        "doc_id",
+        (F.col("bucket_off") + F.col("local_hi") - F.col("n_tokens")).alias("lo"),
+        (F.col("bucket_off") + F.col("local_hi")).alias("hi"),
     )
     cap = _PACK_CAP
     return (
