@@ -74,6 +74,26 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC (columnar sibling of parquet, built into Spark): same
+    vectorized reader, predicate pushdown, and column pruning as the
+    parquet path — interchange format for Hive-era lakes."""
+    return spark.read.orc(path)
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro (row-oriented interchange). The spark-avro module is a
+    separate jar not shipped in this environment; the reader degrades
+    with a clear message instead of a classpath stack trace."""
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as exc:  # AnalysisException: failed to find source
+        raise NotImplementedError(
+            "Avro needs the spark-avro package (org.apache.spark:spark-avro); "
+            "add it via spark.jars.packages"
+        ) from exc
+
+
 # --------------------------------------------------------------------------
 # Text with encoding tolerance
 # --------------------------------------------------------------------------
@@ -260,6 +280,8 @@ _READERS: dict[str, Callable[..., DataFrame]] = {
     ".json": read_json,
     ".jsonl": read_json,
     ".parquet": read_parquet,
+    ".orc": read_orc,
+    ".avro": read_avro,
     ".pdf": read_pdf,
     ".docx": read_docx,
     ".xml": read_xml,

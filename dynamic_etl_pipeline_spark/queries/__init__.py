@@ -17,3 +17,4 @@ from . import streaming  # noqa: E402,F401
 from . import advanced  # noqa: E402,F401
 from . import training  # noqa: E402,F401
 from . import analytics  # noqa: E402,F401
+from . import mutations  # noqa: E402,F401

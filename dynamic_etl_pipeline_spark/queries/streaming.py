@@ -119,6 +119,45 @@ def streaming_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@query("streaming_stream_static_join", oracle="""
+SELECT c.c_mktsegment, time_bucket(INTERVAL '1 hour', e.ts) AS bucket,
+       count(*) AS n_events,
+       CAST(sum(CAST(e.value AS DECIMAL(27,4))) AS DOUBLE) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+""")
+def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join (the canonical dimension-lookup
+    shape): the unbounded event stream joins a bounded customer
+    dimension — stateless per micro-batch, broadcast to every task, no
+    join state to watermark — then rolls up value by segment and hour.
+    At scale the static side is a slowly-refreshed table; re-planning
+    per micro-batch picks up new snapshots."""
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = stream_events(spark, sf_dir).join(F.broadcast(dim), "user_id")
+    agg = (
+        joined.withWatermark("ts", "2 hours")
+        .groupBy("c_mktsegment", F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,4)")).cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "c_mktsegment",
+            F.col("w.start").cast("timestamp_ntz").alias("bucket"),
+            "n_events", "total_value",
+        )
+    )
+    return run_available_now_to_memory(agg)
+
+
 @query("streaming_stream_stream_join", oracle="""
 SELECT p.event_id AS purchase_id, c.event_id AS click_id
 FROM events p

@@ -48,6 +48,49 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# GPT-2-style pre-tokenizer regex (simplified to the RE2 ∩ java.util.regex
+# dialect: no lookahead): contraction suffixes, space-prefixed word /
+# number / punctuation runs, residual spaces. Same pattern text on both
+# engines; both RE2 (DuckDB) and java.util.regex pick alternatives
+# leftmost-first, so the token streams are identical.
+_BPE_PAT = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+_BPE_PAT_SQL = _BPE_PAT.replace("'", "''")
+
+
+@query("doc_bpe_token_stats", oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         len(regexp_extract_all(text, '{_BPE_PAT_SQL}')) AS n_bpe,
+         len(string_split_regex(text, '\\s+')) AS n_ws
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
+       CAST(CAST(sum(n_bpe) AS DOUBLE) / sum(n_ws) AS DOUBLE)
+         AS bpe_per_word
+FROM t GROUP BY lang
+""")
+def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-style pre-tokenizer regex (the
+    whitespace count in doc_token_stats underestimates LLM token cost;
+    this is the standard GPT-2 pre-split granularity). Per-language
+    totals + tokens-per-word expansion factor. Pure codegen'd
+    regexp_extract_all — no UDF."""
+    d = load_table(spark, sf_dir, "documents")
+    n_bpe = F.size(F.regexp_extract_all("text", F.lit(_BPE_PAT), 0))
+    n_ws = F.size(F.split("text", r"\s+"))
+    return (
+        d.select("lang", n_bpe.alias("n_bpe"), n_ws.alias("n_ws"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bpe").cast("bigint").alias("total_bpe_tokens"),
+            (F.sum("n_bpe").cast("double") / F.sum("n_ws"))
+            .cast("double").alias("bpe_per_word"),
+        )
+    )
+
+
 @query("doc_stats_by_lang", oracle="""
 SELECT lang, source,
        count(*) AS n_docs,
