@@ -19,16 +19,21 @@ from pyspark.sql import functions as F
 def asof_join(left: DataFrame, right: DataFrame, on: str,
               left_ts: str = "ts", right_ts: str = "ts",
               value_cols: list[str] | None = None,
-              suffix: str = "_asof", strict: bool = False) -> DataFrame:
-    """For each left row: latest right row with right_ts <= left_ts
-    (or < when strict) sharing the join key.
+              suffix: str = "_asof", strict: bool = False,
+              direction: str = "backward") -> DataFrame:
+    """For each left row: the nearest right row sharing the join key —
+    latest with right_ts <= left_ts (direction="backward", default) or
+    earliest with right_ts >= left_ts (direction="forward"); strict
+    excludes equal timestamps.
 
     Implementation: tag + union both sides, sort within the key by
-    (ts, right-before-left at equal ts unless strict), carry right
-    values forward with last(ignorenulls), keep left rows. Right value
-    columns come back suffixed; right rows with no match yield NULLs
-    (left-outer semantics).
+    (ts, right-before-left at equal ts unless strict; ts order reversed
+    for forward), carry right values with last(ignorenulls), keep left
+    rows. Right value columns come back suffixed; right rows with no
+    match yield NULLs (left-outer semantics).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     value_cols = value_cols or [
         c for c in right.columns if c not in (on, right_ts)
     ]
@@ -45,11 +50,13 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
 
     # At equal timestamps the right row must sort before the left row to
-    # be visible (<=); strict mode flips that so it is not.
+    # be visible (<= / >=); strict mode flips that so it is not.
+    # Forward direction = the same scan over reversed time order.
     order_src = F.asc("_src") if not strict else F.desc("_src")
+    order_ts = F.asc("_ts") if direction == "backward" else F.desc("_ts")
     w = (
         Window.partitionBy(on)
-        .orderBy(F.asc("_ts"), order_src)
+        .orderBy(order_ts, order_src)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(

@@ -338,3 +338,24 @@ def sql_facade_nation_league(spark: SparkSession, sf_dir: str) -> DataFrame:
         customer="customer_sqlf", orders="orders_sqlf",
         lineitem="lineitem_sqlf", nation="nation_sqlf",
     ))
+
+
+@query("agg_boolean_battery", oracle="""
+SELECT o_orderpriority,
+       CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
+       bool_and(o_totalprice > 1000) AS all_over_1k,
+       bool_or(o_orderstatus = 'F') AS any_finished,
+       CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses
+FROM orders GROUP BY o_orderpriority
+""")
+def agg_boolean_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/conditional aggregate family (count_if / bool_and /
+    bool_or) — all partial-aggregatable single-bit state, the cheapest
+    aggregates in the engine."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+    )

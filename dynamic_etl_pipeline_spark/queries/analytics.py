@@ -762,3 +762,65 @@ def rfm_segments_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_customers"))
     )
+
+
+# --------------------------------------------------------------------------
+# Graph: triangle enumeration over the strong co-purchase graph
+# --------------------------------------------------------------------------
+
+@query("copurchase_triangles", oracle="""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT e1.u AS part_a, e1.v AS part_b, e2.v AS part_c
+FROM e e1
+JOIN e e2 ON e2.u = e1.v
+JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+""")
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration on the strong co-purchase graph (edges =
+    part pairs bought together in >= 2 orders). Edges are oriented
+    (u < v), so each triangle is counted once and every join stays an
+    equi-join on a vertex key — the standard distributed triangle
+    algorithm; orientation also caps the join fan-out by forward
+    degree. The edge list is built once and reused by all three legs."""
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("u", "v")
+        # three consumers below: materialize the (small) strong-edge
+        # list once instead of re-running the basket self-join per leg
+        .localCheckpoint(eager=True)
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    return (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("part_a"),
+            F.col("e1.v").alias("part_b"),
+            F.col("e2.v").alias("part_c"),
+        )
+    )

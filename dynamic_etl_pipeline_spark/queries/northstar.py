@@ -39,6 +39,29 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(clicks, purchases, on="user_id", value_cols=["value"])
 
 
+@query("asof_join_events_forward", oracle="""
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT clicks.event_id, clicks.user_id, clicks.ts,
+       purchases.value AS value_asof
+FROM clicks ASOF LEFT JOIN purchases
+  ON clicks.user_id = purchases.user_id AND clicks.ts <= purchases.ts
+""")
+def asof_join_events_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each click enriched with the user's NEXT purchase
+    value (earliest purchase at or after the click) — the same single
+    keyed window scan as backward as-of, over reversed time order; vs
+    DuckDB's native ASOF with the <= comparator."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    return asof_join(clicks, purchases, on="user_id", value_cols=["value"],
+                     direction="forward")
+
+
 @query("minhash_near_dups")  # rows-only: engine-specific hashing
 def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs over documents + synthesized mutants

@@ -310,3 +310,24 @@ def test_media_resize_and_features(spark):
     again = {r["media_id"]: r["feature"]
              for r in extract_features(df).collect()}
     assert feats == again                # deterministic
+
+
+def test_asof_forward_and_direction_validation(spark):
+    from dynamic_etl_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "L1"), (1, 50, "L2")], ["k", "ts", "tag"]
+    )
+    right = spark.createDataFrame(
+        [(1, 20, 2.0), (1, 60, 6.0)], ["k", "ts", "v"]
+    )
+    fwd = {r["tag"]: r["v_asof"] for r in
+           asof_join(left, right, on="k", value_cols=["v"],
+                     direction="forward").collect()}
+    assert fwd == {"L1": 2.0, "L2": 6.0}
+    back = {r["tag"]: r["v_asof"] for r in
+            asof_join(left, right, on="k", value_cols=["v"]).collect()}
+    assert back == {"L1": None, "L2": 2.0}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, on="k", direction="sideways")
