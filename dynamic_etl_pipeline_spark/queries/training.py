@@ -413,8 +413,14 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "bucket", "n_tokens",
         F.sum("n_tokens").over(w_local).alias("local_hi"),
     )
+    # partition key is constant-0 so the (one-row-per-bucket) offsets
+    # frame computes in a single task — but written as pmod(bucket, 1)
+    # because a literal gets constant-folded OUT of the partition spec,
+    # which both re-triggers WindowExec's global-window warning and
+    # loses the explicit statement that this frame is meant to be tiny.
     w_buckets = (
-        Window.partitionBy(F.lit(0)).orderBy("bucket")
+        Window.partitionBy(F.pmod(F.col("bucket"), F.lit(1)))
+        .orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = (

@@ -161,3 +161,37 @@ def test_pagerank_year_scope_reaches_scan(spark, sf_dir):
     pushed = pushed_filters(QUERIES["copurchase_pagerank"](spark, sf_dir))
     assert any(p.startswith("GreaterThanOrEqual(l_shipdate") for p in pushed)
     assert any(p.startswith("LessThan(l_shipdate") for p in pushed)
+
+
+def test_merge_is_single_equi_outer_join(spark, sf_dir):
+    df = QUERIES["merge_orders_upsert"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # one full-outer on the merge key + one anti for the delete pass
+    assert "FullOuter" in plan and "LeftAnti" in plan
+
+
+def test_triangle_joins_stay_equi(spark, sf_dir):
+    df = QUERIES["copurchase_triangles"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lateral_decorrelates_to_window_topk(spark, sf_dir):
+    df = QUERIES["sql_lateral_top2_orders"](spark, sf_dir)
+    plan = formatted_plan(df)
+    # per-row subquery re-execution would appear as a nested-loop join;
+    # the accepted plan is window group-limit + one equi join
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_pack_sequences_has_no_global_data_window(spark, sf_dir):
+    df = QUERIES["corpus_pack_sequences"](spark, sf_dir)
+    plan = formatted_plan(df)
+    # the doc-sized window must partition by bucket; the only
+    # single-partition window allowed is the one-row-per-bucket offsets
+    # frame, which is guarded by its own partitionBy(lit) spec
+    assert "windowspecdefinition(bucket" in plan
