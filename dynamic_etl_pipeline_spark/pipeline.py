@@ -104,6 +104,70 @@ class EtlPipeline:
             schema_changed=changed,
         )
 
+    def upsert(self, path: str | None = None, keys: list[str] | None = None,
+               *, df: DataFrame | None = None, **reader_kwargs) -> IngestReport:
+        """Keyed ingest: batch records whose keys already exist REPLACE
+        the stored record (latest wins — content, patterns, lineage,
+        quality annotations all taken from the new batch); new keys
+        insert. The reference can only append (app.py:133-141); this is
+        the MERGE-maintained record store.
+
+        Execution is the join-and-rewrite strategy (operators/merge.py)
+        plus the store's atomic swap idiom: merge into a staging
+        directory partitioned by schema version, then rename into
+        place. Schema drift is handled by aligning the store to the
+        union of schemas before the merge, so a batch that adds columns
+        upserts cleanly (old rows read NULL for the new columns).
+        """
+        import shutil
+
+        from pyspark.sql import Observation
+
+        from .operators.merge import merge_upsert
+
+        if not keys:
+            raise ValueError("upsert requires non-empty merge keys")
+        src = df if df is not None else read_any(self.spark, path, **reader_kwargs)
+        batch, version, changed = self.transform(src)
+        # schema-alignment probe taken BEFORE observe so the Observation
+        # node appears exactly once in the merged plan
+        align = batch.limit(0)
+        obs = Observation()
+        batch = batch.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_records"),
+            F.sum((F.size(F.col(ISSUES_COL)) > 0).cast("long")).alias("n_bad"),
+        )
+        store = Path(self.records_path)
+        if not store.exists():
+            (
+                batch.drop("_schema_version")
+                .write.mode("append")
+                .parquet(f"{self.records_path}/_schema_version={version}")
+            )
+        else:
+            target = self.records().unionByName(align, allowMissingColumns=True)
+            merged = merge_upsert(target, batch, keys)
+            tmp = store.with_name("records.upserting")
+            (
+                merged.write.mode("overwrite")
+                .partitionBy("_schema_version")
+                .parquet(str(tmp))
+            )
+            old = store.with_name("records.old")
+            store.rename(old)
+            tmp.rename(store)
+            shutil.rmtree(old)
+        n_records = obs.get["n_records"]
+        n_bad = obs.get["n_bad"] or 0
+        return IngestReport(
+            n_records=n_records,
+            n_good=n_records - n_bad,
+            n_with_issues=n_bad,
+            schema_version=version,
+            schema_changed=changed,
+        )
+
     def records(self, latest_n: int | None = None,
                 version: int | None = None) -> DataFrame:
         """Browse stored records (reference get_records app.py:169-173;

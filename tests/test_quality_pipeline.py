@@ -146,3 +146,38 @@ def test_export_sqlite_reference_artifact_shape(spark, tmp_path, fixtures_dir):
         assert isinstance(json.loads(added), list)
     finally:
         con.close()
+
+
+def test_upsert_replaces_by_key_and_survives_drift(spark, tmp_path):
+    store = str(tmp_path / "upsert_store")
+    pipe = EtlPipeline(spark, store)
+
+    batch1 = spark.createDataFrame(
+        [("k1", "first version"), ("k2", "untouched"), ("k3", "also kept")],
+        ["rec_id", "content"],
+    )
+    r1 = pipe.upsert(df=batch1, keys=["rec_id"])
+    assert r1.n_records == 3
+
+    # batch 2: replaces k1, inserts k4, and DRIFTS the schema (new col)
+    batch2 = spark.createDataFrame(
+        [("k1", "second version", "extra"), ("k4", "brand new", "more")],
+        ["rec_id", "content", "note"],
+    )
+    r2 = pipe.upsert(df=batch2, keys=["rec_id"])
+    assert r2.n_records == 2 and r2.schema_changed
+
+    rows = {r["rec_id"]: r for r in pipe.records().collect()}
+    assert set(rows) == {"k1", "k2", "k3", "k4"}
+    assert rows["k1"]["content"] == "second version"
+    assert rows["k1"]["note"] == "extra"          # replaced row took batch-2 shape
+    assert rows["k1"]["_schema_version"] == r2.schema_version
+    assert rows["k2"]["content"] == "untouched"
+    assert rows["k2"]["note"] is None             # old rows read NULL for drift col
+    assert rows["k2"]["_schema_version"] == r1.schema_version
+    assert rows["k4"]["content"] == "brand new"
+
+    # idempotent replay of the same batch: same end state
+    pipe.upsert(df=batch2, keys=["rec_id"])
+    again = {r["rec_id"]: r["content"] for r in pipe.records().collect()}
+    assert again == {k: r["content"] for k, r in rows.items()}
