@@ -507,3 +507,91 @@ def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(fps).alias("fp"))
         .distinct()
     )
+
+
+_CDC_D = 64  # boundary divisor: expected chunk length ~64 chars
+
+
+@query("doc_cdc_chunks", oracle=f"""
+WITH h AS (
+  SELECT doc_id, text,
+         list_transform(range(1, length(text) - {_WIN_K} + 2),
+           i -> list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(0, {_WIN_K}),
+                      j -> CAST(ascii(substring(text, CAST(i + j AS INT), 1))
+                                AS BIGINT))),
+                  (acc, c) -> (acc * {_WIN_B} + c) % {_WIN_M})) AS hs
+  FROM documents
+  WHERE doc_id < 100 AND length(text) >= {_WIN_K}
+), c AS (
+  SELECT doc_id, text,
+         list_transform(
+           list_filter(range(1, len(hs) + 1), i -> hs[i] % {_CDC_D} = 0),
+           i -> CAST(i + {_WIN_K} - 1 AS BIGINT)) AS cuts
+  FROM h
+), bounds AS (
+  SELECT doc_id, text,
+         list_concat(list_concat([CAST(0 AS BIGINT)], cuts),
+                     [CAST(length(text) AS BIGINT)]) AS bs
+  FROM c
+), expl AS (
+  SELECT doc_id, text, bs,
+         unnest(generate_series(1, len(bs) - 1)) AS j
+  FROM bounds
+)
+SELECT doc_id, CAST(j AS INT) AS chunk_no,
+       CAST(bs[j+1] - bs[j] AS INT) AS chunk_len,
+       md5(substring(text, CAST(bs[j] + 1 AS INT),
+                     CAST(bs[j+1] - bs[j] AS INT))) AS chunk_md5
+FROM expl
+WHERE bs[j+1] > bs[j]
+""")
+def doc_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (FastCDC/rsync-style): cut each document
+    where the rolling k-gram hash hits 0 mod {D}. Because boundaries
+    depend only on LOCAL content, an insertion early in a document
+    shifts at most one chunk's hash — the property that makes
+    chunk-level dedup robust to edits, where fixed-size blocks would
+    re-hash everything downstream. Shares the winnowing rolling hash
+    (same mod-space polynomial, bit-exact on both engines); md5 chunk
+    ids are the dedup join key. Map-only + a bounded explode."""
+    d = spread(
+        load_table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 100) & (F.length("text") >= _WIN_K))
+    )
+    hashes = F.expr(f"""
+      transform(sequence(1, length(text) - {_WIN_K} + 1),
+                i -> aggregate(sequence(0, {_WIN_K} - 1), 0L,
+                               (acc, j) -> (acc * {_WIN_B}
+                                 + ascii(substring(text, i + j, 1)))
+                                 % {_WIN_M}))
+    """)
+    cuts = F.expr(
+        f"transform(filter(sequence(1, size(hs)),"
+        f" i -> element_at(hs, i) % {_CDC_D} = 0),"
+        f" i -> cast(i + {_WIN_K} - 1 AS bigint))"
+    )
+    bs = F.concat(
+        F.array(F.lit(0).cast("bigint")),
+        F.col("cuts"),
+        F.array(F.length("text").cast("bigint")),
+    )
+    lo = F.element_at("bs", F.col("j"))
+    hi = F.element_at("bs", F.col("j") + 1)
+    return (
+        d.select("doc_id", "text", hashes.alias("hs"))
+        .select("doc_id", "text", cuts.alias("cuts"))
+        .select("doc_id", "text", bs.alias("bs"))
+        .select(
+            "doc_id", "text", "bs",
+            F.explode(F.expr("sequence(1, size(bs) - 1)")).alias("j"),
+        )
+        .filter(hi > lo)
+        .select(
+            "doc_id",
+            F.col("j").cast("int").alias("chunk_no"),
+            (hi - lo).cast("int").alias("chunk_len"),
+            F.md5(F.substring(F.col("text"), lo.cast("int") + 1, (hi - lo).cast("int"))).alias("chunk_md5"),
+        )
+    )

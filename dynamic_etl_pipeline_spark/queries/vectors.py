@@ -227,3 +227,53 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid_v")
         )
     )
+
+
+@query("embedding_quantize_int8", oracle="""
+WITH b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), mm AS (
+  SELECT vec_id, e,
+         list_aggregate(e, 'min') AS mn,
+         list_aggregate(e, 'max') AS mx
+  FROM b
+)
+SELECT vec_id,
+       round(mn, 6) AS v_min,
+       round(mx, 6) AS v_max,
+       CAST(CASE WHEN mx = mn THEN 0
+            ELSE list_sum(list_transform(e,
+                   x -> CAST(floor((x - mn) / (mx - mn) * 254) - 127
+                        AS BIGINT)))
+            END AS BIGINT) AS code_sum,
+       CAST(len(e) AS INT) AS n_dims
+FROM mm
+""")
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding column (the standard
+    4x memory compression before ANN indexing): per-vector min/max
+    affine map onto [-127, 127]. Codes use floor (not round) so the
+    result is pure IEEE double arithmetic — bit-identical across
+    engines; the checksum over codes proves value-level parity without
+    emitting 64 columns. Map-only: no shuffle, no UDF."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ed = F.transform("embedding", lambda x: x.cast("double"))
+    base = e.select("vec_id", ed.alias("e")).select(
+        "vec_id", "e",
+        F.array_min("e").alias("mn"), F.array_max("e").alias("mx"),
+    )
+    codes = F.transform(
+        "e",
+        lambda x: (
+            F.floor((x - F.col("mn")) / (F.col("mx") - F.col("mn")) * 254) - 127
+        ).cast("bigint"),
+    )
+    return base.select(
+        "vec_id",
+        F.round("mn", 6).alias("v_min"),
+        F.round("mx", 6).alias("v_max"),
+        F.when(F.col("mx") == F.col("mn"), F.lit(0).cast("bigint"))
+        .otherwise(F.aggregate(codes, F.lit(0).cast("bigint"), lambda a, x: a + x))
+        .alias("code_sum"),
+        F.size("e").cast("int").alias("n_dims"),
+    )
