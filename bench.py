@@ -38,6 +38,9 @@ HEADLINE = [
     "corpus_pack_sequences",    # global prefix-sum sequence packing
     "events_gap_fill",          # dense resample + forward fill (time series)
     "copurchase_pagerank",      # iterative Pregel-style graph loop
+    "merge_orders_upsert",      # MERGE as one full-outer join (round 2)
+    "doc_cdc_chunks",           # content-defined chunking rolling hash (round 2)
+    "sql_recursive_supplier_chain",  # recursive CTE fixpoint (round 2)
 ]
 
 

@@ -83,3 +83,51 @@ def test_salted_join_rejects_build_preserving_types(spark):
             salted_join(left, right, "k", how=how)
     # probe-preserving types still work
     assert salted_join(left, right, "k", how="left_anti").count() == 0
+
+
+def test_cdc_chunks_reassemble_exactly(spark, sf_dir):
+    from dynamic_etl_pipeline_spark.queries.text import doc_cdc_chunks
+
+    chunks = doc_cdc_chunks(spark, sf_dir)
+    per_doc = {
+        r["doc_id"]: r["total"]
+        for r in chunks.groupBy("doc_id")
+        .agg(F.sum("chunk_len").alias("total")).collect()
+    }
+    docs = {
+        r["doc_id"]: len(r["text"])
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter("doc_id < 100 AND length(text) >= 5").collect()
+    }
+    assert per_doc == docs  # chunks partition every doc exactly
+
+
+def test_cdc_edit_locality(spark, tmp_path):
+    """An insertion must invalidate only the chunks overlapping the
+    edit — the property that makes CDC robust where fixed blocks
+    are not."""
+    from dynamic_etl_pipeline_spark.queries.text import doc_cdc_chunks
+
+    import random
+
+    # non-repeating text: repeated phrases would collapse the md5 sets
+    # and hide (or fake) locality
+    rng = random.Random(7)
+    base = " ".join(
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz")
+                for _ in range(rng.randint(3, 9)))
+        for _ in range(120)
+    )
+    edited = base[:250] + "XYZ" + base[250:]
+    spark.createDataFrame(
+        [(1, base), (2, edited)], ["doc_id", "text"]
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = doc_cdc_chunks(spark, str(tmp_path)).collect()
+    a = [r["chunk_md5"] for r in rows if r["doc_id"] == 1]
+    b = [r["chunk_md5"] for r in rows if r["doc_id"] == 2]
+    # every chunk except the edited one (and at most its neighbor)
+    # survives the insertion; boundaries re-synchronize after the edit
+    assert len(a) > 4
+    assert len(set(a) - set(b)) <= 2 and len(set(b) - set(a)) <= 2
