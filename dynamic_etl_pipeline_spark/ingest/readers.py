@@ -87,11 +87,16 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     with a clear message instead of a classpath stack trace."""
     try:
         return spark.read.format("avro").load(path)
-    except Exception as exc:  # AnalysisException: failed to find source
-        raise NotImplementedError(
-            "Avro needs the spark-avro package (org.apache.spark:spark-avro); "
-            "add it via spark.jars.packages"
-        ) from exc
+    except Exception as exc:
+        # Only translate the missing-data-source failure; a real error
+        # (bad path, corrupt file) must surface as itself, not as a
+        # false "package missing" diagnosis.
+        if "failed to find" in str(exc).lower() and "avro" in str(exc).lower():
+            raise NotImplementedError(
+                "Avro needs the spark-avro package "
+                "(org.apache.spark:spark-avro); add it via spark.jars.packages"
+            ) from exc
+        raise
 
 
 # --------------------------------------------------------------------------

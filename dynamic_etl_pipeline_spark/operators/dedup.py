@@ -65,25 +65,6 @@ def shingle_ngrams(col: Column | str, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
-def shingle_hashes(col: Column | str, n: int = 3) -> Column:
-    """Distinct word-n-gram hashes WITHOUT building n-gram strings: one
-    murmur hash per token (single JVM pass), then each shingle is a
-    polynomial roll of n consecutive token hashes mod 2^31-1. Building
-    the concatenated gram strings instead costs ~10x (per-gram string
-    allocation inside interpreted higher-order exprs, measured 13.5s vs
-    1.5s on the sf0.1 corpus)."""
-    c = col if isinstance(col, Column) else F.col(col)
-    toks = F.split(F.trim(c), r"\s+")
-    th = F.transform(toks, lambda t: F.hash(t).cast("long"))
-    grams = _zip_ngrams(
-        th, n,
-        lambda a, b: F.pmod(
-            F.pmod(a, F.lit(_M31)) * F.lit(8191) + b, F.lit(_M31)
-        ),
-    )
-    return F.array_distinct(grams)
-
-
 def _perm_coeffs(num_perm: int, seed: int) -> list[tuple[int, int]]:
     rng = np.random.default_rng(seed)
     a = rng.integers(1, 1 << 31, size=num_perm, dtype=np.int64)
@@ -142,8 +123,10 @@ def _sig_udf(num_perm: int, seed: int, shingle_n: int):
         np.cumsum(ne_lens[:-1], out=starts[1:])
         valid = np.ones(len(gall), dtype=bool)
         for j in range(1, n):
+            # clamp both ends: a short FINAL doc (< n-1 tokens) puts its
+            # boundary-cross positions past the end of gall
             cross = starts[1:] - j
-            valid[cross[cross >= 0]] = False
+            valid[cross[(cross >= 0) & (cross < len(gall))]] = False
         gvalid = gall[valid]
         ne_g = np.maximum(ne_lens - n + 1, 0)
         seg = ne_g[ne_g > 0]

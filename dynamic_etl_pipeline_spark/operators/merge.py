@@ -45,28 +45,38 @@ def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str],
         ]
     if deletes is not None:
         target = target.join(deletes.select(*keys), keys, "left_anti")
+    target_cols = target.columns
+    # explicit presence markers, NOT key-null tests: a row whose actual
+    # key VALUE is NULL must still be classified correctly (NULL keys
+    # never equi-match, so such rows are target-only / source-only)
+    t = target.withColumn("_mt_present", F.lit(True))
     s = source.select(
         *[F.col(k).alias(f"_mk_{k}") for k in keys],
         *[F.col(c).alias(f"_ms_{c}") for c in update_cols],
+        F.lit(True).alias("_ms_present"),
     )
-    cond = [target[k] == s[f"_mk_{k}"] for k in keys]
-    j = target.join(s, cond, "full_outer")
-    source_only = target[keys[0]].isNull()
+    cond = [t[k] == s[f"_mk_{k}"] for k in keys]
+    j = t.join(s, cond, "full_outer")
+    source_only = F.col("_mt_present").isNull()
     if not insert:
         j = j.filter(~source_only)
+    from_source = F.col("_ms_present").isNotNull()
     out_cols = []
-    for c in target.columns:
+    for c in target_cols:
         if c in keys:
-            out_cols.append(F.coalesce(target[c], F.col(f"_mk_{c}")).alias(c))
+            out_cols.append(
+                F.when(from_source & F.col("_mt_present").isNull(),
+                       F.col(f"_mk_{c}"))
+                .otherwise(t[c]).alias(c)
+            )
         elif c in update_cols:
             # matched -> source value; source-only insert -> source value;
             # target-only -> target value
             out_cols.append(
-                F.when(F.col(f"_mk_{keys[0]}").isNotNull(), F.col(f"_ms_{c}"))
-                .otherwise(target[c]).alias(c)
+                F.when(from_source, F.col(f"_ms_{c}")).otherwise(t[c]).alias(c)
             )
         else:
-            out_cols.append(target[c].alias(c))
+            out_cols.append(t[c].alias(c))
     return j.select(*out_cols)
 
 

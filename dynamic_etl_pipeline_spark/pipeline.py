@@ -112,12 +112,17 @@ class EtlPipeline:
         insert. The reference can only append (app.py:133-141); this is
         the MERGE-maintained record store.
 
-        Execution is the join-and-rewrite strategy (operators/merge.py)
-        plus the store's atomic swap idiom: merge into a staging
-        directory partitioned by schema version, then rename into
-        place. Schema drift is handled by aligning the store to the
-        union of schemas before the merge, so a batch that adds columns
-        upserts cleanly (old rows read NULL for the new columns).
+        Execution is the join-and-rewrite strategy (operators/merge.py):
+        merge into a staging directory partitioned by schema version,
+        then swap into place. The swap is crash-RECOVERABLE (single
+        writer): Spark's _SUCCESS marker distinguishes a committed
+        staging dir from a half-written one, and ``_recover_records``
+        (run before every upsert and read) either promotes a committed
+        staging dir or rolls back to the previous store, so no crash
+        window loses records or bricks later upserts. Schema drift is
+        handled by aligning the store to the union of schemas before
+        the merge, so a batch that adds columns upserts cleanly (old
+        rows read NULL for the new columns).
         """
         import shutil
 
@@ -127,6 +132,7 @@ class EtlPipeline:
 
         if not keys:
             raise ValueError("upsert requires non-empty merge keys")
+        self._recover_records()
         src = df if df is not None else read_any(self.spark, path, **reader_kwargs)
         batch, version, changed = self.transform(src)
         # schema-alignment probe taken BEFORE observe so the Observation
@@ -154,6 +160,9 @@ class EtlPipeline:
                 .partitionBy("_schema_version")
                 .parquet(str(tmp))
             )
+            # commit point is the tmp write's _SUCCESS marker: every
+            # crash window after it is rolled FORWARD by
+            # _recover_records, every one before it rolled back
             old = store.with_name("records.old")
             store.rename(old)
             tmp.rename(store)
@@ -168,6 +177,27 @@ class EtlPipeline:
             schema_changed=changed,
         )
 
+    def _recover_records(self) -> None:
+        """Finish or roll back an interrupted upsert swap (single-writer
+        store). A staging dir with Spark's _SUCCESS marker is a
+        committed merge: if the store is missing (crash between the two
+        renames) it is promoted; an uncommitted staging dir is
+        discarded and the previous store restored. Stale leftovers from
+        a crash after promotion are garbage-collected."""
+        import shutil
+
+        store = Path(self.records_path)
+        tmp = store.with_name("records.upserting")
+        old = store.with_name("records.old")
+        if not store.exists():
+            if (tmp / "_SUCCESS").exists():
+                tmp.rename(store)  # roll forward: merge was committed
+            elif old.exists():
+                old.rename(store)  # roll back: staging never completed
+        for d in (tmp, old):
+            if store.exists() and d.exists():
+                shutil.rmtree(d)
+
     def records(self, latest_n: int | None = None,
                 version: int | None = None) -> DataFrame:
         """Browse stored records (reference get_records app.py:169-173;
@@ -176,6 +206,7 @@ class EtlPipeline:
         ``version`` filters on the partition column, so the scan prunes
         to one schema-version directory instead of listing the store.
         """
+        self._recover_records()
         df = self.spark.read.option("mergeSchema", "true").parquet(self.records_path)
         if version is not None:
             df = df.filter(F.col("_schema_version") == version)

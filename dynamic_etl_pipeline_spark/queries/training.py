@@ -423,9 +423,12 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # bucket totals come from the already-windowed frame (the running
+    # sum's max IS the bucket total), so the scan + tokenize happens
+    # once and this branch is a ReusedExchange, not a second pass
     offsets = (
-        sized.groupBy("bucket")
-        .agg(F.sum("n_tokens").alias("bucket_total"))
+        local.groupBy("bucket")
+        .agg(F.max("local_hi").alias("bucket_total"))
         .select(
             "bucket",
             F.coalesce(F.sum("bucket_total").over(w_buckets), F.lit(0))

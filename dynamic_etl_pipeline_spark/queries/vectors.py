@@ -241,7 +241,7 @@ WITH b AS (
 SELECT vec_id,
        round(mn, 6) AS v_min,
        round(mx, 6) AS v_max,
-       CAST(CASE WHEN mx = mn THEN 0
+       CAST(CASE WHEN mx IS NULL OR mx = mn THEN 0
             ELSE list_sum(list_transform(e,
                    x -> CAST(floor((x - mn) / (mx - mn) * 254) - 127
                         AS BIGINT)))
@@ -272,7 +272,11 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round("mn", 6).alias("v_min"),
         F.round("mx", 6).alias("v_max"),
-        F.when(F.col("mx") == F.col("mn"), F.lit(0).cast("bigint"))
+        # empty vector -> mn/mx NULL: emit 0 on BOTH engines (Spark's
+        # aggregate over [] returns the init 0, DuckDB's list_sum([]) is
+        # NULL — without the IS NULL arm the oracle would diverge)
+        F.when(F.col("mx").isNull() | (F.col("mx") == F.col("mn")),
+               F.lit(0).cast("bigint"))
         .otherwise(F.aggregate(codes, F.lit(0).cast("bigint"), lambda a, x: a + x))
         .alias("code_sum"),
         F.size("e").cast("int").alias("n_dims"),

@@ -131,3 +131,65 @@ def test_cdc_edit_locality(spark, tmp_path):
     # survives the insertion; boundaries re-synchronize after the edit
     assert len(a) > 4
     assert len(set(a) - set(b)) <= 2 and len(set(b) - set(a)) <= 2
+
+
+def test_minhash_kernel_short_final_doc(spark):
+    """A 1-2-token doc at the END of an Arrow batch used to push the
+    boundary-cross indices past the gram array (IndexError)."""
+    from dynamic_etl_pipeline_spark.operators.dedup import minhash_signatures
+
+    df = spark.createDataFrame(
+        [(1, "a reasonably long document with many words in it"),
+         (2, "tiny")],
+        ["doc_id", "text"],
+    ).coalesce(1)
+    sigs = {r["doc_id"] for r in
+            minhash_signatures(df, "doc_id", "text", udf_partitions=1).collect()}
+    assert sigs == {1}  # short doc has no shingles -> dropped, no crash
+
+
+def test_merge_null_keys_classified_by_presence(spark):
+    from dynamic_etl_pipeline_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame([(None, "t-null"), (1, "t1")], "k int, v string")
+    source = spark.createDataFrame([(None, "s-null"), (1, "s1")], "k int, v string")
+    # NULL keys never equi-match: target NULL-key row is carried, source
+    # NULL-key row inserts WITH ITS OWN values
+    key = lambda t: (t[0] is not None, t[0] or 0, t[1])
+    got = sorted(((r["k"], r["v"]) for r in
+                  merge_upsert(target, source, ["k"]).collect()), key=key)
+    assert got == [(None, "s-null"), (None, "t-null"), (1, "s1")]
+    # insert=False must still carry the NULL-key target row
+    kept = sorted(((r["k"], r["v"]) for r in
+                   merge_upsert(target, source, ["k"], insert=False).collect()),
+                  key=key)
+    assert kept == [(None, "t-null"), (1, "s1")]
+
+
+def test_upsert_swap_crash_recovery(spark, tmp_path):
+    import shutil
+    from pathlib import Path
+
+    from dynamic_etl_pipeline_spark.pipeline import EtlPipeline
+
+    store_dir = str(tmp_path / "crash_store")
+    pipe = EtlPipeline(spark, store_dir)
+    pipe.upsert(df=spark.createDataFrame([("k1", "v1")], ["rec_id", "content"]),
+                keys=["rec_id"])
+    records = Path(pipe.records_path)
+
+    # (a) crash between the two renames: store moved to .old, committed
+    # staging present -> recovery must roll FORWARD to the staging state
+    tmp = records.with_name("records.upserting")
+    shutil.copytree(records, tmp)  # committed merge result (has _SUCCESS)
+    records.rename(records.with_name("records.old"))
+    assert {r["rec_id"] for r in pipe.records().collect()} == {"k1"}
+    assert records.exists() and not tmp.exists()
+
+    # (b) crash mid-staging-write: uncommitted staging + store renamed
+    # away -> recovery must roll BACK to the old store
+    tmp.mkdir()
+    (tmp / "part-0.parquet").write_bytes(b"garbage")  # no _SUCCESS
+    records.rename(records.with_name("records.old"))
+    assert {r["rec_id"] for r in pipe.records().collect()} == {"k1"}
+    assert not tmp.exists() and not records.with_name("records.old").exists()
