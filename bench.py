@@ -41,6 +41,8 @@ HEADLINE = [
     "merge_orders_upsert",      # MERGE as one full-outer join (round 2)
     "doc_cdc_chunks",           # content-defined chunking rolling hash (round 2)
     "sql_recursive_supplier_chain",  # recursive CTE fixpoint (round 2)
+    "doc_gopher_quality",       # map-only quality gates at scan speed (round 2)
+    "embedding_covariance",     # one-pass d^2 covariance aggregate (round 2)
 ]
 
 

@@ -18,3 +18,4 @@ from . import advanced  # noqa: E402,F401
 from . import training  # noqa: E402,F401
 from . import analytics  # noqa: E402,F401
 from . import mutations  # noqa: E402,F401
+from . import curation  # noqa: E402,F401

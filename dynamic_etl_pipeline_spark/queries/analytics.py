@@ -824,3 +824,45 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e2.v").alias("part_c"),
         )
     )
+
+
+from ..operators.layout import zvalue_sql  # noqa: E402
+
+_Z_COLS = [("o_custkey", "mn_c", "mx_c"), ("o_orderkey", "mn_o", "mx_o")]
+_Z_BITS = 12
+
+
+@query("layout_zorder_orders", oracle=f"""
+WITH bounds AS (
+  SELECT min(o_custkey) AS mn_c, max(o_custkey) AS mx_c,
+         min(o_orderkey) AS mn_o, max(o_orderkey) AS mx_o
+  FROM orders
+)
+SELECT o_orderkey, o_custkey,
+       {zvalue_sql(_Z_COLS, _Z_BITS, 'duckdb')} AS zval
+FROM orders CROSS JOIN bounds
+WHERE o_orderkey < 5000
+""")
+def layout_zorder_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) key over (o_custkey, o_orderkey) — the layout
+    operator's addressing math (operators/layout.py), exact-checked:
+    min-max normalize both keys to 12 bits in integer arithmetic and
+    interleave. cluster_by_zvalue range-partitions + sorts on this
+    value so every output file is a compact rectangle in
+    (custkey x orderkey) space and min/max skipping prunes on either
+    column; the pruning effect itself is pinned in tests/test_layout.py.
+    The expression is one codegen'd bit-arithmetic fold — map-only; the
+    bounds are a 1-row broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min("o_custkey").alias("mn_c"), F.max("o_custkey").alias("mx_c"),
+        F.min("o_orderkey").alias("mn_o"), F.max("o_orderkey").alias("mx_o"),
+    )
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .filter(F.col("o_orderkey") < 5000)
+        .select(
+            "o_orderkey", "o_custkey",
+            F.expr(zvalue_sql(_Z_COLS, _Z_BITS, "spark")).alias("zval"),
+        )
+    )

@@ -1,0 +1,225 @@
+"""Corpus-curation quality rules (SURVEY §2.12 north star): the
+published pre-training filters — Gopher-style repetition/shape signals
+(Rae et al. 2021, "Scaling Language Models", appendix A1) and
+cross-document boilerplate n-gram detection (the CCNet/C4 shared-line
+idea at n-gram granularity, since the fixture texts are single-line).
+
+All deterministic, DuckDB-oracle-checkable, and shuffle-light: the
+per-document signals are MAP-ONLY (array higher-order functions, no
+explode, no shuffle — at 100 TB this runs at scan speed), and the
+boilerplate pass is one explode + one shuffle keyed by the n-gram plus
+a broadcast join back, the same inverted-index shape as
+text.py::ngram_jaccard_pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import query
+
+# Gopher-flavored gates, adapted to the fixture corpus (synthetic
+# space-separated word soup: no newlines, no punctuation, 8-100 words).
+_MIN_WORDS, _MAX_WORDS = 10, 100_000
+_MIN_MWL, _MAX_MWL = 2.0, 12.0       # mean word length (Gopher: 3-10)
+_TOP2_MAX = 0.20                     # frac tokens in most-frequent 2-gram
+_DUP3_MAX = 0.60                     # frac of 3-gram positions duplicated
+
+
+@query("doc_gopher_quality", oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), g AS (
+  SELECT doc_id, toks, len(toks) AS n_words,
+         CASE WHEN len(toks) >= 2 THEN
+           list_transform(range(1, len(toks)),
+                          i -> toks[i] || ' ' || toks[i+1])
+         ELSE [] END AS g2,
+         CASE WHEN len(toks) >= 3 THEN
+           list_transform(range(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         ELSE [] END AS g3
+  FROM t
+), s AS (
+  SELECT doc_id, n_words,
+         CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
+           / n_words AS mean_word_len,
+         CASE WHEN len(g2) = 0 THEN 0.0 ELSE
+           CAST(2 * list_max(list_transform(list_distinct(g2),
+                  d -> len(list_filter(g2, x -> x = d)))) AS DOUBLE) / n_words
+         END AS top2gram_frac,
+         CASE WHEN len(g3) = 0 THEN 0.0 ELSE
+           1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3)
+         END AS dup3gram_frac
+  FROM g
+)
+SELECT doc_id, CAST(n_words AS INT) AS n_words,
+       round(mean_word_len, 6) AS mean_word_len,
+       round(top2gram_frac, 6) AS top2gram_frac,
+       round(dup3gram_frac, 6) AS dup3gram_frac,
+       (n_words BETWEEN {_MIN_WORDS} AND {_MAX_WORDS}
+        AND mean_word_len BETWEEN {_MIN_MWL} AND {_MAX_MWL}
+        AND top2gram_frac < {_TOP2_MAX}
+        AND dup3gram_frac < {_DUP3_MAX}) AS keep
+FROM s
+""")
+def doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-document quality gates: word count bounds, mean
+    word length, fraction of tokens inside the most-frequent word
+    2-gram, and duplicated-3-gram fraction — the repetition signals
+    that catch looping/boilerplate generations exact dedup misses.
+
+    Everything is computed INSIDE the row with array higher-order
+    functions (transform / filter / array_max over the token array):
+    map-only, zero shuffles, zero UDFs — the filter runs at parquet
+    scan speed no matter the corpus size. The most-frequent-2-gram
+    multiplicity is O(distinct x total) per doc, bounded by document
+    length, not corpus size."""
+    return gopher_signals(load_table(spark, sf_dir, "documents"))
+
+
+def gopher_signals(d: DataFrame) -> DataFrame:
+    """The query body over any (doc_id, text) frame — factored out so
+    edge cases the fixture lacks (empty text, 1-2 token docs) are
+    directly testable (tests/test_curation.py)."""
+    toks = F.split("text", " ")
+    n = F.size("toks")
+
+    def grams(k: int):
+        # guarded: sequence(1, n-k+1) is only evaluated when n >= k, so
+        # the descending-sequence trap (ADVICE r01) can't fire
+        return F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(F.col("toks"), i + j) for j in range(k)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    top2 = F.when(F.size("g2") == 0, F.lit(0.0)).otherwise(
+        2.0
+        * F.array_max(
+            F.transform(
+                F.array_distinct("g2"),
+                lambda d_: F.size(F.filter(F.col("g2"), lambda x: x == d_)),
+            )
+        ).cast("double")
+        / F.col("n_words")
+    )
+    dup3 = F.when(F.size("g3") == 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct("g3")).cast("double") / F.size("g3")
+    )
+    mwl = (
+        F.aggregate(
+            F.transform("toks", F.length), F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        ).cast("double")
+        / F.col("n_words")
+    )
+    keep = (
+        F.col("n_words").between(_MIN_WORDS, _MAX_WORDS)
+        & F.col("mean_word_len").between(_MIN_MWL, _MAX_MWL)
+        & (F.col("top2gram_frac") < _TOP2_MAX)
+        & (F.col("dup3gram_frac") < _DUP3_MAX)
+    )
+    return (
+        d.select("doc_id", toks.alias("toks"))
+        .select("doc_id", "toks", n.cast("int").alias("n_words"),
+                grams(2).alias("g2"), grams(3).alias("g3"))
+        .select("doc_id", "n_words",
+                F.round(mwl, 6).alias("mean_word_len"),
+                F.round(top2, 6).alias("top2gram_frac"),
+                F.round(dup3, 6).alias("dup3gram_frac"))
+        .select("doc_id", "n_words", "mean_word_len", "top2gram_frac",
+                "dup3gram_frac", keep.alias("keep"))
+    )
+
+
+_BOILER_N = 5      # boilerplate n-gram width (words)
+_BOILER_DF = 20    # appears in >= this many distinct docs => boilerplate
+
+
+@query("corpus_boilerplate_ngrams", oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  WHERE len(string_split(text, ' ')) >= {_BOILER_N}
+), pos AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks) - {_BOILER_N} + 2),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                || ' ' || toks[i+3] || ' ' || toks[i+4])) AS gram
+  FROM t
+), df AS (
+  SELECT gram, count(DISTINCT doc_id) AS n_docs FROM pos GROUP BY gram
+), boiler AS (
+  SELECT gram FROM df WHERE n_docs >= {_BOILER_DF}
+)
+SELECT doc_id,
+       count(*) AS n_grams,
+       CAST(count(*) FILTER (WHERE boiler.gram IS NOT NULL) AS BIGINT)
+         AS n_boiler,
+       round(CAST(count(*) FILTER (WHERE boiler.gram IS NOT NULL) AS DOUBLE)
+             / count(*), 6) AS boiler_frac
+FROM pos LEFT JOIN boiler USING (gram)
+GROUP BY doc_id
+""")
+def corpus_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection: a word-{n}-gram occurring
+    in >= {df} distinct documents is boilerplate (headers, disclaimers,
+    navigation chrome — the C4/CCNet shared-line filter at n-gram
+    granularity); each document reports what fraction of its n-gram
+    positions are boilerplate, the signal used to drop template pages.
+
+    Shape: one explode keyed by the gram -> distinct-doc count (one
+    shuffle, map-side partial on (gram, doc)), the surviving boilerplate
+    set is vocabulary-sized and broadcast back onto the position stream
+    — no self-join, no quadratic stage. At 100 TB the gram df aggregate
+    is the only wide stage and it's uniformly keyed."""
+    return boilerplate_ngrams(load_table(spark, sf_dir, "documents"))
+
+
+def boilerplate_ngrams(d: DataFrame, n: int = _BOILER_N,
+                       df_threshold: int = _BOILER_DF) -> DataFrame:
+    """The query body over any (doc_id, text) frame (testable with
+    synthetic corpora; the registered query uses the fixture defaults)."""
+    toks = F.split("text", " ")
+    base = (
+        d.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= n)
+    )
+    pos = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at(F.col("toks"), i + j)
+                      for j in range(n)],
+                ),
+            )
+        ).alias("gram"),
+    )
+    df_ = pos.groupBy("gram").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    boiler = df_.filter(F.col("n_docs") >= df_threshold).select(
+        "gram", F.lit(True).alias("is_boiler")
+    )
+    return (
+        pos.join(F.broadcast(boiler), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("is_boiler"), 1).otherwise(0))
+            .cast("bigint").alias("n_boiler"),
+            F.round(
+                F.sum(F.when(F.col("is_boiler"), 1).otherwise(0))
+                .cast("double") / F.count("*"), 6,
+            ).alias("boiler_frac"),
+        )
+    )

@@ -229,6 +229,112 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("embedding_covariance", oracle="""
+WITH b AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings WHERE len(embedding) > 0
+), p AS (
+  SELECT unnest(flatten(list_transform(range(0, len(e)),
+           i -> list_transform(range(i, len(e)),
+             j -> {'i': i, 'j': j, 'p': e[i+1] * e[j+1]})))) AS s
+  FROM b
+), agg AS (
+  SELECT s.i AS i, s.j AS j,
+         sum(CAST(s.p AS DECIMAL(27,12))) AS spd, count(*) AS n
+  FROM p GROUP BY 1, 2
+), d AS (
+  SELECT pos - 1 AS dim, sum(CAST(v AS DECIMAL(27,12))) AS sx
+  FROM (SELECT unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings WHERE len(embedding) > 0)
+  GROUP BY 1
+)
+SELECT CAST(agg.i AS INT) AS dim_i, CAST(agg.j AS INT) AS dim_j,
+       CAST(n AS BIGINT) AS n,
+       round((CAST(spd AS DOUBLE)
+              - CAST(di.sx AS DOUBLE) * CAST(dj.sx AS DOUBLE) / n) / n,
+             6) + 0.0 AS cov
+FROM agg JOIN d di ON di.dim = agg.i JOIN d dj ON dj.dim = agg.j
+""")
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance matrix of the embedding population, upper triangle as
+    (dim_i, dim_j, cov) rows — the input to PCA whitening / dimension
+    reduction (operators/pca.py eigendecomposes exactly this matrix).
+
+    Single pass: each vector emits its d(d+1)/2 upper-triangle products
+    via nested array transforms (JVM codegen, no UDF), one shuffle
+    aggregates them into d^2/2 cells — the classic one-pass
+    sum-of-outer-products E[xy] - E[x]E[y] formulation. Products and
+    per-dim sums accumulate in DECIMAL so both engines hit identical
+    bits; the d x d result is tiny regardless of corpus size, so at
+    100 TB this is a map-heavy scan + a fixed-size aggregate."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.size("embedding") > 0)
+    b = e.select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    pairs = b.select(
+        F.explode(F.expr("""
+          flatten(transform(sequence(0, size(e) - 1),
+            i -> transform(sequence(i, size(e) - 1),
+              j -> struct(i AS i, j AS j,
+                          element_at(e, i + 1) * element_at(e, j + 1) AS p))))
+        """)).alias("s")
+    )
+    agg = (
+        pairs.select("s.i", "s.j", "s.p")
+        .groupBy("i", "j")
+        .agg(
+            F.sum(F.col("p").cast("decimal(27,12)")).alias("spd"),
+            F.count("*").alias("n"),
+        )
+    )
+    dims = (
+        e.select(F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("dim", "v"))
+        .groupBy("dim")
+        .agg(F.sum(F.col("v").cast("decimal(27,12)")).alias("sx"))
+    )
+    di = dims.select(F.col("dim").alias("i"), F.col("sx").alias("sx_i"))
+    dj = dims.select(F.col("dim").alias("j"), F.col("sx").alias("sx_j"))
+    n = F.col("n")
+    cov = (
+        F.col("spd").cast("double")
+        - F.col("sx_i").cast("double") * F.col("sx_j").cast("double") / n
+    ) / n
+    return (
+        agg.join(F.broadcast(di), "i").join(F.broadcast(dj), "j")
+        .select(
+            F.col("i").cast("int").alias("dim_i"),
+            F.col("j").cast("int").alias("dim_j"),
+            n.cast("bigint").alias("n"),
+            # + 0.0 canonicalizes IEEE -0.0 to +0.0 (a rounded tiny
+            # negative covariance is -0.0, which value-hashes unequal
+            # to DuckDB's +0.0)
+            (F.round(cov, 6) + 0.0).alias("cov"),
+        )
+    )
+
+
+@query("embedding_pca_project")
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 PCA projection of every embedding (operators/pca.py): the
+    dimension-reduction step before clustering / diversity sampling.
+    Rows-only check (the oracle SQL can't eigendecompose); determinism
+    and variance invariants are pinned in tests/test_pca.py. The
+    cluster-side cost is one covariance pass + a map-only projection;
+    the eigensolve touches only the d x d matrix on the driver."""
+    from ..operators.pca import fit_pca, pca_project
+
+    e = load_table(spark, sf_dir, "embeddings")
+    model = fit_pca(e, "embedding", k=2)
+    return pca_project(e, model).select(
+        "vec_id", "label",
+        F.round("pc1", 4).alias("pc1"),
+        F.round("pc2", 4).alias("pc2"),
+    )
+
+
 @query("embedding_quantize_int8", oracle="""
 WITH b AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings

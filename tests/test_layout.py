@@ -1,0 +1,95 @@
+"""Z-order layout (operators/layout.py): unit-checks the Morton math,
+then proves the layout property the operator exists for — per-partition
+min/max extents stay tight on BOTH clustered columns, where a
+single-column sort leaves the second column's extents at full range
+(i.e. no data skipping)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dynamic_etl_pipeline_spark.catalog import load_table
+from dynamic_etl_pipeline_spark.operators.layout import (
+    cluster_by_zvalue,
+    with_zvalue,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_interleave_known_values(spark):
+    # two 2-bit keys spanning [0,3]: normalization is identity, and the
+    # Morton code is the textbook interleave
+    df = spark.createDataFrame(
+        [(x, y) for x in range(4) for y in range(4)], ["x", "y"]
+    )
+    got = {
+        (r["x"], r["y"]): r["_zvalue"]
+        for r in with_zvalue(df, ["x", "y"], bits=2).collect()
+    }
+    def morton(x, y):
+        return ((x & 1) | ((y & 1) << 1) | ((x >> 1 & 1) << 2)
+                | ((y >> 1 & 1) << 3))
+    assert got == {(x, y): morton(x, y) for x in range(4) for y in range(4)}
+
+
+def test_zvalue_monotone_in_each_dim(spark):
+    # fixing one key, the z-value is strictly increasing in the other
+    df = spark.createDataFrame([(i, 7) for i in range(64)], ["a", "b"])
+    vals = [
+        r["_zvalue"]
+        for r in with_zvalue(df, ["a", "b"], bits=6).orderBy("a").collect()
+    ]
+    assert vals == sorted(vals) and len(set(vals)) == len(vals)
+
+
+def test_cluster_preserves_rows(spark):
+    o = load_table(spark, SF, "orders").select("o_orderkey", "o_custkey")
+    clustered = cluster_by_zvalue(o, ["o_custkey", "o_orderkey"], 8)
+    assert clustered.count() == o.count()
+    assert (
+        clustered.exceptAll(o).count() == 0
+        and o.exceptAll(clustered).count() == 0
+    )
+
+
+def _extents(df, cols):
+    """Per-partition (max-min) extent of each column, averaged."""
+    stats = (
+        df.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(*[
+            (F.max(c) - F.min(c)).alias(f"ext_{c}") for c in cols
+        ])
+        .agg(*[F.avg(f"ext_{c}").alias(c) for c in cols])
+        .collect()[0]
+    )
+    return {c: stats[c] for c in cols}
+
+
+def test_zorder_tightens_both_dims(spark):
+    o = load_table(spark, SF, "orders").select("o_orderkey", "o_custkey")
+    cols = ["o_custkey", "o_orderkey"]
+    n_part = 16
+
+    single = o.repartitionByRange(n_part, "o_custkey").sortWithinPartitions("o_custkey")
+    zorder = cluster_by_zvalue(o, cols, n_part)
+
+    ext_single = _extents(single, cols)
+    ext_z = _extents(zorder, cols)
+
+    full_order = o.agg((F.max("o_orderkey") - F.min("o_orderkey"))).collect()[0][0]
+    # single-column sort: orderkey extents are ~full range per partition
+    assert ext_single["o_orderkey"] > 0.8 * full_order
+    # z-order: BOTH dims' extents are materially tighter than full range
+    assert ext_z["o_orderkey"] < 0.5 * full_order
+    full_cust = o.agg((F.max("o_custkey") - F.min("o_custkey"))).collect()[0][0]
+    assert ext_z["o_custkey"] < 0.5 * full_cust
+
+
+def test_zvalue_plan_is_jvm_only(spark):
+    o = load_table(spark, SF, "orders")
+    plan = (
+        with_zvalue(o, ["o_custkey", "o_orderkey"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan

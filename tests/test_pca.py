@@ -1,0 +1,84 @@
+"""Invariants for the PCA operator (operators/pca.py): the oracle SQL
+can't eigendecompose, so correctness is pinned against numpy on the
+collected vectors — covariance parity, orthonormal components,
+descending explained variance, and projection variance matching the
+eigenvalues."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dynamic_etl_pipeline_spark.catalog import load_table
+from dynamic_etl_pipeline_spark.operators.pca import (
+    covariance_matrix,
+    fit_pca,
+    pca_project,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb):
+    rows = emb.select("vec_id", "embedding").collect()
+    rows.sort(key=lambda r: r["vec_id"])
+    return np.array([r["embedding"] for r in rows], dtype=np.float64)
+
+
+def test_covariance_matches_numpy(emb, emb_np):
+    cov, mean, n = covariance_matrix(emb)
+    assert n == len(emb_np)
+    np.testing.assert_allclose(mean, emb_np.mean(axis=0), atol=1e-9)
+    expected = np.cov(emb_np, rowvar=False, bias=True)
+    np.testing.assert_allclose(cov, expected, atol=1e-9)
+
+
+def test_components_orthonormal_and_sorted(emb):
+    model = fit_pca(emb, k=4)
+    gram = model.components @ model.components.T
+    np.testing.assert_allclose(gram, np.eye(4), atol=1e-9)
+    ev = model.explained_variance
+    assert all(ev[i] >= ev[i + 1] for i in range(len(ev) - 1))
+    assert ev[-1] >= 0
+    # deterministic sign convention: largest-|coeff| entry is positive
+    for c in model.components:
+        assert c[np.argmax(np.abs(c))] > 0
+
+
+def test_projection_variance_matches_eigenvalues(emb, emb_np):
+    model = fit_pca(emb, k=2)
+    proj = (
+        pca_project(emb, model)
+        .select("vec_id", "pc1", "pc2")
+        .collect()
+    )
+    proj.sort(key=lambda r: r["vec_id"])
+    p = np.array([[r["pc1"], r["pc2"]] for r in proj])
+    # population variance of each projected coordinate == its eigenvalue
+    np.testing.assert_allclose(p.var(axis=0), model.explained_variance, rtol=1e-6)
+    # the two coordinates are uncorrelated
+    assert abs(np.corrcoef(p[:, 0], p[:, 1])[0, 1]) < 1e-6
+    # parity with the direct numpy projection
+    centered = emb_np - model.mean
+    np.testing.assert_allclose(p, centered @ model.components.T, atol=1e-8)
+
+
+def test_projection_is_jvm_only(emb):
+    model = fit_pca(emb, k=2)
+    plan = pca_project(emb, model)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan  # no UDF in the projection path
+
+
+def test_top_component_dominates(emb, emb_np):
+    # sanity: k=1 captures at least 1/d of total variance (trivially true
+    # for any data, but catches an eigen-order regression hard)
+    model = fit_pca(emb, k=1)
+    total = np.cov(emb_np, rowvar=False, bias=True).trace()
+    assert model.explained_variance[0] >= total / emb_np.shape[1]

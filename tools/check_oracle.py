@@ -126,9 +126,11 @@ def main() -> int:
     con = duck_connection(sf_dir)
     qs, oracles = e.queries(), e.oracle_sql()
     failures, rows_only = [], []
+    n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_run += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
@@ -152,7 +154,7 @@ def main() -> int:
         print(f"{status}  {name}: {len(sdf)} rows, {msg} [{time.time()-t0:.1f}s]")
         if not ok:
             failures.append(name)
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} pass; rows-only: {len(rows_only)}")
+    print(f"\n{n_run - len(failures)}/{n_run} pass; rows-only: {len(rows_only)}")
     if failures:
         print("failures:", ", ".join(failures))
     return 1 if failures else 0
