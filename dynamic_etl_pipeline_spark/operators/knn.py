@@ -147,6 +147,69 @@ def _centroid_assign_udf(centroids: "np.ndarray", top: int):
     return assign
 
 
+def kmeans_centroids(df: DataFrame, n_centroids: int, kmeans_iters: int = 2,
+                     seed: int = 42, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> "np.ndarray":
+    """Distributed Lloyd's: centroids seeded from a hash-deterministic
+    sample, refined by assign (Arrow-batched matmul against the
+    broadcast centroid matrix) + re-center (groupBy mean) rounds — two
+    narrow shuffles per iteration, only the (n_centroids, dim) matrix
+    ever touches the driver. Shared by IVF search and diversity
+    sampling."""
+    centroids = np.stack([
+        np.asarray(r[0], dtype=np.float64)
+        for r in df.select(vec_col)
+        .orderBy(F.xxhash64(F.col(id_col) + seed))
+        .limit(n_centroids).collect()
+    ])
+    for _ in range(kmeans_iters):
+        assign1 = _centroid_assign_udf(centroids, top=1)
+        means = (
+            df.select(
+                assign1(F.col(vec_col))[0].alias("list_id"), vec_col
+            )
+            .groupBy("list_id")
+            .agg(F.array(*[
+                F.avg(F.col(vec_col)[i]) for i in range(centroids.shape[1])
+            ]).alias("mean_vec"))
+            .collect()
+        )
+        for r in means:  # lists that captured no vectors keep old centroid
+            centroids[r["list_id"]] = np.asarray(r["mean_vec"], dtype=np.float64)
+    return centroids
+
+
+def diversity_sample(df: DataFrame, quota: int, n_clusters: int = 16,
+                     kmeans_iters: int = 2, seed: int = 42,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Cluster-balanced (diversity) sampling: k-means the embedding
+    space, then keep at most ``quota`` rows per cluster, chosen by a
+    deterministic per-id hash — the semantic-coverage sampler a corpus
+    pipeline uses instead of uniform sampling, which oversamples dense
+    modes and starves rare ones.
+
+    Output adds ``cluster_id`` and is at most n_clusters * quota rows.
+    Scale shape: assignment is a map-only Arrow matmul against the
+    broadcast centroid matrix; the quota cut is one window shuffle keyed
+    by cluster (n_clusters keys — salt the window key if quota and
+    cluster counts are both huge)."""
+    centroids = kmeans_centroids(
+        df, n_clusters, kmeans_iters=kmeans_iters, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    )
+    assign1 = _centroid_assign_udf(centroids, top=1)
+    assigned = df.withColumn("cluster_id", assign1(F.col(vec_col))[0])
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.xxhash64(F.col(id_col) + seed), F.col(id_col)
+    )
+    return (
+        assigned.withColumn("_dsrn", F.row_number().over(w))
+        .filter(F.col("_dsrn") <= quota)
+        .drop("_dsrn")
+    )
+
+
 def ivf_ann_topk(candidates: DataFrame, queries: DataFrame, k: int = 10,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  query_id_col: str = "query_id", n_centroids: int = 16,
@@ -164,27 +227,10 @@ def ivf_ann_topk(candidates: DataFrame, queries: DataFrame, k: int = 10,
     holds at 100 TB, where the centroid matrix (KB-MB) broadcasts and
     lists are partition-parallel.
     """
-    centroids = np.stack([
-        np.asarray(r[0], dtype=np.float64)
-        for r in candidates.select(vec_col)
-        .orderBy(F.xxhash64(F.col(id_col) + seed))
-        .limit(n_centroids).collect()
-    ])
-    for _ in range(kmeans_iters):
-        assign1 = _centroid_assign_udf(centroids, top=1)
-        means = (
-            candidates.select(
-                assign1(F.col(vec_col))[0].alias("list_id"), vec_col
-            )
-            .groupBy("list_id")
-            .agg(F.array(*[
-                F.avg(F.col(vec_col)[i]) for i in range(centroids.shape[1])
-            ]).alias("mean_vec"))
-            .collect()
-        )
-        for r in means:  # lists that captured no vectors keep old centroid
-            centroids[r["list_id"]] = np.asarray(r["mean_vec"], dtype=np.float64)
-
+    centroids = kmeans_centroids(
+        candidates, n_centroids, kmeans_iters=kmeans_iters, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    )
     assign1 = _centroid_assign_udf(centroids, top=1)
     assign_probe = _centroid_assign_udf(centroids, top=n_probe)
     cand_lists = candidates.select(

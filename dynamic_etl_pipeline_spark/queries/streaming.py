@@ -205,3 +205,109 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         """),
     ).select("purchase_id", "click_id")
     return run_available_now_to_memory(joined, output_mode="append")
+
+
+@query("streaming_stream_stream_left_join", oracle="""
+SELECT p.event_id AS purchase_id, c.event_id AS click_id
+FROM events p
+LEFT JOIN events c
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL '1 hour'
+ AND c.ts < p.ts
+WHERE p.event_type = 'purchase'
+""")
+def streaming_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join — the semantically hard
+    variant: an unmatched purchase can only be declared unmatched once
+    the watermark proves no qualifying click can still arrive, so
+    null-extended rows emit on WATERMARK CLOSURE, not eagerly.
+
+    End-of-input is the classic trap: the watermark only advances when
+    newer data arrives, so a naive drain never flushes the final
+    unmatched rows. The replay therefore stages the fixture as batch 1
+    followed by far-future sentinel batches (one click + one purchase
+    under reserved negative ids) whose only job is to push the
+    watermark past every real event and force the outer-state flush —
+    the streaming analogue of a Kafka heartbeat/punctuation message.
+    After the flush, the drain equals the batch LEFT JOIN exactly, so
+    this holds a full oracle, not a rows-only check.
+    """
+    import shutil
+    import tempfile
+    import time as _time
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import table_path
+    from ..session import tune
+    from ..streaming.source import stream_events_dir
+
+    tune(spark)
+    src = table_path(sf_dir, "events")
+    raw = spark.read.parquet(src)  # ts stays long nanos (nanosAsLong)
+    max_ns = raw.agg(F.max("ts")).collect()[0][0]
+    day_ns = 24 * 3600 * 10**9
+
+    stage = Path(tempfile.mkdtemp(prefix="stream_loj_"))
+    try:
+        shutil.copy(src, stage / "000_events.parquet")
+        for i, offset_days in enumerate((10, 20), start=1):
+            sent_ts = max_ns + offset_days * day_ns
+            sent = raw.limit(0).unionByName(
+                spark.createDataFrame(
+                    [(-(2 * i), sent_ts, -1, "click", 0.0, "{}"),
+                     (-(2 * i + 1), sent_ts, -2, "purchase", 0.0, "{}")],
+                    raw.schema,
+                )
+            )
+            tmp_out = stage / f"_sent{i}"
+            sent.coalesce(1).write.mode("overwrite").parquet(str(tmp_out))
+            part = next(tmp_out.glob("part-*.parquet"))
+            dest = stage / f"{i:03d}_sentinel.parquet"
+            shutil.move(str(part), dest)
+            shutil.rmtree(tmp_out)
+            # file source orders micro-batches by modification time
+            now = _time.time() + i
+            import os
+            os.utime(dest, (now, now))
+
+        events = stream_events_dir(
+            spark, str(stage), raw.schema, max_files_per_trigger=1
+        )
+        clicks = (
+            events.filter(F.col("event_type") == "click")
+            .select(
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+                F.col("event_id").alias("click_id"),
+            )
+            .withWatermark("c_ts", "2 hours")
+        )
+        purchases = (
+            events.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+                F.col("event_id").alias("purchase_id"),
+            )
+            .withWatermark("p_ts", "2 hours")
+        )
+        joined = purchases.join(
+            clicks,
+            F.expr("""
+                c_user = p_user
+                AND c_ts >= p_ts - INTERVAL 1 HOUR
+                AND c_ts < p_ts
+            """),
+            "leftOuter",
+        ).select("purchase_id", "click_id")
+        drained = run_available_now_to_memory(joined, output_mode="append")
+        # localCheckpoint: materialize before the staging dir is removed
+        return (
+            drained.filter(F.col("purchase_id") >= 0)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)

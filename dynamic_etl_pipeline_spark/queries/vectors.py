@@ -335,6 +335,21 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("corpus_diversity_sample")
+def corpus_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sample (operators/knn.py): k-means
+    the embeddings, keep a deterministic quota per cluster — uniform
+    sampling oversamples dense modes; this covers the space. Rows-only
+    (k-means assignment is engine-specific); balance/determinism
+    invariants live in tests/test_sampling.py."""
+    from ..operators.knn import diversity_sample
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return diversity_sample(e, quota=10, n_clusters=8).select(
+        "vec_id", "label", F.col("cluster_id").cast("int").alias("cluster_id")
+    )
+
+
 @query("embedding_quantize_int8", oracle="""
 WITH b AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings

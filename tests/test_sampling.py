@@ -42,3 +42,41 @@ def test_freq_items_is_superset_of_true_heavy_hitters(spark, sf_dir):
     }
     # the sketch may overreport (false positives) but never underreport
     assert exact_heavy <= approx, exact_heavy - approx
+
+
+def test_diversity_sample_balance_and_determinism(spark, sf_dir):
+    from dynamic_etl_pipeline_spark.operators.knn import diversity_sample
+
+    e = load_table(spark, sf_dir, "embeddings")
+    s = diversity_sample(e, quota=5, n_clusters=4).cache()
+    per = dict(s.groupBy("cluster_id").count().collect())
+    # quota respected per cluster; every non-empty cluster represented
+    assert per and all(c <= 5 for c in per.values())
+    assert set(per) <= set(range(4))
+    # schema passthrough + the cluster column
+    assert set(s.columns) == set(e.columns) | {"cluster_id"}
+    # deterministic: same seed -> identical membership
+    again = diversity_sample(e, quota=5, n_clusters=4)
+    assert s.exceptAll(again).count() == 0
+    assert again.exceptAll(s).count() == 0
+    # a different seed reshuffles the within-cluster choice
+    other = diversity_sample(e, quota=5, n_clusters=4, seed=7)
+    assert other.count() == s.count()
+    s.unpersist()
+
+
+def test_diversity_sample_covers_modes_uniform_misses(spark, sf_dir):
+    from dynamic_etl_pipeline_spark.operators.knn import diversity_sample
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    budget = 20
+    s = diversity_sample(e, quota=5, n_clusters=4)
+    assert s.count() <= budget
+    # each cluster contributes: the sample spans >= as many distinct
+    # labels as a same-size deterministic head sample
+    head_labels = (
+        e.orderBy("vec_id").limit(budget).select("label").distinct().count()
+    )
+    div_labels = s.select("label").distinct().count()
+    assert div_labels >= max(2, head_labels // 2)
