@@ -39,7 +39,11 @@ def covariance_matrix(df: DataFrame, col: str = "embedding") -> tuple[np.ndarray
     cross-product sums (decimal accumulation for run-to-run determinism);
     everything collected is O(d^2), independent of row count.
     """
-    base = df.filter(F.size(col) > 0).select(
+    # repartition: the O(d^2)-per-row pair emission is compute-bound; a
+    # single-row-group input (the fixture layout) would otherwise run it
+    # as one task
+    par = df.sparkSession.sparkContext.defaultParallelism
+    base = df.filter(F.size(col) > 0).repartition(par).select(
         F.transform(col, lambda x: x.cast("double")).alias("e")
     )
     pair_rows = (

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ._helpers import spread
 from .registry import query
 
 # Gopher-flavored gates, adapted to the fixture corpus (synthetic
@@ -77,7 +78,11 @@ def doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan speed no matter the corpus size. The most-frequent-2-gram
     multiplicity is O(distinct x total) per doc, bounded by document
     length, not corpus size."""
-    return gopher_signals(load_table(spark, sf_dir, "documents"))
+    # spread(): the fixture's 1-row-group parquet scans as ONE task; the
+    # per-doc 2-gram multiplicity fold is the compute-heavy narrow stage
+    # this repartition parallelizes (production many-file input makes it
+    # a no-op knob)
+    return gopher_signals(spread(load_table(spark, sf_dir, "documents")))
 
 
 def gopher_signals(d: DataFrame) -> DataFrame:

@@ -268,8 +268,13 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-dim sums accumulate in DECIMAL so both engines hit identical
     bits; the d x d result is tiny regardless of corpus size, so at
     100 TB this is a map-heavy scan + a fixed-size aggregate."""
+    from ._helpers import spread
+
     e = load_table(spark, sf_dir, "embeddings").filter(F.size("embedding") > 0)
-    b = e.select(
+    # spread(): the d(d+1)/2-per-row pair explode is the compute-heavy
+    # narrow stage; the fixture's single-row-group scan would run it on
+    # one task
+    b = spread(e).select(
         F.transform("embedding", lambda x: x.cast("double")).alias("e")
     )
     pairs = b.select(
