@@ -866,3 +866,42 @@ def layout_zorder_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(zvalue_sql(_Z_COLS, _Z_BITS, "spark")).alias("zval"),
         )
     )
+
+
+@query("bloom_pruned_join", oracle="""
+SELECT c.c_mktsegment,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(27,4))) AS DOUBLE)
+         AS total_price
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_acctbal > 9000
+GROUP BY c.c_mktsegment
+""")
+def bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective join with Bloom runtime pruning (operators/bloom.py):
+    the high-balance customer set is aggregated into a ~10-bit/key Bloom
+    bitmap and the fact scan is pre-filtered MAP-SIDE before the exact
+    join — at 100 TB the shuffle then carries ~1% false positives plus
+    the true matches instead of the whole fact table. The Bloom filter
+    is output-transparent (the exact join removes false positives), so
+    the query holds a full plain-join oracle: correctness does not
+    depend on the hash, only the pruning does."""
+    from ..operators.bloom import bloom_semi_filter
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal") > 9000
+    )
+    pruned = bloom_semi_filter(orders, cust, "o_custkey", "c_custkey")
+    return (
+        pruned.join(
+            cust.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment"),
+            "o_custkey",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+    )
