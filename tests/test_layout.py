@@ -93,3 +93,39 @@ def test_zvalue_plan_is_jvm_only(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Python" not in plan
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+def _py_zvalue(vals: list[int], mns: list[int], mxs: list[int], bits: int) -> int:
+    """Pure-Python reference of minmax_normalize + Morton interleave."""
+    n = len(vals)
+    z = 0
+    for i, (v, mn, mx) in enumerate(zip(vals, mns, mxs)):
+        norm = 0 if mx == mn else (v - mn) * ((1 << bits) - 1) // (mx - mn)
+        for b in range(bits):
+            z |= ((norm >> b) & 1) << (b * n + i)
+    return z
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1 << 20), st.integers(-(1 << 20), 1 << 20)),
+        min_size=2, max_size=40,
+    ),
+    st.integers(2, 16),
+)
+def test_zvalue_matches_python_reference(spark, pairs, bits):
+    df = spark.createDataFrame(pairs, ["x", "y"]).coalesce(1)
+    got = {
+        (r["x"], r["y"]): r["_zvalue"]
+        for r in with_zvalue(df, ["x", "y"], bits=bits).collect()
+    }
+    xs, ys = [p[0] for p in pairs], [p[1] for p in pairs]
+    mns = [min(xs), min(ys)]
+    mxs = [max(xs), max(ys)]
+    for x, y in pairs:
+        assert got[(x, y)] == _py_zvalue([x, y], mns, mxs, bits), (x, y, bits)
