@@ -228,3 +228,135 @@ def boilerplate_ngrams(d: DataFrame, n: int = _BOILER_N,
             ).alias("boiler_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate REMOVAL (the rewrite step that follows detection): drop
+# every token covered by a cross-document boilerplate n-gram and
+# re-assemble the document. Fixture texts are unique word soup, so the
+# corpus is augmented with a synthetic shared footer on even doc_ids
+# (the doc_pii_redact convention) — the footer's interior 5-grams recur
+# across ~half the corpus and trip the df threshold; 5-grams spanning
+# the original-text boundary stay unique and survive.
+_FOOTER = " all rights reserved click here to unsubscribe"
+
+
+@query("corpus_boilerplate_strip", oracle=f"""
+WITH corpus AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 2 = 0 THEN '{_FOOTER}' ELSE '' END AS body
+  FROM documents
+), t AS (
+  SELECT doc_id, string_split(body, ' ') AS toks FROM corpus
+), pos AS (
+  SELECT doc_id, CAST(i AS INT) AS i,
+         toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT)+1] || ' '
+           || toks[CAST(i AS INT)+2] || ' ' || toks[CAST(i AS INT)+3]
+           || ' ' || toks[CAST(i AS INT)+4] AS gram
+  FROM t, unnest(range(1, len(toks) - 3)) AS r(i)
+  WHERE len(toks) >= {_BOILER_N}
+), df AS (
+  SELECT gram, count(DISTINCT doc_id) AS n_docs FROM pos GROUP BY gram
+), boiler AS (
+  SELECT gram FROM df WHERE n_docs >= {_BOILER_DF}
+), covered AS (
+  SELECT DISTINCT pos.doc_id, CAST(p AS INT) AS p
+  FROM pos JOIN boiler USING (gram),
+       unnest(range(pos.i, pos.i + {_BOILER_N})) AS c(p)
+), toks_pos AS (
+  SELECT doc_id, CAST(i AS INT) AS p, toks[CAST(i AS INT)] AS tok
+  FROM t, unnest(range(1, len(toks) + 1)) AS r(i)
+), kept AS (
+  SELECT tp.doc_id, tp.p, tp.tok
+  FROM toks_pos tp LEFT JOIN covered c
+    ON tp.doc_id = c.doc_id AND tp.p = c.p
+  WHERE c.p IS NULL
+), rebuilt AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY p) AS text_clean
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(toks) - coalesce(n_kept, 0) AS INT) AS n_removed,
+       coalesce(text_clean, '') AS text_clean
+FROM t LEFT JOIN rebuilt USING (doc_id)
+""")
+def corpus_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate span removal: tokens covered by any >=df-document
+    5-gram are deleted and the document re-assembled in original token
+    order — the C4 'remove the shared line, keep the page' rewrite at
+    n-gram granularity.
+
+    Scale shape: detection is the same single-shuffle inverted-index
+    pass as corpus_boilerplate_ngrams; the boilerplate gram set is
+    vocabulary-thin and BROADCAST back; span->position expansion is a
+    partition-local explode (width n per hit). The rebuild groupBy
+    re-keys by doc_id — same key as the input, so with the input
+    pre-partitioned by doc_id a real cluster does it shuffle-free.
+    Fully-stripped documents stay in the output as empty strings (the
+    left join), preserving corpus row identity for downstream audits."""
+    n, thr = _BOILER_N, _BOILER_DF
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(_FOOTER)).otherwise(""),
+        ).alias("body"),
+    )
+    t = corpus.select("doc_id", F.split("body", " ").alias("toks"))
+    pos = t.filter(F.size("toks") >= n).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+                lambda i: F.struct(
+                    i.cast("int").alias("i"),
+                    F.concat_ws(
+                        " ",
+                        *[F.element_at(F.col("toks"), i + j) for j in range(n)],
+                    ).alias("gram"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.i", "s.gram")
+    boiler = (
+        pos.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= thr)
+        .select("gram")
+    )
+    covered = (
+        pos.join(F.broadcast(boiler), "gram")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i"), (F.col("i") + (n - 1)).cast("int"))
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    toks_pos = t.select(
+        "doc_id",
+        F.posexplode("toks").alias("p0", "tok"),
+    ).select("doc_id", (F.col("p0") + 1).cast("int").alias("p"), "tok")
+    kept = toks_pos.join(covered, ["doc_id", "p"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                lambda s: s.tok,
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
+    return (
+        t.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.size("toks") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("int").alias("n_removed"),
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+        )
+    )

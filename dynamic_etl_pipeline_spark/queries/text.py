@@ -595,3 +595,152 @@ def doc_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.substring(F.col("text"), lo.cast("int") + 1, (hi - lo).cast("int"))).alias("chunk_md5"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-step pair counting: the inner loop of BPE tokenizer TRAINING
+# (Sennrich et al. 2016). One merge iteration = count adjacent symbol
+# pairs across the word-frequency table and pick the most frequent.
+_BPE_TOP = 30
+
+
+@query("bpe_merge_pairs", oracle=f"""
+WITH w AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+), wf AS (
+  SELECT word, count(*) AS freq FROM w WHERE length(word) >= 2 GROUP BY word
+), pairs AS (
+  SELECT substr(word, CAST(i AS INT), 1) AS left_sym,
+         substr(word, CAST(i AS INT) + 1, 1) AS right_sym,
+         freq
+  FROM wf, unnest(range(1, length(word))) AS t(i)
+)
+SELECT left_sym, right_sym, CAST(sum(freq) AS BIGINT) AS pair_count
+FROM pairs
+GROUP BY left_sym, right_sym
+ORDER BY pair_count DESC, left_sym, right_sym
+LIMIT {_BPE_TOP}
+""")
+def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE training iteration: adjacent character-pair frequencies
+    over the corpus vocabulary, weighted by word frequency — the argmax
+    row is the next merge a BPE tokenizer would learn.
+
+    Scale shape: pair counting runs over the DISTINCT-WORD table, not
+    the corpus (the classic BPE trick — corpus size only matters for
+    the one word-count groupBy; everything after is vocabulary-sized).
+    The per-word pair explode is partition-local; the final pair
+    groupBy aggregates at most |alphabet|^2 groups, so the reduce side
+    is tiny no matter the corpus. Iterating k merges = re-running this
+    plan on a re-segmented vocab table (vocab-sized, not corpus-sized,
+    work per iteration)."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    wf = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.length("word") >= 2)
+        .groupBy("word").agg(F.count("*").alias("freq"))
+    )
+    pairs = wf.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> struct(substr(word, i, 1) AS left_sym,"
+                "             substr(word, i + 1, 1) AS right_sym))"
+            )
+        ).alias("p"),
+        "freq",
+    ).select("p.left_sym", "p.right_sym", "freq")
+    return (
+        pairs.groupBy("left_sym", "right_sym")
+        .agg(F.sum("freq").cast("bigint").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "left_sym", "right_sym")
+        .limit(_BPE_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005) with deterministic
+# md5-derived hash rows — buildable, mergeable, and probe-able entirely
+# in SQL, so the sketch itself is engine-portable (unlike Spark's
+# built-in count_min_sketch binary, whose layout is JVM-specific).
+_CMS_D = 4     # hash rows
+_CMS_W = 256   # buckets per row (2 hex digits of md5)
+
+
+def _cms_bucket(row: int) -> str:
+    """Portable bucket expr: 2 hex digits of md5(row || word)."""
+    s = f"md5(concat('{row}#', word))"
+    return (
+        f"(instr('0123456789abcdef', substr({s}, 1, 1)) - 1) * 16"
+        f" + (instr('0123456789abcdef', substr({s}, 2, 1)) - 1)"
+    )
+
+
+_CMS_ROWS_SQL = " UNION ALL ".join(
+    f"SELECT word, cnt, {j} AS j, CAST({_cms_bucket(j)} AS INT) AS b FROM wc"
+    for j in range(_CMS_D)
+)
+
+
+@query("word_count_min_sketch", oracle=f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+), wc AS (
+  SELECT word, count(*) AS cnt FROM tok GROUP BY word
+), probes AS ({_CMS_ROWS_SQL}),
+sketch AS (
+  SELECT j, b, sum(cnt) AS cell FROM probes GROUP BY j, b
+), est AS (
+  SELECT p.word, max(p.cnt) AS true_count, min(s.cell) AS cms_estimate
+  FROM probes p JOIN sketch s ON p.j = s.j AND p.b = s.b
+  GROUP BY p.word
+)
+SELECT word, CAST(true_count AS BIGINT) AS true_count,
+       CAST(cms_estimate AS BIGINT) AS cms_estimate
+FROM est
+ORDER BY true_count DESC, word
+LIMIT 20
+""")
+def word_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy-hitter estimation: a 4x256
+    counter grid (bucket = md5-derived, deterministic) built in one
+    aggregation, probed for the top-20 true words. cms_estimate >=
+    true_count always (collisions only inflate), and the sketch is a
+    fixed {_CMS_D * _CMS_W}-cell frame REGARDLESS of corpus size — the
+    point at 100 TB: the sketch shuffle moves ~1k rows where the exact
+    word count moves the vocabulary; sketches from disjoint corpus
+    shards merge by cell-wise sum.
+
+    Here the exact counts ride along (the fixture is small) so the
+    estimate/truth gap is itself the test; production would build only
+    the sketch side."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    wc = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word").agg(F.count("*").alias("cnt"))
+    )
+    probes = None
+    for j in range(_CMS_D):
+        p = wc.select(
+            "word", "cnt", F.lit(j).alias("j"),
+            F.expr(_cms_bucket(j)).cast("int").alias("b"),
+        )
+        probes = p if probes is None else probes.unionAll(p)
+    sketch = probes.groupBy("j", "b").agg(F.sum("cnt").alias("cell"))
+    est = (
+        probes.join(F.broadcast(sketch), ["j", "b"])
+        .groupBy("word")
+        .agg(
+            F.max("cnt").alias("true_count"),
+            F.min("cell").alias("cms_estimate"),
+        )
+    )
+    return (
+        est.select(
+            "word",
+            F.col("true_count").cast("bigint").alias("true_count"),
+            F.col("cms_estimate").cast("bigint").alias("cms_estimate"),
+        )
+        .orderBy(F.col("true_count").desc(), "word")
+        .limit(20)
+    )

@@ -457,3 +457,165 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("int").alias("tokens_in_bin"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): score each raw document
+# by how much its hashed-bigram profile looks like a target domain.
+_DSIR_B = 256  # hashed feature buckets (2 hex digits of md5)
+_DSIR_F = (
+    "(instr('0123456789abcdef', substr(md5(g), 1, 1)) - 1) * 16"
+    " + (instr('0123456789abcdef', substr(md5(g), 2, 1)) - 1)"
+)
+
+
+@query("corpus_dsir_weights", oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+), grams AS (
+  SELECT doc_id, lang,
+         unnest(CASE WHEN len(toks) >= 2 THEN
+                  list_transform(range(1, len(toks)),
+                                 i -> toks[i] || ' ' || toks[i+1])
+                ELSE [] END) AS g
+  FROM t
+), feat AS (
+  SELECT doc_id, lang, CAST({_DSIR_F} AS INT) AS f FROM grams
+), per AS (
+  SELECT doc_id, f, count(*) AS c FROM feat GROUP BY 1, 2
+), raw AS (
+  SELECT f, count(*) AS r FROM feat GROUP BY 1
+), tgt AS (
+  SELECT f, count(*) AS t FROM feat WHERE lang = 'en' GROUP BY 1
+), tots AS (
+  SELECT CAST(count(*) AS DOUBLE) AS r_tot,
+         CAST(count(*) FILTER (WHERE lang = 'en') AS DOUBLE) AS t_tot
+  FROM feat
+)
+SELECT per.doc_id,
+       CAST(sum(c) AS INT) AS n_feats,
+       round(CAST(sum(CAST(c * (
+           ln(coalesce(t, 0) + 1.0) - ln(r + 1.0)
+           - ln(t_tot + {_DSIR_B}.0) + ln(r_tot + {_DSIR_B}.0)
+         ) AS DECIMAL(27,12))) AS DOUBLE), 6) AS log_weight
+FROM per
+JOIN raw USING (f)
+LEFT JOIN tgt USING (f)
+CROSS JOIN tots
+GROUP BY per.doc_id
+""")
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights: log p_target(doc)/p_raw(doc) under
+    hashed-bigram unigram models (add-1 smoothing over 256 md5 buckets,
+    target = the corpus's 'en' slice). Docs with the highest weight are
+    the ones importance resampling keeps when fitting a raw crawl to a
+    target domain.
+
+    Scale shape: one tokenize/hash pass feeds three aggregations; the
+    feature-stats frame is at most 256 rows regardless of corpus size,
+    so the join back onto per-doc features is a BROADCAST — the only
+    data-sized shuffle is the (doc_id, f) partial-agg groupBy. Per-row
+    log-ratio contributions are deterministic scalars summed in exact
+    decimal (the source_token_divergence convention). Single-token docs
+    have no bigram features and drop out (the oracle does the same)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", F.split("text", " ").alias("toks"))
+    grams = toks.select(
+        "doc_id", "lang",
+        F.explode(
+            F.when(
+                F.size("toks") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> concat_ws(' ', toks[i-1], toks[i]))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    feat = grams.select(
+        "doc_id", "lang", F.expr(_DSIR_F).cast("int").alias("f")
+    )
+    per = feat.groupBy("doc_id", "f").agg(F.count("*").alias("c"))
+    raw = feat.groupBy("f").agg(F.count("*").alias("r"))
+    tgt = (
+        feat.where(F.col("lang") == "en")
+        .groupBy("f").agg(F.count("*").alias("t"))
+    )
+    tots = feat.agg(
+        F.count("*").cast("double").alias("r_tot"),
+        F.count(F.when(F.col("lang") == "en", 1)).cast("double").alias("t_tot"),
+    )
+    b = float(_DSIR_B)
+    contrib = (
+        F.col("c")
+        * (
+            F.log(F.coalesce(F.col("t"), F.lit(0)) + 1.0)
+            - F.log(F.col("r") + 1.0)
+            - F.log(F.col("t_tot") + b)
+            + F.log(F.col("r_tot") + b)
+        )
+    ).cast("decimal(27,12)")
+    return (
+        per.join(F.broadcast(raw), "f")
+        .join(F.broadcast(tgt), "f", "left")
+        .crossJoin(F.broadcast(tots))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("int").alias("n_feats"),
+            F.round(F.sum(contrib).cast("double"), 6).alias("log_weight"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sampling without replacement (Efraimidis &
+# Spirakis 2006 "A-ES"): key_i = ln(u_i) / w_i with u_i a content-hash
+# uniform; the k largest keys ARE a weighted sample. Content-hash u
+# makes the sample reproducible across engines, partitionings and reruns.
+_WS_K = 50
+# u in (0,1) from the first 6 hex digits of md5(text): v in [0, 16^6)
+_WS_V = (
+    "((((((instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16"
+    " + instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1) * 16"
+    " + instr('0123456789abcdef', substr(md5(text), 3, 1)) - 1) * 16"
+    " + instr('0123456789abcdef', substr(md5(text), 4, 1)) - 1) * 16"
+    " + instr('0123456789abcdef', substr(md5(text), 5, 1)) - 1) * 16"
+    " + instr('0123456789abcdef', substr(md5(text), 6, 1)) - 1)"
+)
+
+
+@query("corpus_weighted_sample", oracle=f"""
+WITH k AS (
+  SELECT doc_id, n_chars,
+         ln((CAST({_WS_V} AS DOUBLE) + 1.0) / 16777217.0)
+           / n_chars AS skey
+  FROM documents
+)
+SELECT doc_id, CAST(n_chars AS INT) AS weight, round(skey, 6) AS sample_key
+FROM k
+ORDER BY skey DESC, doc_id
+LIMIT {_WS_K}
+""")
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (A-ES): pick 50 docs with
+    probability proportional to length (n_chars), deterministically.
+    u = content-hash uniform; key = ln(u)/w; top-k keys = the sample —
+    heavier docs get keys nearer 0 and win more often.
+
+    Scale shape: one map-only projection (md5 + ln, zero shuffle) then
+    TakeOrderedAndProject — every partition keeps its local top-50 and
+    the driver merges; no global sort, no window. Reruns, engine swaps
+    and repartitioning cannot change the sample (the reproducibility
+    contract seeded RNG sampling cannot give)."""
+    d = load_table(spark, sf_dir, "documents")
+    skey = (
+        F.log((F.expr(_WS_V).cast("double") + 1.0) / 16777217.0)
+        / F.col("n_chars")
+    ).alias("skey")
+    return (
+        d.select("doc_id", F.col("n_chars").cast("int").alias("weight"), skey)
+        .orderBy(F.col("skey").desc(), "doc_id")
+        .limit(_WS_K)
+        .select("doc_id", "weight", F.round("skey", 6).alias("sample_key"))
+    )
