@@ -254,3 +254,259 @@ def ivf_ann_topk(candidates: DataFrame, queries: DataFrame, k: int = 10,
         scored.withColumn("rn", F.row_number().over(w).cast("int"))
         .filter(F.col("rn") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jegou, Douze & Schmid 2011, "Product
+# Quantization for Nearest Neighbor Search"): compress each vector to m
+# codebook indices, score queries against CODES via per-query lookup
+# tables (ADC) — the memory-bound ANN path where even the IVF lists'
+# raw vectors are too big to keep around.
+
+
+def _pq_assign_udf(codebooks: "np.ndarray"):
+    """Arrow kernel over (subspace_id, subvec): L2-nearest subcentroid
+    per row — all m codebooks live in the closure, so ONE pass trains
+    every subspace simultaneously (argmin ||x-c||^2 via -2x.c + ||c||^2,
+    one matmul per subspace present in the batch)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
+
+    c_t = [b.T.copy() for b in codebooks]              # (dsub, ksub) each
+    c_n2 = [(b ** 2).sum(axis=1) for b in codebooks]   # (ksub,) each
+
+    @pandas_udf(IntegerType())
+    def assign(sids: pd.Series, vecs: pd.Series) -> pd.Series:
+        sid = sids.to_numpy()
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        out = np.empty(len(sid), dtype=np.int32)
+        for j in np.unique(sid):
+            rows = sid == j
+            d2 = -2.0 * x[rows] @ c_t[j] + c_n2[j]
+            out[rows] = d2.argmin(axis=1)
+        return pd.Series(out)
+
+    return assign
+
+
+def pq_train_codebooks(df: DataFrame, m: int = 16, ksub: int = 32,
+                       dim: int = 64, kmeans_iters: int = 3,
+                       seed: int = 42, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> "np.ndarray":
+    """Train m subspace codebooks of ksub centroids each with L2
+    Lloyd's — ALL subspaces in one distributed pass: vectors explode to
+    (subspace_id, subvec) rows, assignment is a single Arrow stage
+    against the full broadcast codebook stack, re-centering one
+    groupBy (subspace_id, code). Job count per iteration is constant in
+    m (vs m separate trainings); only the (m, ksub, dim/m) codebook
+    array ever reaches the driver. Vectors are L2-normalized first
+    (cosine ordering == inner-product ordering downstream)."""
+    dsub = dim // m
+    assert dsub * m == dim, "dim must divide evenly into m subspaces"
+    sub = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[
+                F.slice(_l2norm_col(vec_col), j * dsub + 1, dsub)
+                for j in range(m)
+            ])
+        ).alias("_sid", "_sv"),
+    )
+    # hash-deterministic seeds: ksub rows per subspace
+    w = Window.partitionBy("_sid").orderBy(
+        F.xxhash64(F.col(id_col) + seed), F.col(id_col)
+    )
+    seed_rows = (
+        sub.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= ksub)
+        .select("_sid", "_rn", "_sv")
+        .collect()
+    )
+    books = np.zeros((m, ksub, dsub))
+    for r in seed_rows:
+        books[r["_sid"], r["_rn"] - 1] = np.asarray(r["_sv"], dtype=np.float64)
+    for _ in range(kmeans_iters):
+        assign = _pq_assign_udf(books)
+        means = (
+            sub.select(
+                "_sid", assign(F.col("_sid"), F.col("_sv")).alias("_code"),
+                "_sv",
+            )
+            .groupBy("_sid", "_code")
+            .agg(F.array(*[
+                F.avg(F.col("_sv")[i]) for i in range(dsub)
+            ]).alias("_mean"))
+            .collect()
+        )
+        for r in means:  # empty cells keep their previous centroid
+            books[r["_sid"], r["_code"]] = np.asarray(
+                r["_mean"], dtype=np.float64
+            )
+    return books  # (m, ksub, dsub)
+
+
+def pq_encode_udf(codebooks: "np.ndarray"):
+    """Arrow-batched encoder: vector -> m nearest-subcentroid indices
+    (one (batch, ksub) distance matmul per subspace)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    m, ksub, dsub = codebooks.shape
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def encode(vecs: pd.Series) -> pd.Series:
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        codes = np.empty((x.shape[0], m), dtype=np.int64)
+        for j in range(m):
+            sub = x[:, j * dsub:(j + 1) * dsub]           # (B, dsub)
+            # ||sub - c||^2 ranking == -2 sub.c + ||c||^2 (||sub|| const per row)
+            d2 = -2.0 * sub @ codebooks[j].T + (codebooks[j] ** 2).sum(axis=1)
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.Series([row.tolist() for row in codes])
+
+    return encode
+
+
+def pq_ann_topk(candidates: DataFrame, queries: DataFrame, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                query_id_col: str = "query_id", m: int = 16, ksub: int = 32,
+                dim: int = 64, kmeans_iters: int = 3,
+                seed: int = 42) -> DataFrame:
+    """PQ-ADC approximate top-k by inner product on L2-normalized
+    vectors (= cosine ordering).
+
+    Index: codebooks trained on the candidate corpus; every candidate
+    is a row of m int codes (dim floats -> m ints, a 64x compression at
+    the defaults). Search: the query set collects to a (nq, m, ksub)
+    table of query-x-subcentroid dot products (asymmetric distance
+    LUT), broadcast in the UDF closure; each Arrow batch scores ALL
+    queries against its codes with one gather-sum and emits only its
+    per-batch top-k per query — the global window then reduces
+    batch-winners, so the shuffle carries O(k * batches) rows, never
+    the corpus. No raw vector is touched at search time; at 100 TB the
+    scan reads the codes column alone (a few bytes/row)."""
+    dsub = dim // m
+    codebooks = pq_train_codebooks(
+        candidates, m=m, ksub=ksub, dim=dim, kmeans_iters=kmeans_iters,
+        seed=seed, id_col=id_col, vec_col=vec_col,
+    )
+    encode = pq_encode_udf(codebooks)
+    coded = candidates.select(
+        F.col(id_col), encode(_l2norm_col(vec_col)).alias("_codes")
+    )
+
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    qids = [r[0] for r in q_rows]
+    qm = _norm_rows(np.stack(
+        [np.asarray(r[1], dtype=np.float64) for r in q_rows]
+    ))  # (nq, dim)
+    # LUT[q, j, c] = <q_subj, codebook[j][c]>  -> ADC inner product
+    lut = np.stack([
+        qm[:, j * dsub:(j + 1) * dsub] @ codebooks[j].T for j in range(m)
+    ], axis=1)  # (nq, m, ksub)
+    nq = len(qids)
+
+    from pyspark.sql.types import (IntegerType, LongType, DoubleType,
+                                   StructField, StructType)
+    out_schema = StructType([
+        StructField("_qi", IntegerType()),
+        StructField(id_col, LongType()),
+        StructField("adc_score", DoubleType()),
+    ])
+
+    def score_batches(batches):
+        for pdf in batches:
+            codes = np.stack(
+                [np.asarray(c, dtype=np.int64) for c in pdf["_codes"]]
+            )  # (B, m)
+            ids = pdf[id_col].to_numpy()
+            # scores[q, b] = sum_j LUT[q, j, codes[b, j]]
+            scores = lut[:, np.arange(m)[None, :], codes].sum(axis=2)
+            # self-matches out BEFORE the cut so every query keeps k real rows
+            scores[np.equal.outer(np.asarray(qids), ids)] = -np.inf
+            keep = min(k, scores.shape[1])
+            top = np.argpartition(-scores, keep - 1, axis=1)[:, :keep]
+            qi = np.repeat(np.arange(nq), keep)
+            bi = top.reshape(-1)
+            yield pd.DataFrame({
+                "_qi": qi.astype(np.int32),
+                id_col: ids[bi],
+                "adc_score": scores[np.arange(nq)[:, None], top].reshape(-1),
+            })
+
+    per_batch = coded.mapInPandas(score_batches, schema=out_schema)
+    qid_map = F.array(*[F.lit(q) for q in qids])
+    scored = per_batch.select(
+        F.element_at(qid_map, F.col("_qi") + 1).alias(query_id_col),
+        id_col, "adc_score",
+    ).filter(F.col(id_col) != F.col(query_id_col))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("adc_score"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def _l2norm_col(vec_col: str) -> Column:
+    """L2-normalize an array<float> column JVM-side (zero vectors pass
+    through unscaled)."""
+    v = F.col(vec_col)
+    nrm = F.sqrt(F.aggregate(
+        F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda a, x: a + x,
+    ))
+    safe = F.when(nrm == 0.0, F.lit(1.0)).otherwise(nrm)
+    return F.transform(v, lambda x: x.cast("double") / safe)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+# web-scale through semantic deduplication"): k-means the embedding
+# space, then near-dup-prune ONLY within each cluster — the trick that
+# turns the quadratic all-pairs cosine pass into per-cluster work.
+
+
+def semantic_dedup(df: DataFrame, threshold: float = 0.3,
+                   n_clusters: int = 16, kmeans_iters: int = 2,
+                   seed: int = 42, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Semantic dedup: drop each row whose cosine to a LOWER-id row in
+    the SAME k-means cluster clears ``threshold`` (the keep-first rule
+    of queries/vectors.py::embedding_near_dup_dedup, restricted to
+    intra-cluster pairs exactly as SemDeDup does).
+
+    Returns the surviving rows plus their ``cluster_id``.
+
+    Scale shape: assignment is a map-only Arrow matmul against the
+    broadcast centroid matrix; the pairwise stage is an EQUI-join on
+    cluster_id, so cost is sum over clusters of |c|^2 rather than n^2 —
+    with n_clusters scaled ~sqrt(n) (SemDeDup uses ~100k clusters at
+    web scale) each cluster stays executor-sized; a runaway cluster is
+    handled like any skewed join key (AQE skew split / salting)."""
+    centroids = kmeans_centroids(
+        df, n_clusters, kmeans_iters=kmeans_iters, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    )
+    assign1 = _centroid_assign_udf(centroids, top=1)
+    assigned = df.withColumn("cluster_id", assign1(F.col(vec_col))[0])
+    a = assigned.select(
+        F.col("cluster_id"), F.col(id_col).alias("_ida"),
+        F.col(vec_col).alias("_va"),
+    )
+    b = assigned.select(
+        F.col("cluster_id"), F.col(id_col).alias("_idb"),
+        F.col(vec_col).alias("_vb"),
+    )
+    from ..functions.vectors import cosine
+    dups = (
+        a.join(b, "cluster_id")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(cosine(F.col("_va"), F.col("_vb")) >= threshold)
+        .select(F.col("_idb").alias("_dup_id"))
+        .distinct()
+    )
+    return assigned.join(
+        dups, F.col(id_col) == F.col("_dup_id"), "left_anti"
+    )

@@ -203,3 +203,34 @@ def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").cast("int").alias("max_chars"),
         )
     )
+
+
+@query("pq_ann_topk")  # rows-only: trained-codebook quantizer is engine-specific
+def pq_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC approximate nearest neighbors for 5 probe vectors:
+    vectors compressed to 16 codebook indices, scored through per-query
+    lookup tables over the codes alone (recall vs exact kNN is
+    property-tested in tests/test_operators.py)."""
+    from ..operators.knn import pq_ann_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_ann_topk(e, queries, k=10, m=16, ksub=32, dim=64)
+
+
+@query("corpus_semdedup")  # rows-only: k-means clustering is engine-specific
+def corpus_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication: k-means partition of the
+    embedding space, keep-first cosine pruning within each cluster —
+    the per-cluster restriction that makes embedding dedup linear-ish
+    instead of all-pairs quadratic (properties in
+    tests/test_operators.py: survivors clean, planted dups removed,
+    deterministic)."""
+    from ..operators.knn import semantic_dedup
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(e, threshold=0.3, n_clusters=8).select(
+        "vec_id", "label", "cluster_id"
+    )

@@ -170,3 +170,99 @@ def maintain_incremental_rollup(stream_df: DataFrame, store_dir: str,
         "bucket", "event_type", "n_events",
         F.col("total_value").cast("double").alias("total_value"),
     )
+
+
+def maintain_keyed_store(stream_df: DataFrame, store_dir: str,
+                         checkpoint: str, keys: list[str],
+                         seq_col: str, op_col: str | None = None,
+                         timeout_s: int = 300) -> DataFrame:
+    """Streaming CDC apply: maintain an at-rest keyed table by MERGE-ing
+    each micro-batch of change records into the store — the
+    foreachBatch + merge_upsert composition that gives Spark the
+    Delta-style `MERGE INTO` streaming sink from public primitives.
+
+    Batch semantics: within a micro-batch, only the LATEST change per
+    key (max ``seq_col``, arrival order breaking ties) applies — MERGE
+    requires unique source keys, and CDC replays deliver per-key
+    monotone sequence numbers precisely so late/duplicate intermediates
+    collapse. If ``op_col`` is given, rows whose value is ``'D'`` are
+    deletes (WHEN MATCHED THEN DELETE); everything else upserts.
+
+    Exactly-once across retries: the maintain_incremental_rollup
+    atomic-pointer idiom — each merged state writes to ``v-<batch_id>``
+    and the single commit point is an os.replace of ``CURRENT``, so the
+    pointer is the replay marker and readers never see a half state.
+    Store cost per batch is |store| + |batch| (one full-outer join on
+    the keys), never accumulated history.
+
+    Returns the final store contents after an availableNow drain.
+    """
+    import os
+    import shutil
+    from pathlib import Path
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..operators.merge import merge_upsert
+
+    spark = stream_df.sparkSession
+    store = Path(store_dir)
+    pointer = store / "CURRENT"
+    data_cols = [c for c in stream_df.columns if c != op_col]
+
+    def current_version() -> int | None:
+        return int(pointer.read_text()) if pointer.exists() else None
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        last = current_version()
+        if last is not None and last >= batch_id:
+            return  # replayed batch: already committed
+        # content-hash tie-break: deterministic under any partitioning
+        # (real CDC feeds guarantee unique (key, seq) so it rarely fires)
+        w = Window.partitionBy(*keys).orderBy(
+            F.col(seq_col).desc(), F.xxhash64(*data_cols)
+        )
+        latest = (
+            batch_df.withColumn("_ks_rn", F.row_number().over(w))
+            .filter(F.col("_ks_rn") == 1)
+            .drop("_ks_rn")
+        )
+        if op_col is not None:
+            deletes = latest.filter(F.col(op_col) == "D").select(*keys)
+            upserts = latest.filter(
+                F.coalesce(F.col(op_col) != "D", F.lit(True))
+            ).select(*data_cols)
+        else:
+            deletes, upserts = None, latest.select(*data_cols)
+        if last is None:
+            merged = (
+                upserts if deletes is None
+                else upserts.join(deletes, keys, "left_anti")
+            )
+        else:
+            target = spark.read.parquet(str(store / f"v-{last}"))
+            merged = merge_upsert(target, upserts, keys, deletes=deletes)
+        vdir = store / f"v-{batch_id}"
+        merged.write.mode("overwrite").parquet(str(vdir))
+        tmp = store / f"_CURRENT.tmp-{batch_id}"
+        tmp.write_text(str(batch_id))
+        os.replace(tmp, pointer)  # atomic commit: pointer IS the marker
+        if last is not None:
+            shutil.rmtree(store / f"v-{last}", ignore_errors=True)
+
+    q = (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        q.stop()
+    ver = current_version()
+    if ver is None:  # empty stream: nothing ever committed
+        return spark.createDataFrame([], stream_df.select(*data_cols).schema)
+    return spark.read.parquet(str(store / f"v-{ver}"))

@@ -54,3 +54,15 @@ def stream_events_dir(spark: SparkSession, directory: str,
     return df.withColumn(
         "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
     )
+
+
+def stream_parquet_dir(spark: SparkSession, directory: str,
+                       schema, max_files_per_trigger: int = 1) -> DataFrame:
+    """Stream any directory of parquet files as micro-batches (generic
+    variant of stream_events_dir without the events ts conversion —
+    e.g. a CDC change feed for sinks.maintain_keyed_store)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(directory)
+    )

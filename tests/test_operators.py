@@ -331,3 +331,92 @@ def test_asof_forward_and_direction_validation(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="direction"):
         asof_join(left, right, on="k", direction="sideways")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization ANN
+# ---------------------------------------------------------------------------
+
+def test_pq_ann_recall_vs_bruteforce(spark, sf_dir):
+    from dynamic_etl_pipeline_spark.operators.knn import pq_ann_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(e, queries, k=5)
+    # iid-random embeddings are PQ's worst case (no subspace structure
+    # to exploit); 16 subspaces x 32 codes must still recover ~half
+    approx = pq_ann_topk(e, queries, k=5, m=16, ksub=32, dim=64)
+    truth = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    got = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.4, f"PQ recall {recall} too low"
+    # every query keeps exactly k rows, self-matches masked pre-cut
+    import collections
+    per_q = collections.Counter(q for q, _ in got)
+    assert all(v == 5 for v in per_q.values())
+    assert all(q != v for q, v in got)
+
+
+def test_pq_codes_shape_and_determinism(spark, sf_dir):
+    from dynamic_etl_pipeline_spark.operators.knn import (
+        pq_encode_udf, pq_train_codebooks,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = pq_train_codebooks(e, m=4, ksub=16, dim=64)
+    assert books.shape == (4, 16, 16)
+    enc = pq_encode_udf(books)
+    coded = e.select("vec_id", enc(F.col("embedding")).alias("codes"))
+    rows = {r["vec_id"]: tuple(r["codes"]) for r in coded.collect()}
+    assert all(len(c) == 4 for c in rows.values())
+    assert all(0 <= x < 16 for c in rows.values() for x in c)
+    rows2 = {r["vec_id"]: tuple(r["codes"]) for r in coded.collect()}
+    assert rows == rows2
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup
+# ---------------------------------------------------------------------------
+
+def test_semdedup_removes_planted_dups_keeps_first(spark, sf_dir):
+    from dynamic_etl_pipeline_spark.operators.knn import semantic_dedup
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(100)
+    # plant exact copies of vec 0 and 1 under high ids: cosine 1.0,
+    # same cluster by construction -> must be dropped, originals kept
+    planted = e.filter(F.col("vec_id") < 2).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    full = e.unionByName(planted)
+    out = semantic_dedup(full, threshold=0.99, n_clusters=4)
+    ids = {r["vec_id"] for r in out.select("vec_id").collect()}
+    assert 0 in ids and 1 in ids
+    assert 100000 not in ids and 100001 not in ids
+
+
+def test_semdedup_survivors_clean_and_deterministic(spark, sf_dir):
+    from dynamic_etl_pipeline_spark.functions.vectors import cosine
+    from dynamic_etl_pipeline_spark.operators.knn import semantic_dedup
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = semantic_dedup(e, threshold=0.3, n_clusters=8).cache()
+    # no surviving pair in the same cluster with a smaller-id neighbor
+    # above threshold (the keep-first invariant)
+    a = out.select("cluster_id", F.col("vec_id").alias("ia"),
+                   F.col("embedding").alias("va"))
+    b = out.select("cluster_id", F.col("vec_id").alias("ib"),
+                   F.col("embedding").alias("vb"))
+    bad = (
+        a.join(b, "cluster_id")
+        .filter(F.col("ia") < F.col("ib"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= 0.3)
+        .count()
+    )
+    assert bad == 0
+    ids1 = {r["vec_id"] for r in out.select("vec_id").collect()}
+    out2 = semantic_dedup(e, threshold=0.3, n_clusters=8)
+    ids2 = {r["vec_id"] for r in out2.select("vec_id").collect()}
+    assert ids1 == ids2
+    out.unpersist()

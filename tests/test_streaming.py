@@ -154,3 +154,65 @@ def test_incremental_rollup_matches_batch_and_skips_replays(
     after = {key(r): (r["n_events"], r["total_value"])
              for r in again.collect()}
     assert after == before
+
+
+def test_keyed_store_cdc_merge_and_replay(spark, tmp_path):
+    """CDC stream -> MERGE-maintained keyed store: upserts collapse to
+    latest-per-key, deletes remove, replays are no-ops."""
+    import pandas as pd
+
+    from dynamic_etl_pipeline_spark.streaming.sinks import maintain_keyed_store
+    from dynamic_etl_pipeline_spark.streaming.source import stream_parquet_dir
+
+    src = tmp_path / "cdc_src"
+    src.mkdir()
+    # three micro-batches of change records (one file per trigger)
+    b0 = pd.DataFrame({
+        "k": [1, 2, 3], "seq": [10, 10, 10],
+        "val": ["a1", "b1", "c1"], "op": ["U", "U", "U"],
+    })
+    b1 = pd.DataFrame({  # k=1 updated twice in-batch (seq wins), k=4 insert
+        "k": [1, 1, 4], "seq": [20, 21, 20],
+        "val": ["a2-stale", "a3", "d1"], "op": ["U", "U", "U"],
+    })
+    b2 = pd.DataFrame({  # k=2 deleted, k=3 updated
+        "k": [2, 3], "seq": [30, 30], "val": [None, "c2"], "op": ["D", "U"],
+    })
+    for i, b in enumerate([b0, b1, b2]):
+        spark.createDataFrame(b).coalesce(1).write.mode("overwrite").parquet(
+            str(src / f"b{i}")
+        )
+    schema = spark.read.parquet(str(src / "b0")).schema
+    files = sorted(str(p) for p in src.glob("b*/*.parquet"))
+    merged_dir = tmp_path / "cdc_files"
+    merged_dir.mkdir()
+    import os
+    import shutil
+    import time
+    now = time.time()
+    for i, f in enumerate(files):
+        dst = merged_dir / f"f{i}.parquet"
+        shutil.copy(f, dst)
+        # the file source orders batches by mtime: make it explicit
+        os.utime(dst, (now + i * 10, now + i * 10))
+
+    store = tmp_path / "keyed_store"
+    stream = stream_parquet_dir(spark, str(merged_dir), schema,
+                                max_files_per_trigger=1)
+    got = maintain_keyed_store(
+        stream, str(store), str(tmp_path / "ck_cdc"),
+        keys=["k"], seq_col="seq", op_col="op",
+    )
+    state = {r["k"]: (r["val"], r["seq"]) for r in got.collect()}
+    assert state == {1: ("a3", 21), 3: ("c2", 30), 4: ("d1", 20)}
+    # atomic pointer exists and only one version dir survives
+    last = int((store / "CURRENT").read_text())
+    assert [p.name for p in store.glob("v-*")] == [f"v-{last}"]
+    # replay with a fresh checkpoint: batch ids restart, all skipped
+    re_stream = stream_parquet_dir(spark, str(merged_dir), schema,
+                                   max_files_per_trigger=1)
+    again = maintain_keyed_store(
+        re_stream, str(store), str(tmp_path / "ck_cdc2"),
+        keys=["k"], seq_col="seq", op_col="op",
+    )
+    assert {r["k"]: (r["val"], r["seq"]) for r in again.collect()} == state
