@@ -85,3 +85,23 @@ def test_gopher_plan_is_map_only(spark):
     df = spark.createDataFrame([(0, "a b c d e")], ["doc_id", "text"])
     plan = gopher_signals(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_boilerplate_strip_removes_footer_only(spark, sf_dir):
+    """Even docs lose exactly the 7 synthetic footer tokens (interior
+    footer 5-grams are corpus-wide boilerplate; boundary grams contain
+    unique original tokens and must survive); odd docs are untouched."""
+    from dynamic_etl_pipeline_spark.queries import QUERIES
+
+    out = QUERIES["corpus_boilerplate_strip"](spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    j = out.join(docs, "doc_id").collect()
+    for r in j:
+        if r["doc_id"] % 2 == 0:
+            assert r["n_removed"] == 7
+            assert r["text_clean"] == r["text"]  # original restored
+        else:
+            assert r["n_removed"] == 0
+            assert r["text_clean"] == r["text"]

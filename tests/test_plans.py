@@ -195,3 +195,50 @@ def test_pack_sequences_has_no_global_data_window(spark, sf_dir):
     # single-partition window allowed is the one-row-per-bucket offsets
     # frame, which is guarded by its own partitionBy(lit) spec
     assert "windowspecdefinition(bucket" in plan
+
+
+def test_dsir_feature_stats_broadcast(spark, sf_dir):
+    # the <=256-row feature-stats frames must broadcast; the only BNLJ
+    # allowed is the 1-row totals cross join
+    df = QUERIES["corpus_dsir_weights"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert python_eval_count(df) == 0
+
+
+def test_weighted_sample_is_take_ordered_map_only(spark, sf_dir):
+    # A-ES sampling must stay one map projection + TakeOrdered: no
+    # window, no global sort, no Python
+    df = QUERIES["corpus_weighted_sample"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert python_eval_count(df) == 0
+
+
+def test_bpe_pairs_top_is_take_ordered(spark, sf_dir):
+    df = QUERIES["bpe_merge_pairs"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert python_eval_count(df) == 0
+
+
+def test_cms_sketch_probe_broadcasts(spark, sf_dir):
+    # the fixed-size sketch must broadcast onto the probe stream
+    df = QUERIES["word_count_min_sketch"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert python_eval_count(df) == 0
+
+
+def test_boilerplate_strip_broadcast_and_anti(spark, sf_dir):
+    # boiler-gram set broadcasts; covered positions leave via LeftAnti;
+    # no Python anywhere in the rewrite
+    df = QUERIES["corpus_boilerplate_strip"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert python_eval_count(df) == 0

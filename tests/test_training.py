@@ -132,3 +132,76 @@ def test_decontaminate_flags_only_test_split_docs(spark, sf_dir):
     assert joined.filter(F.col("split") != "test").count() == 0
     # scores are positive counts
     assert flagged.filter(F.col("n_shared_shingles") <= 0).count() == 0
+
+
+def test_dsir_weights_separate_target_domain(spark, sf_dir):
+    """Importance weights must rank the target ('en') slice above the
+    rest on average — the whole point of DSIR selection."""
+    from pyspark.sql import functions as F
+
+    from dynamic_etl_pipeline_spark.queries import QUERIES
+
+    w = QUERIES["corpus_dsir_weights"](spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    rows = (
+        w.join(docs, "doc_id")
+        .groupBy((F.col("lang") == "en").alias("is_en"))
+        .agg(F.avg("log_weight").alias("avg_lw"))
+        .collect()
+    )
+    avg = {r["is_en"]: r["avg_lw"] for r in rows}
+    assert avg[True] > avg[False]
+
+
+def test_weighted_sample_prefers_heavy_docs(spark, sf_dir):
+    """A-ES with weight=n_chars must oversample long docs: the sampled
+    mean length exceeds the corpus mean, and reruns are identical."""
+    from pyspark.sql import functions as F
+
+    from dynamic_etl_pipeline_spark.queries import QUERIES
+
+    s = QUERIES["corpus_weighted_sample"](spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
+    sample_mean = s.agg(F.avg("weight")).first()[0]
+    assert sample_mean > corpus_mean
+    ids1 = [r["doc_id"] for r in s.collect()]
+    ids2 = [r["doc_id"] for r in QUERIES["corpus_weighted_sample"](
+        spark, sf_dir).collect()]
+    assert ids1 == ids2
+
+
+def test_cms_estimate_upper_bounds_truth(spark, sf_dir):
+    """Count-min can only overcount: estimate >= true for every word."""
+    from dynamic_etl_pipeline_spark.queries import QUERIES
+
+    rows = QUERIES["word_count_min_sketch"](spark, sf_dir).collect()
+    assert rows
+    assert all(r["cms_estimate"] >= r["true_count"] for r in rows)
+
+
+def test_bpe_pairs_match_python_reference(spark, sf_dir):
+    """Spark pair counts == a straightforward Python BPE count on the
+    same corpus (top rows compared)."""
+    import collections
+
+    from dynamic_etl_pipeline_spark.queries import QUERIES
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    freq = collections.Counter()
+    for r in docs:
+        for w in r["text"].split(" "):
+            if len(w) >= 2:
+                freq[w] += 1
+    pairs = collections.Counter()
+    for w, f_ in freq.items():
+        for a, b in zip(w, w[1:]):
+            pairs[(a, b)] += f_
+    got = QUERIES["bpe_merge_pairs"](spark, sf_dir).collect()
+    for r in got:
+        assert pairs[(r["left_sym"], r["right_sym"])] == r["pair_count"]
+    # the argmax merge agrees
+    top = got[0]
+    assert pairs[(top["left_sym"], top["right_sym"])] == max(pairs.values())
