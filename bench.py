@@ -43,6 +43,11 @@ HEADLINE = [
     "sql_recursive_supplier_chain",  # recursive CTE fixpoint (round 2)
     "doc_gopher_quality",       # map-only quality gates at scan speed (round 2)
     "embedding_covariance",     # one-pass d^2 covariance aggregate (round 2)
+    "corpus_dsir_weights",      # hashed-ngram importance weights, broadcast stats (round 2)
+    "corpus_boilerplate_strip", # boilerplate span removal + doc rewrite (round 2)
+    "word_count_min_sketch",    # fixed-size CMS build + probe (round 2)
+    "bpe_merge_pairs",          # BPE merge-step pair counting (round 2)
+    "corpus_weighted_sample",   # A-ES weighted sampling, map-only + TakeOrdered (round 2)
 ]
 
 
