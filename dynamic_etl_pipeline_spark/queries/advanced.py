@@ -359,3 +359,38 @@ def agg_boolean_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
         F.countDistinct("o_orderstatus").alias("n_statuses"),
     )
+
+
+@query("events_hll_sketch_rollup")  # rows-only: DataSketches estimates are engine-specific
+def events_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL via
+    Spark 4 ``hll_sketch_agg`` / ``hll_union_agg``): build one
+    user-distinct sketch PER DAY, then re-aggregate the day sketches to
+    per-event-type totals with a sketch UNION — never touching raw rows
+    again.
+
+    This is the materialized-view pattern approx_count_distinct can't
+    do: approx_count_distinct yields a number (not mergeable), while a
+    stored sketch column supports any later rollup (day -> week ->
+    all-time) at sketch-size cost. At 100 TB the daily sketch build is
+    the only row-sized pass; every re-rollup moves ~KB per group.
+    Error vs exact distinct is bounded in tests/test_approx.py; the
+    day->union estimate equals re-sketching from scratch because HLL
+    register merge is max-based (order- and partition-insensitive)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            F.date_trunc("day", "ts").alias("day"), "event_type"
+        )
+        .agg(F.hll_sketch_agg("user_id").alias("day_sketch"))
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count("*").cast("int").alias("n_days"),
+            F.hll_sketch_estimate(
+                F.hll_union_agg("day_sketch")
+            ).cast("bigint").alias("distinct_users_est"),
+        )
+        .orderBy("event_type")
+    )

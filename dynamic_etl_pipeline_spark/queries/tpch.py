@@ -705,3 +705,275 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal").alias("totacctbal"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q2 / q12 / q20 — the shapes FIXTURES.md scoped out for lack of
+# partsupp and commit/receipt dates. Closed here by SYNTHESIZING those
+# columns deterministically from existing ones (the doc_pii_redact
+# convention: identical expressions on both engines, so the oracle
+# stays exact):
+#   partsupp      = DISTINCT (l_partkey, l_suppkey) observed in lineitem
+#   ps_supplycost = integer cents from p_retailprice scaled by an
+#                   md5-bucket of the (part, supp) pair  [exact ints]
+#   ps_availqty   = md5-bucket arithmetic in [1, 1000]
+#   l_commitdate  = l_shipdate + (l_partkey % 20 - 5) days
+#   l_receiptdate = l_shipdate + (l_suppkey % 10 + 1) days
+#   l_shipmode    = 5-way pick by (l_orderkey + l_linenumber) % 5
+# --------------------------------------------------------------------------
+
+def _hx(e: str, i: int) -> str:
+    """Value of the i-th hex digit of md5(e) — portable Spark/DuckDB."""
+    return f"(instr('0123456789abcdef', substr(md5({e}), {i}, 1)) - 1)"
+
+
+_PS_KEY = ("concat(cast(ps_partkey as string), '-', "
+           "cast(ps_suppkey as string))")
+_PS_B = f"({_hx(_PS_KEY, 1)} * 16 + {_hx(_PS_KEY, 2)})"
+
+_PARTSUPP_SQL = f"""
+  SELECT ps_partkey, ps_suppkey,
+         CAST(floor(p_retailprice * 100) AS BIGINT)
+           * (50 + {_PS_B} % 50) AS ps_supplycost_cents,
+         CAST(1 + ({_PS_B} * 7 + ps_suppkey) % 1000 AS INT) AS ps_availqty
+  FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+        FROM lineitem) ps
+  JOIN part ON p_partkey = ps_partkey
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthesized partsupp frame (Spark twin of _PARTSUPP_SQL).
+
+    One distinct over (partkey, suppkey) + a broadcast join to part;
+    the cost/qty columns are pure md5/int arithmetic, so the synthesis
+    is deterministic under any partitioning — both engines and every
+    rerun see the identical partsupp relation."""
+    li, part = load_tables(spark, sf_dir, "lineitem", "part")
+    pairs = (
+        li.select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        ).distinct()
+    )
+    return (
+        pairs.join(
+            F.broadcast(part.select("p_partkey", "p_retailprice")),
+            F.col("p_partkey") == F.col("ps_partkey"),
+        )
+        .select(
+            "ps_partkey", "ps_suppkey",
+            (
+                F.expr("CAST(floor(p_retailprice * 100) AS BIGINT)")
+                * (50 + F.expr(_PS_B) % 50)
+            ).alias("ps_supplycost_cents"),
+            (1 + (F.expr(_PS_B) * 7 + F.col("ps_suppkey")) % 1000)
+            .cast("int").alias("ps_availqty"),
+        )
+    )
+
+
+@query("q2_min_cost_supplier", oracle=f"""
+WITH partsupp AS ({_PARTSUPP_SQL}),
+eligible AS (
+  SELECT ps_partkey, ps_suppkey, ps_supplycost_cents,
+         s_acctbal, s_name, n_name
+  FROM partsupp
+  JOIN supplier ON s_suppkey = ps_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = 'ASIA'
+),
+best AS (
+  SELECT ps_partkey, min(ps_supplycost_cents) AS min_cost
+  FROM eligible GROUP BY ps_partkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_supplycost_cents
+FROM eligible
+JOIN best ON best.ps_partkey = eligible.ps_partkey
+         AND ps_supplycost_cents = min_cost
+JOIN part ON p_partkey = eligible.ps_partkey
+WHERE p_size = 15 AND p_type = 'STANDARD'
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""")
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q2 shape: for every qualifying part, the supplier(s)
+    offering the REGIONAL minimum supply cost — correlated scalar-MIN
+    subquery decorrelated to a per-part aggregate joined back (exactly
+    Catalyst's own decorrelation), then dimension filters and top-100.
+
+    Scale: the eligible frame shuffles once on ps_partkey for the min;
+    the join back is on the same key (no extra exchange under AQE);
+    part/supplier/nation/region dimensions broadcast. The top-100 is
+    TakeOrderedAndProject — no global sort."""
+    part, supplier, nation, region = load_tables(
+        spark, sf_dir, "part", "supplier", "nation", "region"
+    )
+    eligible = (
+        _partsupp(spark, sf_dir)
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("ps_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(region), F.col("r_regionkey") == F.col("n_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .select("ps_partkey", "ps_suppkey", "ps_supplycost_cents",
+                "s_acctbal", "s_name", "n_name")
+    )
+    best = eligible.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost_cents").alias("min_cost")
+    )
+    return (
+        eligible.join(
+            best.withColumnRenamed("ps_partkey", "_bpk"),
+            (F.col("_bpk") == F.col("ps_partkey"))
+            & (F.col("ps_supplycost_cents") == F.col("min_cost")),
+        )
+        .join(
+            F.broadcast(
+                part.filter((F.col("p_size") == 15)
+                            & (F.col("p_type") == "STANDARD"))
+            ),
+            F.col("p_partkey") == F.col("ps_partkey"),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+                "ps_supplycost_cents")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+_L_COMMIT = "l_shipdate + INTERVAL 1 DAY * (l_partkey % 20 - 5)"
+_L_RECEIPT = "l_shipdate + INTERVAL 1 DAY * (l_suppkey % 10 + 1)"
+# element_at / list subscripts are 1-based on both engines, but the
+# array-literal spelling differs
+_L_MODE_IDX = "CAST((l_orderkey + l_linenumber) % 5 AS INT) + 1"
+_L_SHIPMODE_SPARK = ("element_at(array('MAIL', 'SHIP', 'AIR', 'TRUCK', "
+                     f"'RAIL'), {_L_MODE_IDX})")
+_L_SHIPMODE_DUCK = f"(['MAIL', 'SHIP', 'AIR', 'TRUCK', 'RAIL'])[{_L_MODE_IDX}]"
+
+
+@query("q12_shipmode_priority", oracle=f"""
+WITH l AS (
+  SELECT o_orderpriority,
+         {_L_SHIPMODE_DUCK} AS l_shipmode,
+         {_L_COMMIT} AS l_commitdate,
+         {_L_RECEIPT} AS l_receiptdate,
+         l_shipdate
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+)
+SELECT l_shipmode,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM l
+WHERE l_shipmode IN ('MAIL', 'SHIP')
+  AND l_commitdate < l_receiptdate
+  AND l_shipdate < l_commitdate
+  AND l_receiptdate >= TIMESTAMP '1996-01-01'
+  AND l_receiptdate < TIMESTAMP '1997-01-01'
+GROUP BY l_shipmode
+ORDER BY l_shipmode
+""")
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q12 shape: late-shipment risk by ship mode — were
+    high-priority orders entrusted to slow modes? Commit/receipt dates
+    and ship mode are synthesized per the module-header convention.
+
+    Scale: one equi-join lineitem-orders on the order key + one
+    2-group aggregate; every synthesized column is map-side arithmetic
+    that AQE/codegen fold into the scan stage, and the IN-filter on
+    ship mode halves the join probe before it happens."""
+    li, orders = load_tables(spark, sf_dir, "lineitem", "orders")
+    l = li.select(
+        "l_orderkey",
+        F.expr(_L_SHIPMODE_SPARK).alias("l_shipmode"),
+        F.expr(_L_COMMIT).alias("l_commitdate"),
+        F.expr(_L_RECEIPT).alias("l_receiptdate"),
+        "l_shipdate",
+    ).filter(
+        F.col("l_shipmode").isin("MAIL", "SHIP")
+        & (F.col("l_commitdate") < F.col("l_receiptdate"))
+        & (F.col("l_shipdate") < F.col("l_commitdate"))
+        & (F.col("l_receiptdate") >= ntz("1996-01-01 00:00:00"))
+        & (F.col("l_receiptdate") < ntz("1997-01-01 00:00:00"))
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_shipmode")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("bigint")
+            .alias("low_line_count"),
+        )
+        .orderBy("l_shipmode")
+    )
+
+
+@query("q20_excess_stock_suppliers", oracle=f"""
+WITH partsupp AS ({_PARTSUPP_SQL}),
+shipped AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum(l_quantity) AS BIGINT) AS qty_1996
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_partkey, l_suppkey
+),
+excess AS (
+  SELECT DISTINCT ps_suppkey
+  FROM partsupp
+  JOIN part ON p_partkey = ps_partkey
+  JOIN shipped ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+  WHERE p_name LIKE '%widget%'
+    AND ps_availqty > qty_1996 / 2.0
+)
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN excess ON ps_suppkey = s_suppkey
+ORDER BY s_name
+""")
+def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q20 shape: suppliers holding excess stock of a named part
+    family — availqty above half of what they actually shipped in the
+    year (nested IN-subquery chain flattened to joins + a semi join,
+    Catalyst's own plan for it).
+
+    Scale: shipped is a partial-agg groupBy on (part, supp) — the same
+    key the partsupp join needs, so AQE reuses the partitioning; part
+    filters broadcast; the final DISTINCT-suppkey set is tiny and the
+    supplier join is a broadcast semi join."""
+    part, supplier = load_tables(spark, sf_dir, "part", "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= ntz("1996-01-01 00:00:00"))
+            & (F.col("l_shipdate") < ntz("1997-01-01 00:00:00"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").cast("bigint").alias("qty_1996"))
+    )
+    excess = (
+        _partsupp(spark, sf_dir)
+        .join(
+            F.broadcast(part.filter(F.col("p_name").like("%widget%"))),
+            F.col("p_partkey") == F.col("ps_partkey"),
+        )
+        .join(
+            shipped,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .filter(F.col("ps_availqty") > F.col("qty_1996") / 2.0)
+        .select("ps_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(
+            F.broadcast(excess), F.col("ps_suppkey") == F.col("s_suppkey")
+        )
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )

@@ -266,3 +266,112 @@ def maintain_keyed_store(stream_df: DataFrame, store_dir: str,
     if ver is None:  # empty stream: nothing ever committed
         return spark.createDataFrame([], stream_df.select(*data_cols).schema)
     return spark.read.parquet(str(store / f"v-{ver}"))
+
+
+def maintain_join_view(stream_df: DataFrame, store_dir: str,
+                       checkpoint: str, side_col: str, on: list[str],
+                       timeout_s: int = 300) -> DataFrame:
+    """Incremental JOIN view maintenance: keep J = A JOIN B up to date
+    as rows for either side arrive on one tagged stream
+    (``side_col`` = 'A' or 'B'), using the bilinear delta rule
+
+        dJ = dA JOIN B_hist  UNION ALL  A_hist JOIN dB
+             UNION ALL  dA JOIN dB
+
+    so each micro-batch APPENDS only the new join results — the view is
+    never recomputed, and unlike Spark's stream-stream join the history
+    is unbounded (no watermark expiry): this is the materialized-view
+    semantics (DBSP / differential-dataflow style) rather than the
+    event-time-bounded streaming join.
+
+    Store layout: ``a/batch_id=N``, ``b/batch_id=N`` (side history,
+    append-only), ``j/batch_id=N`` (per-batch join deltas). Every write
+    is an idempotent per-batch overwrite and the ``_last_batch`` marker
+    commits last, so replays rewrite identical files and skip merged
+    batches — effectively-once without any store rewrite. Reading the
+    view = reading ``j/`` (union of deltas).
+
+    Scale: per batch the work is dA x B + A x dB join probes — with
+    both histories written BUCKETED on the join key (operators/
+    bucketing.py) the probes are shuffle-free lookups, and the appended
+    delta files keep the view write cost proportional to CHANGE size,
+    never view size. A and B histories here are plain parquet dirs; the
+    fixture-scale test reads them whole.
+
+    Returns the view (all join deltas) after an availableNow drain.
+    """
+    import os
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    spark = stream_df.sparkSession
+    store = Path(store_dir)
+    store.mkdir(parents=True, exist_ok=True)
+    marker = store / "_last_batch"
+    data_cols = [c for c in stream_df.columns if c != side_col]
+    payload = [c for c in data_cols if c not in on]
+
+    def last_done() -> int | None:
+        return int(marker.read_text()) if marker.exists() else None
+
+    def read_side(d: Path, schema) -> DataFrame:
+        if d.exists() and any(d.glob("batch_id=*/*.parquet")):
+            return spark.read.parquet(*[str(p) for p in d.glob("batch_id=*")])
+        return spark.createDataFrame([], schema)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        last = last_done()
+        if last is not None and last >= batch_id:
+            return
+        d_a = batch_df.filter(F.col(side_col) == "A").select(*data_cols)
+        d_b = batch_df.filter(F.col(side_col) == "B").select(*data_cols)
+        schema = d_a.schema
+        a_hist = read_side(store / "a", schema)
+        b_hist = read_side(store / "b", schema)
+
+        def j(left: DataFrame, right: DataFrame) -> DataFrame:
+            r = right.select(
+                *[F.col(k).alias(f"_r_{k}") for k in on],
+                *[F.col(c).alias(f"{c}_b") for c in payload],
+            )
+            cond = [left[k] == r[f"_r_{k}"] for k in on]
+            return left.join(r, cond).select(
+                *on, *[F.col(c).alias(f"{c}_a") for c in payload],
+                *[f"{c}_b" for c in payload],
+            )
+
+        d_j = (
+            j(d_a, b_hist)
+            .unionByName(j(a_hist, d_b))
+            .unionByName(j(d_a, d_b))
+        )
+        d_j.write.mode("overwrite").parquet(
+            str(store / "j" / f"batch_id={batch_id}")
+        )
+        d_a.write.mode("overwrite").parquet(
+            str(store / "a" / f"batch_id={batch_id}")
+        )
+        d_b.write.mode("overwrite").parquet(
+            str(store / "b" / f"batch_id={batch_id}")
+        )
+        tmp = store / f"_last_batch.tmp-{batch_id}"
+        tmp.write_text(str(batch_id))
+        os.replace(tmp, marker)  # single commit point, idempotent replays
+
+    q = (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        q.stop()
+    jdir = store / "j"
+    paths = [str(p) for p in jdir.glob("batch_id=*")]
+    if not paths:
+        raise ValueError("maintain_join_view: no batches processed")
+    return spark.read.parquet(*paths)

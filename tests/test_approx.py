@@ -47,3 +47,34 @@ def test_approx_quantile_error_bound(spark, sf_dir):
     )
     assert abs(p50 - exact["p50"]) / exact["p50"] < 0.02
     assert abs(p95 - exact["p95"]) / exact["p95"] < 0.02
+
+
+def test_hll_sketch_union_matches_exact_within_bound(spark, sf_dir):
+    """Day-sketch union estimate within 5% of exact distinct, and equal
+    to the single-pass sketch estimate (register merge is max-based,
+    so build-then-union == build-once)."""
+    from pyspark.sql import functions as F
+
+    from dynamic_etl_pipeline_spark.catalog import load_table
+    from dynamic_etl_pipeline_spark.queries import QUERIES
+
+    est = {
+        r["event_type"]: r["distinct_users_est"]
+        for r in QUERIES["events_hll_sketch_rollup"](spark, sf_dir).collect()
+    }
+    e = load_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["d"]
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d")).collect()
+    }
+    assert set(est) == set(exact)
+    for k in exact:
+        assert abs(est[k] - exact[k]) / exact[k] < 0.05, (k, est[k], exact[k])
+    one_pass = {
+        r["event_type"]: r["d"]
+        for r in e.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
+             .cast("bigint").alias("d")).collect()
+    }
+    assert est == one_pass

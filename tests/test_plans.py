@@ -242,3 +242,20 @@ def test_boilerplate_strip_broadcast_and_anti(spark, sf_dir):
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
     assert python_eval_count(df) == 0
+
+
+def test_q2_decorrelated_min_take_ordered(spark, sf_dir):
+    df = QUERIES["q2_min_cost_supplier"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert python_eval_count(df) == 0
+
+
+def test_q12_q20_python_free_no_cartesian(spark, sf_dir):
+    for name in ("q12_shipmode_priority", "q20_excess_stock_suppliers"):
+        df = QUERIES[name](spark, sf_dir)
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan, name
+        assert python_eval_count(df) == 0, name

@@ -216,3 +216,63 @@ def test_keyed_store_cdc_merge_and_replay(spark, tmp_path):
         keys=["k"], seq_col="seq", op_col="op",
     )
     assert {r["k"]: (r["val"], r["seq"]) for r in again.collect()} == state
+
+
+def test_join_view_incremental_equals_batch_join(spark, tmp_path):
+    """Bilinear delta maintenance: union of per-batch join deltas ==
+    the batch join of all arrived rows, with no duplicates, and replay
+    is a no-op."""
+    import os
+    import shutil
+    import time
+
+    import pandas as pd
+
+    from dynamic_etl_pipeline_spark.streaming.sinks import maintain_join_view
+    from dynamic_etl_pipeline_spark.streaming.source import stream_parquet_dir
+
+    # 3 micro-batches; key k sees A-rows and B-rows arriving in
+    # different batches (dAxB_hist, A_histxdB and dAxdB all exercised)
+    batches = [
+        pd.DataFrame({"side": ["A", "A", "B"], "k": [1, 2, 1],
+                      "v": ["a1", "a2", "b1"]}),
+        pd.DataFrame({"side": ["B", "B", "A"], "k": [1, 2, 1],
+                      "v": ["b2", "b3", "a3"]}),
+        pd.DataFrame({"side": ["A", "B"], "k": [3, 3], "v": ["a4", "b4"]}),
+    ]
+    src = tmp_path / "jv_src"
+    src.mkdir()
+    now = time.time()
+    for i, b in enumerate(batches):
+        d = tmp_path / f"jv_b{i}"
+        spark.createDataFrame(b).coalesce(1).write.mode("overwrite").parquet(
+            str(d)
+        )
+        f = next(d.glob("*.parquet"))
+        dst = src / f"f{i}.parquet"
+        shutil.copy(f, dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+    schema = spark.createDataFrame(batches[0]).schema
+
+    store = tmp_path / "jv_store"
+    view = maintain_join_view(
+        stream_parquet_dir(spark, str(src), schema, max_files_per_trigger=1),
+        str(store), str(tmp_path / "jv_ck"), side_col="side", on=["k"],
+    )
+    got = {(r["k"], r["v_a"], r["v_b"]) for r in view.collect()}
+    assert view.count() == len(got)  # no duplicate join results
+    alldf = pd.concat(batches)
+    a = alldf[alldf["side"] == "A"]
+    b = alldf[alldf["side"] == "B"]
+    want = {
+        (ka, va, vb)
+        for ka, va in zip(a["k"], a["v"])
+        for kb, vb in zip(b["k"], b["v"]) if ka == kb
+    }
+    assert got == want
+    # replay with fresh checkpoint: marker skips everything, view unchanged
+    view2 = maintain_join_view(
+        stream_parquet_dir(spark, str(src), schema, max_files_per_trigger=1),
+        str(store), str(tmp_path / "jv_ck2"), side_col="side", on=["k"],
+    )
+    assert {(r["k"], r["v_a"], r["v_b"]) for r in view2.collect()} == want
