@@ -137,12 +137,31 @@ def _centroid_assign_udf(centroids: "np.ndarray", top: int):
 
     @pandas_udf(ArrayType(IntegerType()))
     def assign(vecs: pd.Series) -> pd.Series:
-        x = _norm_rows(np.stack([np.asarray(v, dtype=np.float64) for v in vecs]))
-        scores = x @ cn  # (batch, n_centroids)
-        if top == 1:
-            return pd.Series([[int(i)] for i in scores.argmax(axis=1)])
-        idx = np.argpartition(-scores, min(top, scores.shape[1] - 1), axis=1)[:, :top]
-        return pd.Series([row.astype(int).tolist() for row in idx])
+        # NULL embeddings assign to NULL (never cluster, never pair) —
+        # the null-guard convention of dedup._sig_udf; empty Arrow
+        # batches short-circuit before np.stack
+        if not len(vecs):
+            return pd.Series([], dtype=object)
+        mask = np.array([v is not None for v in vecs])
+        out = np.empty(len(vecs), dtype=object)
+        out[~mask] = None
+        if mask.any():
+            x = _norm_rows(np.stack([
+                np.asarray(v, dtype=np.float64)
+                for v, ok in zip(vecs, mask) if ok
+            ]))
+            scores = x @ cn  # (valid, n_centroids)
+            if top == 1:
+                picks = [[int(i)] for i in scores.argmax(axis=1)]
+            else:
+                idx = np.argpartition(
+                    -scores, min(top, scores.shape[1] - 1), axis=1
+                )[:, :top]
+                picks = [row.astype(int).tolist() for row in idx]
+            pa = np.empty(len(picks), dtype=object)
+            pa[:] = picks
+            out[mask] = pa
+        return pd.Series(out)
 
     return assign
 
@@ -156,11 +175,17 @@ def kmeans_centroids(df: DataFrame, n_centroids: int, kmeans_iters: int = 2,
     narrow shuffles per iteration, only the (n_centroids, dim) matrix
     ever touches the driver. Shared by IVF search and diversity
     sampling."""
-    centroids = np.stack([
-        np.asarray(r[0], dtype=np.float64)
-        for r in df.select(vec_col)
+    seed_rows = [
+        r[0] for r in df.select(vec_col)
+        .filter(F.col(vec_col).isNotNull())
         .orderBy(F.xxhash64(F.col(id_col) + seed))
         .limit(n_centroids).collect()
+    ]
+    if not seed_rows:
+        raise ValueError("kmeans_centroids: no non-null vectors to seed from")
+    # tiny inputs: train however many clusters the data can seed
+    centroids = np.stack([
+        np.asarray(v, dtype=np.float64) for v in seed_rows
     ])
     for _ in range(kmeans_iters):
         assign1 = _centroid_assign_udf(centroids, top=1)
@@ -175,7 +200,10 @@ def kmeans_centroids(df: DataFrame, n_centroids: int, kmeans_iters: int = 2,
             .collect()
         )
         for r in means:  # lists that captured no vectors keep old centroid
-            centroids[r["list_id"]] = np.asarray(r["mean_vec"], dtype=np.float64)
+            if r["list_id"] is not None:
+                centroids[r["list_id"]] = np.asarray(
+                    r["mean_vec"], dtype=np.float64
+                )
     return centroids
 
 
@@ -277,6 +305,8 @@ def _pq_assign_udf(codebooks: "np.ndarray"):
 
     @pandas_udf(IntegerType())
     def assign(sids: pd.Series, vecs: pd.Series) -> pd.Series:
+        if not len(sids):
+            return pd.Series([], dtype="int32")
         sid = sids.to_numpy()
         x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
         out = np.empty(len(sid), dtype=np.int32)
@@ -368,6 +398,8 @@ def pq_encode_udf(codebooks: "np.ndarray"):
 
     @pandas_udf(ArrayType(IntegerType()))
     def encode(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype=object)
         x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
         codes = np.empty((x.shape[0], m), dtype=np.int64)
         for j in range(m):
@@ -429,6 +461,8 @@ def pq_ann_topk(candidates: DataFrame, queries: DataFrame, k: int = 10,
 
     def score_batches(batches):
         for pdf in batches:
+            if not len(pdf):
+                continue
             codes = np.stack(
                 [np.asarray(c, dtype=np.int64) for c in pdf["_codes"]]
             )  # (B, m)

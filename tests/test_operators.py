@@ -420,3 +420,26 @@ def test_semdedup_survivors_clean_and_deterministic(spark, sf_dir):
     ids2 = {r["vec_id"] for r in out2.select("vec_id").collect()}
     assert ids1 == ids2
     out.unpersist()
+
+
+def test_ann_kernels_null_and_tiny_input_robust(spark, sf_dir):
+    """NULL embeddings must not crash clustering ops (the simhash-null
+    advice class): null rows get a NULL cluster and survive dedup;
+    k-means on fewer rows than requested centroids trains what it can."""
+    from pyspark.sql import Row
+
+    from dynamic_etl_pipeline_spark.operators.knn import (
+        kmeans_centroids, semantic_dedup,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(20)
+    with_null = e.unionByName(spark.createDataFrame(
+        [Row(vec_id=999999, embedding=None, label=0)], e.schema
+    ))
+    out = semantic_dedup(with_null, threshold=0.99, n_clusters=4)
+    rows = {r["vec_id"]: r["cluster_id"] for r in out.collect()}
+    assert 999999 in rows and rows[999999] is None
+    # 5 rows, 16 requested centroids -> 5 trained, no crash
+    small = e.limit(5)
+    c = kmeans_centroids(small, n_centroids=16)
+    assert 1 <= c.shape[0] <= 5
