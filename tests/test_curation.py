@@ -105,3 +105,38 @@ def test_boilerplate_strip_removes_footer_only(spark, sf_dir):
         else:
             assert r["n_removed"] == 0
             assert r["text_clean"] == r["text"]
+
+
+def test_new_text_queries_survive_degenerate_docs(spark, tmp_path):
+    """Run the round-2 text/sampling queries end-to-end on a corpus of
+    edge-case documents (empty, 1-token, 2-token, NULL text) — the
+    descending-sequence / null-kernel advice class from round 1 must
+    not fire anywhere."""
+    import pandas as pd
+
+    from dynamic_etl_pipeline_spark.queries import QUERIES
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["", "one", "two tokens", None,
+                 "a b c d e f g h i j k l m n o p"],
+        "lang": ["en", "en", "fr", "de", "en"],
+        "source": ["s1", "s1", "s2", "s2", "s1"],
+        "n_chars": [0, 3, 10, 0, 31],
+    })
+    sf = tmp_path / "edge_sf"
+    sf.mkdir()
+    spark.createDataFrame(docs).coalesce(1).write.mode("overwrite").parquet(
+        str(sf / "documents.parquet")
+    )
+    for name in ("corpus_dsir_weights", "corpus_weighted_sample",
+                 "bpe_merge_pairs", "word_count_min_sketch",
+                 "corpus_boilerplate_strip", "doc_gopher_quality"):
+        rows = QUERIES[name](spark, str(sf)).collect()  # must not raise
+        assert rows is not None, name
+    # semantics spot-checks: doc 4 (NULL text) and doc 1 (empty) have
+    # no bigram features and drop out of DSIR; the 2-token doc stays
+    dsir_ids = {r["doc_id"] for r in
+                QUERIES["corpus_dsir_weights"](spark, str(sf)).collect()}
+    assert 3 in dsir_ids and 5 in dsir_ids
+    assert 1 not in dsir_ids and 4 not in dsir_ids
