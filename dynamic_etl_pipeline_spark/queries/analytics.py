@@ -905,3 +905,162 @@ def bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice").alias("total_price"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Multi-touch attribution: linear credit over the 7-day pre-purchase
+# window — the classic marketing-analytics read on an event stream.
+# --------------------------------------------------------------------------
+
+@query("events_linear_attribution", oracle="""
+WITH purchases AS (
+  SELECT event_id AS pid, user_id, ts AS pts, value
+  FROM events WHERE event_type = 'purchase'
+), touches AS (
+  SELECT user_id, ts AS tts, event_type AS channel
+  FROM events WHERE event_type IN ('view', 'click')
+), credited AS (
+  SELECT pid, channel, value,
+         count(*) OVER (PARTITION BY pid) AS n_touches
+  FROM purchases JOIN touches USING (user_id)
+  WHERE tts >= pts - INTERVAL 7 DAY AND tts < pts
+)
+SELECT channel,
+       CAST(count(*) AS BIGINT) AS credited_touches,
+       round(CAST(sum(CAST(value / n_touches AS DECIMAL(27,12)))
+             AS DOUBLE), 4) AS credited_revenue
+FROM credited
+GROUP BY channel
+ORDER BY channel
+""")
+def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value splits
+    evenly across the user's view/click touches in the strict 7-day
+    window before it; per-channel credited revenue is the rollup every
+    marketing warehouse maintains.
+
+    Scale: the purchase-touch pairing is an EQUI-join on user_id with
+    the time window as a residual — per-user event counts are bounded,
+    so no quadratic blowup; the per-purchase touch count is a window
+    over pid (one purchase's touches colocate after the join shuffle).
+    Credit division happens per-row and sums in exact decimal."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id",
+        F.col("ts").alias("pts"), "value",
+    )
+    touches = e.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", F.col("ts").alias("tts"),
+        F.col("event_type").alias("channel"),
+    )
+    credited = (
+        purchases.join(touches, "user_id")
+        .filter(
+            (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 7 DAY"))
+            & (F.col("tts") < F.col("pts"))
+        )
+        .withColumn("n_touches", F.count("*").over(Window.partitionBy("pid")))
+    )
+    return (
+        credited.groupBy("channel")
+        .agg(
+            F.count("*").cast("bigint").alias("credited_touches"),
+            F.round(
+                F.sum((F.col("value") / F.col("n_touches"))
+                      .cast("decimal(27,12)")).cast("double"),
+                4,
+            ).alias("credited_revenue"),
+        )
+        .orderBy("channel")
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding outliers: distance-to-own-centroid z-score per label — the
+# mislabeled/corrupted-vector detector a curation pipeline runs before
+# training on labeled embeddings.
+# --------------------------------------------------------------------------
+
+@query("embedding_outliers", oracle="""
+WITH expl AS (
+  SELECT vec_id, label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+), cent AS (
+  SELECT label, pos,
+         round(CAST(sum(CAST(v AS DECIMAL(27,12))) AS DOUBLE) / count(*), 8)
+           AS c
+  FROM expl GROUP BY label, pos
+), d2 AS (
+  SELECT vec_id, expl.label,
+         CAST(sum(CAST((v - c) * (v - c) AS DECIMAL(27,12))) AS DOUBLE)
+           AS dist2
+  FROM expl JOIN cent ON cent.label = expl.label AND cent.pos = expl.pos
+  GROUP BY vec_id, expl.label
+), moments AS (
+  SELECT label,
+         CAST(sum(CAST(dist2 AS DECIMAL(27,12))) AS DOUBLE) / count(*)
+           AS mu,
+         sqrt((CAST(sum(CAST(dist2 * dist2 AS DECIMAL(38,12))) AS DOUBLE)
+               - count(*) * pow(CAST(sum(CAST(dist2 AS DECIMAL(27,12)))
+                                     AS DOUBLE) / count(*), 2))
+              / (count(*) - 1)) AS sigma
+  FROM d2 GROUP BY label
+)
+SELECT vec_id, d2.label, round(dist2, 6) AS dist2,
+       round((dist2 - mu) / sigma, 4) AS z,
+       (dist2 - mu) / sigma > 2.0 AS is_outlier
+FROM d2 JOIN moments ON moments.label = d2.label
+""")
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid-distance outliers: squared distance of every
+    vector to its own label's (decimal-exact, rounded-pinned) centroid,
+    z-scored against that label's distance distribution; z > 2 flags
+    likely mislabels.
+
+    Scale: the centroid frame is |labels| x dim rows (broadcast); the
+    distance pass re-joins it onto the exploded vectors — one shuffle
+    keyed (vec_id, label) to re-assemble distances, one label-keyed
+    moments aggregate (tiny) broadcast back. All sums decimal, so
+    every engine/partitioning sees identical distances and flags."""
+    e = load_table(spark, sf_dir, "embeddings")
+    expl = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos0", "v")
+    ).select(
+        "vec_id", "label", (F.col("pos0") + 1).cast("int").alias("pos"),
+        F.col("v").cast("double").alias("v"),
+    )
+    cent = (
+        expl.groupBy("label", "pos")
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast("decimal(27,12)")).cast("double")
+                / F.count("*"),
+                8,
+            ).alias("c")
+        )
+    )
+    d2 = (
+        expl.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(((F.col("v") - F.col("c")) * (F.col("v") - F.col("c")))
+                  .cast("decimal(27,12)")).cast("double").alias("dist2")
+        )
+    )
+    n = F.count("*")
+    s1 = F.sum(F.col("dist2").cast("decimal(27,12)")).cast("double")
+    s2 = F.sum((F.col("dist2") * F.col("dist2"))
+               .cast("decimal(38,12)")).cast("double")
+    moments = d2.groupBy("label").agg(
+        (s1 / n).alias("mu"),
+        F.sqrt((s2 - n * F.pow(s1 / n, 2)) / (n - 1)).alias("sigma"),
+    )
+    z = (F.col("dist2") - F.col("mu")) / F.col("sigma")
+    return (
+        d2.join(F.broadcast(moments), "label")
+        .select(
+            "vec_id", "label", F.round("dist2", 6).alias("dist2"),
+            F.round(z, 4).alias("z"), (z > 2.0).alias("is_outlier"),
+        )
+    )
