@@ -287,14 +287,19 @@ def corpus_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     order — the C4 'remove the shared line, keep the page' rewrite at
     n-gram granularity.
 
-    Scale shape: detection is the same single-shuffle inverted-index
-    pass as corpus_boilerplate_ngrams; the boilerplate gram set is
-    vocabulary-thin and BROADCAST back; span->position expansion is a
-    partition-local explode (width n per hit). The rebuild groupBy
-    re-keys by doc_id — same key as the input, so with the input
-    pre-partitioned by doc_id a real cluster does it shuffle-free.
-    Fully-stripped documents stay in the output as empty strings (the
-    left join), preserving corpus row identity for downstream audits."""
+    Scale shape — two shuffles total: (1) the gram-df inverted-index
+    aggregate (same as corpus_boilerplate_ngrams), (2) collecting each
+    document's boilerplate START positions into one array row. The
+    rewrite itself is then MAP-ONLY: a higher-order ``filter`` keeps
+    token i unless some start s covers it (exists s in [i-n+1, i]),
+    and the document re-assembles with array_join — no per-position
+    explode, no anti join, no order-restoring re-aggregation, so the
+    only thing ever shuffled is n-gram stats and the (doc, starts)
+    hit list, both vocabulary/hit-sized rather than corpus-sized.
+    Fully-stripped documents stay in the output as empty strings,
+    preserving corpus row identity for downstream audits. (The DuckDB
+    oracle spells the same semantics with the explicit position
+    anti-join, pinning the rewrite's equivalence.)"""
     n, thr = _BOILER_N, _BOILER_DF
     d = load_table(spark, sf_dir, "documents")
     corpus = d.select(
@@ -326,37 +331,29 @@ def corpus_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= thr)
         .select("gram")
     )
-    covered = (
+    hits = (
         pos.join(F.broadcast(boiler), "gram")
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.col("i"), (F.col("i") + (n - 1)).cast("int"))
-            ).alias("p"),
-        )
-        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_list("i").alias("starts"))
     )
-    toks_pos = t.select(
-        "doc_id",
-        F.posexplode("toks").alias("p0", "tok"),
-    ).select("doc_id", (F.col("p0") + 1).cast("int").alias("p"), "tok")
-    kept = toks_pos.join(covered, ["doc_id", "p"], "left_anti")
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.count("*").alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("p", "tok"))),
-                lambda s: s.tok,
+    kept = F.filter(
+        F.col("toks"),
+        lambda x, i: ~F.coalesce(
+            F.exists(
+                F.col("starts"),
+                # token index i is 0-based; start s covers tokens
+                # [s, s+n-1] 1-based, i.e. i+1 in [s, s+n-1]
+                lambda s_: (i + 1 >= s_) & (i + 1 <= s_ + (n - 1)),
             ),
-            " ",
-        ).alias("text_clean"),
+            F.lit(False),
+        ),
     )
     return (
-        t.join(rebuilt, "doc_id", "left")
+        t.join(F.broadcast(hits), "doc_id", "left")
+        .withColumn("_kept", kept)
         .select(
             "doc_id",
-            (F.size("toks") - F.coalesce(F.col("n_kept"), F.lit(0)))
-            .cast("int").alias("n_removed"),
-            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+            (F.size("toks") - F.size("_kept")).cast("int").alias("n_removed"),
+            F.array_join(F.col("_kept"), " ").alias("text_clean"),
         )
     )
