@@ -115,3 +115,134 @@ def doc_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count("text", "whitespace").cast("int").alias("n_ws_tokens"),
         token_count("text", "bpe_ish").cast("int").alias("n_bpe_tokens"),
     )
+
+
+@query("quality_referential_integrity", oracle="""
+SELECT 'lineitem.l_orderkey -> orders' AS fk,
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_child,
+       CAST((SELECT count(*) FROM lineitem l
+             LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+             WHERE o.o_orderkey IS NULL) AS BIGINT) AS n_orphans
+UNION ALL
+SELECT 'orders.o_custkey -> customer',
+       (SELECT count(*) FROM orders),
+       (SELECT count(*) FROM orders o
+        LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE c.c_custkey IS NULL)
+UNION ALL
+SELECT 'supplier.s_nationkey -> nation',
+       (SELECT count(*) FROM supplier),
+       (SELECT count(*) FROM supplier s
+        LEFT JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_nationkey IS NULL)
+ORDER BY fk
+""")
+def quality_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphaned-foreign-key counts for the
+    star schema's FK edges — the cross-table check a warehouse runs
+    after every load (the reference validates rows in isolation,
+    app.py:110-131; cross-record constraints are out of its reach).
+
+    Each edge is one LEFT ANTI count with the PARENT side broadcast
+    (dimension tables are small by star-schema construction); the big
+    child tables stream through map-side. No shuffle touches child
+    rows — the count aggregates partially per partition."""
+    li, orders, customer, supplier, nation = (
+        load_table(spark, sf_dir, t)
+        for t in ("lineitem", "orders", "customer", "supplier", "nation")
+    )
+
+    def edge(name: str, child: DataFrame, ck: str,
+             parent: DataFrame, pk: str) -> DataFrame:
+        orphans = child.join(
+            F.broadcast(parent.select(pk)),
+            child[ck] == parent[pk], "left_anti",
+        )
+        return child.agg(
+            F.lit(name).alias("fk"),
+            F.count("*").cast("bigint").alias("n_child"),
+        ).crossJoin(
+            orphans.agg(F.count("*").cast("bigint").alias("n_orphans"))
+        )
+
+    return (
+        edge("lineitem.l_orderkey -> orders", li, "l_orderkey",
+             orders, "o_orderkey")
+        .unionByName(edge("orders.o_custkey -> customer", orders, "o_custkey",
+                          customer, "c_custkey"))
+        .unionByName(edge("supplier.s_nationkey -> nation", supplier,
+                          "s_nationkey", nation, "n_nationkey"))
+        .orderBy("fk")
+    )
+
+
+@query("quality_constraint_checks", oracle="""
+SELECT 'orders.o_orderkey unique' AS chk,
+       CAST((SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+            AS BIGINT) AS n_violations
+UNION ALL
+SELECT 'orders.o_orderstatus accepted values',
+       (SELECT count(*) FROM orders
+        WHERE o_orderstatus NOT IN ('O', 'F', 'P'))
+UNION ALL
+SELECT 'lineitem.l_discount in [0, 0.1]',
+       (SELECT count(*) FROM lineitem
+        WHERE l_discount IS NULL OR l_discount < 0 OR l_discount > 0.1)
+UNION ALL
+SELECT 'lineitem.l_quantity positive',
+       (SELECT count(*) FROM lineitem
+        WHERE l_quantity IS NULL OR l_quantity <= 0)
+UNION ALL
+SELECT 'documents.doc_id not null',
+       (SELECT count(*) FROM documents WHERE doc_id IS NULL)
+ORDER BY chk
+""")
+def quality_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt-style declarative constraint battery: uniqueness, accepted
+    values, range, and not-null checks rolled into one violations
+    report — the contract tests an ETL engine runs per load (the
+    reference's validate() checks only string-length and presence,
+    app.py:110-131).
+
+    Every check is a map-side predicate count (partial aggregation,
+    no shuffle beyond the 1-row merges); the uniqueness check is the
+    only keyed aggregate and reuses count-distinct's partial path.
+    Checks are data-driven rows, so adding one never changes the
+    schema consumers read."""
+    orders, li, docs = (
+        load_table(spark, sf_dir, t)
+        for t in ("orders", "lineitem", "documents")
+    )
+
+    def check(name: str, df: DataFrame, violation) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("chk"),
+            F.count(F.when(violation, 1)).cast("bigint")
+            .alias("n_violations"),
+        )
+
+    uniq = orders.agg(
+        F.lit("orders.o_orderkey unique").alias("chk"),
+        (F.count("*") - F.countDistinct("o_orderkey")).cast("bigint")
+        .alias("n_violations"),
+    )
+    return (
+        uniq
+        .unionByName(check(
+            "orders.o_orderstatus accepted values", orders,
+            ~F.col("o_orderstatus").isin("O", "F", "P"),
+        ))
+        .unionByName(check(
+            "lineitem.l_discount in [0, 0.1]", li,
+            F.col("l_discount").isNull() | (F.col("l_discount") < 0)
+            | (F.col("l_discount") > 0.1),
+        ))
+        .unionByName(check(
+            "lineitem.l_quantity positive", li,
+            F.col("l_quantity").isNull() | (F.col("l_quantity") <= 0),
+        ))
+        .unionByName(check(
+            "documents.doc_id not null", docs, F.col("doc_id").isNull(),
+        ))
+        .orderBy("chk")
+    )
