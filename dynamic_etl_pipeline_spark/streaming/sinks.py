@@ -375,3 +375,85 @@ def maintain_join_view(stream_df: DataFrame, store_dir: str,
     if not paths:
         raise ValueError("maintain_join_view: no batches processed")
     return spark.read.parquet(*paths)
+
+
+def maintain_distinct_rollup(stream_df: DataFrame, store_dir: str,
+                             checkpoint: str, width: str = "1 hour",
+                             key_col: str = "user_id",
+                             timeout_s: int = 300) -> DataFrame:
+    """Streaming DISTINCT-COUNT materialized view: maintain an at-rest
+    (bucket, event_type) -> distinct-``key_col`` rollup where the
+    at-rest state is an HLL SKETCH column (DataSketches), merged per
+    micro-batch with ``hll_union_agg``.
+
+    Exact distinct is not associative (you cannot merge two counts),
+    which is why maintain_incremental_rollup stops at sums — sketches
+    restore mergeability: each batch builds per-group sketches
+    (``hll_sketch_agg``), the store merge is union -> groupBy ->
+    ``hll_union_agg``, and cost stays proportional to ROLLUP size.
+    Because HLL register merge is max-based, the maintained sketch is
+    IDENTICAL to a from-scratch batch sketch — order-, batch--, and
+    partition-insensitive — so the streamed estimate equals the batch
+    twin exactly (pinned in tests), with ~2% standard error vs truth.
+
+    Same atomic CURRENT-pointer commit as the sum rollup (v-<batch_id>
+    dir + os.replace, pointer doubles as replay marker).
+
+    Returns (bucket, event_type, distinct_keys_est) after an
+    availableNow drain.
+    """
+    import os
+    import shutil
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    spark = stream_df.sparkSession
+    store = Path(store_dir)
+    unit = width.split()[-1]
+    pointer = store / "CURRENT"
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc(unit, F.col("ts")).alias("bucket"), "event_type"
+        ).agg(F.hll_sketch_agg(key_col).alias("sketch"))
+
+    def current_version() -> int | None:
+        return int(pointer.read_text()) if pointer.exists() else None
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        last = current_version()
+        if last is not None and last >= batch_id:
+            return  # replayed batch: already committed
+        new = partials(batch_df)
+        if last is not None:
+            new = (
+                spark.read.parquet(str(store / f"v-{last}"))
+                .unionByName(new)
+                .groupBy("bucket", "event_type")
+                .agg(F.hll_union_agg("sketch").alias("sketch"))
+            )
+        vdir = store / f"v-{batch_id}"
+        new.write.mode("overwrite").parquet(str(vdir))
+        tmp = store / f"_CURRENT.tmp-{batch_id}"
+        tmp.write_text(str(batch_id))
+        os.replace(tmp, pointer)
+        if last is not None:
+            shutil.rmtree(store / f"v-{last}", ignore_errors=True)
+
+    q = (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        q.stop()
+    return spark.read.parquet(str(store / f"v-{current_version()}")).select(
+        "bucket", "event_type",
+        F.hll_sketch_estimate("sketch").cast("bigint")
+        .alias("distinct_keys_est"),
+    )

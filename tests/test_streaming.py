@@ -276,3 +276,36 @@ def test_join_view_incremental_equals_batch_join(spark, tmp_path):
         str(store), str(tmp_path / "jv_ck2"), side_col="side", on=["k"],
     )
     assert {(r["k"], r["v_a"], r["v_b"]) for r in view2.collect()} == want
+
+
+def test_distinct_rollup_sketch_equals_batch_twin(spark, sf_dir,
+                                                  chunked_events, tmp_path):
+    """Streamed HLL-merged distinct rollup == from-scratch batch sketch
+    (max-based register merge), and within 5% of exact distinct."""
+    from dynamic_etl_pipeline_spark.streaming.sinks import (
+        maintain_distinct_rollup,
+    )
+
+    directory, schema = chunked_events
+    stream = stream_events_dir(spark, directory, schema,
+                               max_files_per_trigger=1)
+    got = maintain_distinct_rollup(
+        stream, str(tmp_path / "dr_store"), str(tmp_path / "dr_ck")
+    )
+    key = lambda r: (r["bucket"], r["event_type"])  # noqa: E731
+    got_m = {key(r): r["distinct_keys_est"] for r in got.collect()}
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("bucket"), "event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
+            .cast("bigint").alias("est"),
+            F.countDistinct("user_id").alias("exact"),
+        )
+    )
+    batch_m = {key(r): (r["est"], r["exact"]) for r in batch.collect()}
+    assert set(got_m) == set(batch_m)
+    for k, est in got_m.items():
+        b_est, b_exact = batch_m[k]
+        assert est == b_est, k          # merge == single pass, exactly
+        assert abs(est - b_exact) <= max(1, 0.05 * b_exact), k
