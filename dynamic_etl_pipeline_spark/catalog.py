@@ -29,16 +29,32 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
+def normalize_event_ts(df: DataFrame, ntz: bool = True) -> DataFrame:
+    """Take ``ts`` to a microsecond timestamp; NTZ by default for oracle
+    parity, ``ntz=False`` for TIMESTAMP (streaming watermarks reject NTZ).
+
+    Fixture generations differ: ts can arrive as long nanos (when the
+    parquet stores timestamp[ns], which session.RUNTIME_CONF reads via
+    nanosAsLong) or as a native timestamp[us]. Branch on the read dtype
+    so both layouts normalize identically; the integer DIV truncation
+    matches DuckDB's ns->us conversion. Session tz is UTC, so naive
+    values agree between the two flavors.
+    """
+    from pyspark.sql.types import LongType
+
+    target = "timestamp_ntz" if ntz else "timestamp"
+    if isinstance(df.schema["ts"].dataType, LongType):
+        ts = F.timestamp_micros(F.expr("ts DIV 1000"))
+    else:
+        ts = F.col("ts")
+    return df.withColumn("ts", ts.cast(target))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tune(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # ts arrives as long nanos (see session.RUNTIME_CONF): integer-divide
-        # to micros (exactly what DuckDB's ns->us truncation does), then take
-        # it as a naive (NTZ) timestamp for oracle parity. Session tz is UTC.
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
-        )
+        df = normalize_event_ts(df)
     return df
 
 

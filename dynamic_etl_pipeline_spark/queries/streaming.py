@@ -246,15 +246,22 @@ def streaming_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataF
 
     tune(spark)
     src = table_path(sf_dir, "events")
-    raw = spark.read.parquet(src)  # ts stays long nanos (nanosAsLong)
-    max_ns = raw.agg(F.max("ts")).collect()[0][0]
-    day_ns = 24 * 3600 * 10**9
+    raw = spark.read.parquet(src)  # ts as stored: long nanos or timestamp
+    max_ts = raw.agg(F.max("ts")).collect()[0][0]
+    if isinstance(max_ts, int):  # long-nanos fixture layout
+        def plus_days(base, days):
+            return base + days * 24 * 3600 * 10**9
+    else:
+        import datetime as _dt
+
+        def plus_days(base, days):
+            return base + _dt.timedelta(days=days)
 
     stage = Path(tempfile.mkdtemp(prefix="stream_loj_"))
     try:
         shutil.copy(src, stage / "000_events.parquet")
         for i, offset_days in enumerate((10, 20), start=1):
-            sent_ts = max_ns + offset_days * day_ns
+            sent_ts = plus_days(max_ts, offset_days)
             sent = raw.limit(0).unionByName(
                 spark.createDataFrame(
                     [(-(2 * i), sent_ts, -1, "click", 0.0, "{}"),

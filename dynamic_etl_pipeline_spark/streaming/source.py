@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table_path
+from ..catalog import normalize_event_ts, table_path
 from ..session import tune
 
 
@@ -20,8 +20,7 @@ def stream_events(spark: SparkSession, sf_dir: str,
     """Unbounded events DataFrame from the fixture parquet.
 
     The file source needs an explicit schema (no streaming inference);
-    a footer-only batch read supplies it. ts arrives as long nanos
-    (session.RUNTIME_CONF nanosAsLong) and is converted exactly like
+    a footer-only batch read supplies it. ts is normalized exactly like
     catalog.load_table so batch and stream plans stay twins.
     """
     tune(spark)
@@ -36,9 +35,7 @@ def stream_events(spark: SparkSession, sf_dir: str,
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(sf_dir)
-    return df.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-    )
+    return normalize_event_ts(df, ntz=False)
 
 
 def stream_events_dir(spark: SparkSession, directory: str,
@@ -51,9 +48,7 @@ def stream_events_dir(spark: SparkSession, directory: str,
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(directory)
     )
-    return df.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-    )
+    return normalize_event_ts(df, ntz=False)
 
 
 def stream_parquet_dir(spark: SparkSession, directory: str,
