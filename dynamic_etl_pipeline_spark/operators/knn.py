@@ -557,3 +557,81 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.3,
     return assigned.join(
         dups, F.col(id_col) == F.col("_dup_id"), "left_anti"
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR (Carbonell & Goldstein 1998, "The Use of MMR, Diversity-Based
+# Reranking for Reordering Documents"): greedy re-rank of a retrieved
+# candidate pool that trades query relevance against redundancy with the
+# results already selected — the standard diversity pass behind RAG
+# retrieval and dedup-aware search UIs.
+
+
+def mmr_rerank(candidates: DataFrame, queries: DataFrame, k: int = 10,
+               pool: int = 32, lam: float = 0.7,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               query_id_col: str = "query_id") -> DataFrame:
+    """Maximal-marginal-relevance top-k per query.
+
+    Two stages: (1) distributed exact retrieval of a ``pool``-sized
+    candidate set per query (cosine_topk — broadcast queries, map-side
+    scoring, one shuffle); (2) the greedy MMR selection, which is
+    inherently sequential in k but over only ``pool`` rows, so it runs
+    as one applyInPandas group per query — O(k * pool * dim) numpy per
+    group, parallel across queries, nothing on the driver.
+
+    Selection rule per step: argmax over remaining i of
+    ``lam * rel(i) - (1 - lam) * max_{j selected} cos(i, j)``,
+    ties broken by id so the output is deterministic.
+
+    Returns (query_id, id, cos_sim, mmr_rank 1..k, mmr_score); the
+    rank-1 row is always the plain-cosine argmax.
+    """
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    pooled = cosine_topk(
+        candidates, queries, k=pool,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+    ).drop("rn")
+    vecs = candidates.select(
+        F.col(id_col), F.col(vec_col).alias("_cv")
+    )
+    pooled = pooled.join(vecs, id_col)
+
+    out_schema = (
+        f"{query_id_col} long, {id_col} long, cos_sim double, "
+        "mmr_rank int, mmr_score double"
+    )
+
+    def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        # deterministic input order: relevance desc, id asc
+        pdf = pdf.sort_values(
+            ["cos_sim", id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        v = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf["_cv"]])
+        nrm = np.linalg.norm(v, axis=1)
+        nrm[nrm == 0.0] = 1.0
+        v = v / nrm[:, None]
+        sim = v @ v.T
+        rel = pdf["cos_sim"].to_numpy()
+        n = len(pdf)
+        kk = min(k, n)
+        selected: list[int] = []
+        max_sim = np.full(n, -np.inf)
+        scores = []
+        for _ in range(kk):
+            if selected:
+                mmr = lam * rel - (1.0 - lam) * max_sim
+            else:
+                mmr = rel.copy()
+            mmr[selected] = -np.inf
+            best = int(np.argmax(mmr))  # ties -> lowest index = lowest id
+            selected.append(best)
+            scores.append(float(mmr[best]))
+            max_sim = np.maximum(max_sim, sim[best])
+        out = pdf.iloc[selected][[query_id_col, id_col, "cos_sim"]].copy()
+        out["mmr_rank"] = np.arange(1, kk + 1, dtype=np.int32)
+        out["mmr_score"] = scores
+        return out
+
+    return pooled.groupBy(query_id_col).applyInPandas(_mmr, out_schema)

@@ -19,3 +19,4 @@ from . import training  # noqa: E402,F401
 from . import analytics  # noqa: E402,F401
 from . import mutations  # noqa: E402,F401
 from . import curation  # noqa: E402,F401
+from . import features  # noqa: E402,F401

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..operators.asof import asof_join
 from ..operators.dedup import connected_components, minhash_lsh_pairs, simhash_pairs
-from ..operators.knn import lsh_ann_topk
+from ..operators.knn import lsh_ann_topk, mmr_rerank
 from ..operators.multimodal import extract_media_meta, fake_payload, media_stats
 from .registry import query
 
@@ -108,6 +108,18 @@ def lsh_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return lsh_ann_topk(e, queries, k=10)
+
+
+@query("ann_mmr_rerank")  # rows-only: greedy selection is engine-specific
+def ann_mmr_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware retrieval: exact top-32 cosine pool per probe,
+    re-ranked to 10 by maximal marginal relevance (numpy-parity and
+    diversity properties tested in tests/test_operators.py)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return mmr_rerank(e, queries, k=10, pool=32, lam=0.7)
 
 
 @query("multimodal_media_stats")  # rows-only: Python decode stage

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..streaming.rollups import (
+    chained_hourly_6h,
     dedup_within_watermark,
     session_counts,
     sliding_avg,
@@ -29,6 +30,102 @@ from ..streaming.sinks import run_available_now_to_memory
 from ..streaming.source import stream_events
 from ..streaming.stateful import user_running_totals
 from .registry import query
+
+
+def _stage_event_sentinels(spark: SparkSession, sf_dir: str,
+                           sentinel_rows, offsets=(10, 20)):
+    """Stage the events fixture as micro-batch 0 followed by far-future
+    sentinel batches whose only job is to push the watermark past every
+    real event, forcing append-mode state to flush at end of input (the
+    streaming analogue of a Kafka punctuation message).
+
+    ``sentinel_rows(batch_no, sent_ts) -> list[tuple]`` builds each
+    sentinel batch's rows in the raw on-disk schema. Returns
+    (stage_dir: Path, raw_schema); the caller removes the dir.
+    """
+    import shutil
+    import tempfile
+    import time as _time
+    import os
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import table_path
+
+    src = table_path(sf_dir, "events")
+    raw = spark.read.parquet(src)  # ts as stored: long nanos or timestamp
+    max_ts = raw.agg(F.max("ts")).collect()[0][0]
+    if isinstance(max_ts, int):  # long-nanos fixture layout
+        def plus_days(base, days):
+            return base + days * 24 * 3600 * 10**9
+    else:
+        import datetime as _dt
+
+        def plus_days(base, days):
+            return base + _dt.timedelta(days=days)
+
+    stage = Path(tempfile.mkdtemp(prefix="stream_stage_"))
+    shutil.copy(src, stage / "000_events.parquet")
+    for i, offset_days in enumerate(offsets, start=1):
+        sent_ts = plus_days(max_ts, offset_days)
+        sent = raw.limit(0).unionByName(
+            spark.createDataFrame(sentinel_rows(i, sent_ts), raw.schema)
+        )
+        tmp_out = stage / f"_sent{i}"
+        sent.coalesce(1).write.mode("overwrite").parquet(str(tmp_out))
+        part = next(tmp_out.glob("part-*.parquet"))
+        dest = stage / f"{i:03d}_sentinel.parquet"
+        shutil.move(str(part), dest)
+        shutil.rmtree(tmp_out)
+        # file source orders micro-batches by modification time
+        now = _time.time() + i
+        os.utime(dest, (now, now))
+    return stage, raw.schema
+
+
+@query("streaming_chained_windows", oracle="""
+WITH hourly AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS h, event_type,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT time_bucket(INTERVAL '6 hours', h) AS window_start, event_type,
+       CAST(sum(n) AS BIGINT) AS n_events
+FROM hourly GROUP BY 1, 2
+""")
+def streaming_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained stateful window aggregation (hourly -> 6-hourly) in one
+    streaming query. Append mode is mandatory for multiple stateful
+    operators, so nothing flushes until the watermark passes a window's
+    end — the replay appends far-future sentinel batches to close out
+    every real window, then filters the sentinels' own rows (their
+    reserved event_type) from the drain. The result is held to the full
+    batch oracle, exactly like the single-agg rollups."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..session import tune
+    from ..streaming.source import stream_events_dir
+
+    tune(spark)
+    stage, schema = _stage_event_sentinels(
+        spark, sf_dir,
+        lambda i, ts: [(-i, ts, -1, "__sentinel__", 0.0, "{}")],
+    )
+    try:
+        events = stream_events_dir(spark, str(stage), schema,
+                                   max_files_per_trigger=1)
+        drained = run_available_now_to_memory(
+            chained_hourly_6h(events), output_mode="append"
+        )
+        return (
+            drained.filter(F.col("event_type") != "__sentinel__")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 @query("streaming_tumbling_rollup", oracle="""
@@ -234,54 +331,21 @@ def streaming_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataF
     this holds a full oracle, not a rows-only check.
     """
     import shutil
-    import tempfile
-    import time as _time
-    from pathlib import Path
 
     from pyspark.sql import functions as F
 
-    from ..catalog import table_path
     from ..session import tune
     from ..streaming.source import stream_events_dir
 
     tune(spark)
-    src = table_path(sf_dir, "events")
-    raw = spark.read.parquet(src)  # ts as stored: long nanos or timestamp
-    max_ts = raw.agg(F.max("ts")).collect()[0][0]
-    if isinstance(max_ts, int):  # long-nanos fixture layout
-        def plus_days(base, days):
-            return base + days * 24 * 3600 * 10**9
-    else:
-        import datetime as _dt
-
-        def plus_days(base, days):
-            return base + _dt.timedelta(days=days)
-
-    stage = Path(tempfile.mkdtemp(prefix="stream_loj_"))
+    stage, schema = _stage_event_sentinels(
+        spark, sf_dir,
+        lambda i, ts: [(-(2 * i), ts, -1, "click", 0.0, "{}"),
+                       (-(2 * i + 1), ts, -2, "purchase", 0.0, "{}")],
+    )
     try:
-        shutil.copy(src, stage / "000_events.parquet")
-        for i, offset_days in enumerate((10, 20), start=1):
-            sent_ts = plus_days(max_ts, offset_days)
-            sent = raw.limit(0).unionByName(
-                spark.createDataFrame(
-                    [(-(2 * i), sent_ts, -1, "click", 0.0, "{}"),
-                     (-(2 * i + 1), sent_ts, -2, "purchase", 0.0, "{}")],
-                    raw.schema,
-                )
-            )
-            tmp_out = stage / f"_sent{i}"
-            sent.coalesce(1).write.mode("overwrite").parquet(str(tmp_out))
-            part = next(tmp_out.glob("part-*.parquet"))
-            dest = stage / f"{i:03d}_sentinel.parquet"
-            shutil.move(str(part), dest)
-            shutil.rmtree(tmp_out)
-            # file source orders micro-batches by modification time
-            now = _time.time() + i
-            import os
-            os.utime(dest, (now, now))
-
         events = stream_events_dir(
-            spark, str(stage), raw.schema, max_files_per_trigger=1
+            spark, str(stage), schema, max_files_per_trigger=1
         )
         clicks = (
             events.filter(F.col("event_type") == "click")

@@ -60,6 +60,33 @@ def sliding_avg(events: DataFrame, width: str = "1 hour",
     )
 
 
+def chained_hourly_6h(events: DataFrame,
+                      watermark: str = "2 hours") -> DataFrame:
+    """CHAINED stateful aggregation: hourly counts re-aggregated into
+    6-hour totals inside ONE streaming query (two state stores, window
+    over the first agg's window column). This is the streaming
+    materialized-rollup hierarchy — the engine forwards the first agg's
+    watermark through to the second, so both emit exactly once in
+    append mode. Requires append output (complete is rejected for
+    multiple stateful operators), so a drain needs the watermark pushed
+    past the data's end — see queries/streaming.py's sentinel replay.
+    """
+    hourly = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w1"), "event_type")
+        .agg(F.count("*").alias("n_hour"))
+    )
+    return (
+        hourly.groupBy(F.window(F.col("w1"), "6 hours").alias("w2"), "event_type")
+        .agg(F.sum("n_hour").alias("n_events"))
+        .select(
+            F.col("w2.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+    )
+
+
 def session_counts(events: DataFrame, gap: str = "30 minutes",
                    watermark: str = "2 hours") -> DataFrame:
     """Per-user session windows with a 30-minute inactivity gap

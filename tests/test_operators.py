@@ -443,3 +443,86 @@ def test_ann_kernels_null_and_tiny_input_robust(spark, sf_dir):
     small = e.limit(5)
     c = kmeans_centroids(small, n_centroids=16)
     assert 1 <= c.shape[0] <= 5
+
+
+def test_mmr_rank1_is_cosine_argmax_and_numpy_parity(spark, sf_dir):
+    import numpy as np
+
+    from dynamic_etl_pipeline_spark.operators.knn import mmr_rerank
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    lam, k, pool = 0.7, 5, 16
+    got = mmr_rerank(e, queries, k=k, pool=pool, lam=lam).toPandas()
+    exact = cosine_topk(e, queries, k=pool).toPandas()
+
+    for qid, grp in got.groupby("query_id"):
+        grp = grp.sort_values("mmr_rank")
+        assert list(grp["mmr_rank"]) == list(range(1, k + 1))
+        pool_df = exact[exact["query_id"] == qid].sort_values(
+            ["cos_sim", "vec_id"], ascending=[False, True]
+        )
+        # rank 1 = plain cosine argmax
+        assert grp.iloc[0]["vec_id"] == pool_df.iloc[0]["vec_id"]
+        # pure-numpy greedy reference over the same pool
+        ids = pool_df["vec_id"].to_numpy()
+        rel = pool_df["cos_sim"].to_numpy()
+        vecs = {
+            r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for _, r in e.filter(
+                F.col("vec_id").isin([int(i) for i in ids])
+            ).toPandas().iterrows()
+        }
+        v = np.stack([vecs[i] for i in ids])
+        v = v / np.linalg.norm(v, axis=1, keepdims=True)
+        sim = v @ v.T
+        sel, max_sim = [], np.full(len(ids), -np.inf)
+        for _ in range(k):
+            sc = rel.copy() if not sel else lam * rel - (1 - lam) * max_sim
+            sc[sel] = -np.inf
+            best = int(np.argmax(sc))
+            sel.append(best)
+            max_sim = np.maximum(max_sim, sim[best])
+        assert list(grp["vec_id"]) == [ids[i] for i in sel]
+
+
+def test_mmr_diversity_beats_topk_on_planted_clusters(spark):
+    """Corpus = one tight cluster of near-dups + scattered singletons:
+    plain top-k returns mostly the cluster; MMR at lam=0.5 must spread
+    across more distinct clusters."""
+    import numpy as np
+
+    from dynamic_etl_pipeline_spark.operators.knn import mmr_rerank
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(8)
+    rows = []
+    for i in range(10):  # near-dup cluster 0: base + tiny noise
+        rows.append((i, (base + 0.01 * rng.standard_normal(8)).tolist(), 0))
+    for c in range(1, 6):  # singleton clusters, less aligned with base
+        v = 0.6 * base + rng.standard_normal(8)
+        rows.append((100 + c, v.tolist(), c))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, cluster int")
+    cand = df.select("vec_id", F.col("embedding").cast("array<float>").alias("embedding"))
+    queries = spark.createDataFrame(
+        [(9999, base.tolist())], "query_id long, embedding array<double>"
+    ).select("query_id", F.col("embedding").cast("array<float>").alias("embedding"))
+
+    cluster_of = {r["vec_id"]: r["cluster"] for r in df.collect()}
+    top = cosine_topk(cand, queries, k=5).toPandas()
+    mmr = mmr_rerank(cand, queries, k=5, pool=15, lam=0.5).toPandas()
+    n_top = len({cluster_of[i] for i in top["vec_id"]})
+    n_mmr = len({cluster_of[i] for i in mmr["vec_id"]})
+    assert n_mmr > n_top
+    assert n_top <= 2  # the dup cluster dominates plain top-k
+
+
+def test_mmr_validates_lambda(spark):
+    from dynamic_etl_pipeline_spark.operators.knn import mmr_rerank
+
+    df = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<float>")
+    q = df.select(F.col("vec_id").alias("query_id"), "embedding")
+    with pytest.raises(ValueError, match="lam"):
+        mmr_rerank(df, q, lam=1.5)
