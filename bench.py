@@ -48,6 +48,9 @@ HEADLINE = [
     "word_count_min_sketch",    # fixed-size CMS build + probe (round 2)
     "bpe_merge_pairs",          # BPE merge-step pair counting (round 2)
     "corpus_weighted_sample",   # A-ES weighted sampling, map-only + TakeOrdered (round 2)
+    "events_pit_features",      # point-in-time feature join, one window pass (round 2)
+    "doc_bigram_lm_score",      # bigram-LM perplexity quality scoring (round 2)
+    "ann_mmr_rerank",           # MMR diversity re-rank over cosine pool (round 2)
 ]
 
 

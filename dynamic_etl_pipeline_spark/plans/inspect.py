@@ -49,9 +49,11 @@ def exchange_count(df: DataFrame) -> int:
     """Number of shuffle exchanges in the plan (broadcast exchanges are
     counted separately by has_operator('BroadcastExchange'))."""
     plan = formatted_plan(df)
-    return len(re.findall(r"\bExchange hashpartitioning", plan)) + len(
-        re.findall(r"\bExchange rangepartitioning", plan)
-    )
+    # formatted mode puts the partitioning on the node's own
+    # "Arguments:" line; simple mode inlines it after "Exchange".
+    inline = len(re.findall(r"\bExchange (hash|range)partitioning", plan))
+    detail = len(re.findall(r"Arguments: (hash|range)partitioning", plan))
+    return inline + detail
 
 
 def python_eval_count(df: DataFrame) -> int:

@@ -744,3 +744,92 @@ def word_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("true_count").desc(), "word")
         .limit(20)
     )
+
+
+@query("doc_bigram_lm_score", oracle="""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), vocab AS (
+  SELECT count(DISTINCT term) AS v
+  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+), big AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks) - 1, 1)) AS i
+        FROM tok)
+), c2 AS (
+  SELECT w1, w2, count(*) AS n2 FROM big GROUP BY 1, 2
+), c1 AS (
+  SELECT w1, CAST(sum(n2) AS BIGINT) AS n1 FROM c2 GROUP BY 1
+)
+SELECT big.doc_id, count(*) AS n_bigrams,
+       round(CAST(sum(CAST(
+         -ln((n2 + 0.5) / (n1 + 0.5 * v)) AS DECIMAL(27,12))) AS DOUBLE)
+         / count(*), 6) AS avg_neg_logp
+FROM big
+JOIN c2 USING (w1, w2)
+JOIN c1 USING (w1)
+CROSS JOIN vocab
+GROUP BY big.doc_id
+""")
+def doc_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style statistical-LM quality scoring: train an add-0.5
+    smoothed bigram model on the corpus itself, then score every doc by
+    its average negative log-likelihood (low = fluent/common phrasing,
+    high = outlier text — the perplexity-bucket signal web-corpus
+    pipelines filter on).
+
+    One tokenize pass feeds the bigram frame; counts roll up to the
+    model tables (c2 = transitions, c1 = history mass derived FROM c2,
+    so there is no second tokenize); scoring is two equi-joins of the
+    bigram frame against the model and a per-doc decimal-summed
+    average. Self-scoring guarantees every (w1, w2) hits the model, so
+    the joins stay inner. At 100 TB the model tables are vocab-bounded
+    (<< corpus) and AQE picks broadcast vs shuffle per stats; the
+    per-term -ln contribution is a deterministic scalar of integer
+    counts, so the decimal sum is bit-identical on both engines.
+
+    Short-doc guard (ADVICE r1): slice length is clamped with
+    greatest(.., 0) so 0/1-token docs yield no bigrams, matching the
+    oracle's empty generate_series.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_pairs = F.greatest(F.size("toks") - 1, F.lit(0))
+    big = (
+        spread(d).select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice("toks", 1, n_pairs),
+                    F.slice(F.col("toks"), 2, n_pairs),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    vocab = (
+        d.select(F.explode(toks).alias("term"))
+        .agg(F.countDistinct("term").alias("v"))
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count("*").alias("n2"))
+    c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
+    neg_logp = -F.log(
+        (F.col("n2") + 0.5) / (F.col("n1") + 0.5 * F.col("v"))
+    )
+    return (
+        big.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.sum(neg_logp.cast("decimal(27,12)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_neg_logp"),
+        )
+    )

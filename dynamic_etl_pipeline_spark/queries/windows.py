@@ -204,3 +204,45 @@ def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.ntile(10).over(w).alias("decile"),
     )
+
+
+@query("window_ignore_nulls", oracle="""
+WITH v AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_type = 'error' THEN NULL ELSE value END AS val
+  FROM events
+)
+SELECT event_id, user_id, val,
+       last_value(val IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+       ) AS prev_good_value,
+       nth_value(val, 3 IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS third_good_value
+FROM v
+""")
+def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS analytics: carry the previous non-null reading past
+    error events (forward-fill shape) and pick the partition's third
+    non-null value — the null-skipping variants of last/nth_value that
+    sensor/event pipelines lean on. One per-key sort serves both frames.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    val = F.when(F.col("event_type") != "error", F.col("value"))
+    prev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    full = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id", "user_id", val.alias("val"),
+        F.last(val, ignorenulls=True).over(prev).alias("prev_good_value"),
+        F.nth_value(val, 3, ignoreNulls=True).over(full).alias("third_good_value"),
+    )

@@ -129,3 +129,63 @@ def test_zvalue_matches_python_reference(spark, pairs, bits):
     mxs = [max(xs), max(ys)]
     for x, y in pairs:
         assert got[(x, y)] == _py_zvalue([x, y], mns, mxs, bits), (x, y, bits)
+
+
+def test_partitioned_write_prunes_and_dynamic_overwrite(spark, sf_dir, tmp_path):
+    from dynamic_etl_pipeline_spark.operators.partitioned import (
+        read_partitioned,
+        write_partitioned,
+    )
+    from dynamic_etl_pipeline_spark.plans.inspect import formatted_plan
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_by_day")
+    write_partitioned(ev, path, ["event_date"])
+
+    t = read_partitioned(spark, path)
+    assert t.count() == ev.count()
+
+    # partition pruning: a partition-key filter must land in
+    # PartitionFilters (directory-level), not PushedFilters (row-level)
+    one_day = ev.select(F.min("event_date")).collect()[0][0]
+    pruned = t.filter(F.col("event_date") == F.lit(one_day))
+    plan = formatted_plan(pruned)
+    assert "PartitionFilters" in plan and "event_date" in plan.split(
+        "PartitionFilters", 1)[1].split("]", 1)[0]
+    assert pruned.count() == ev.filter(F.col("event_date") == F.lit(one_day)).count()
+
+    # dynamic overwrite: rewriting ONE day (values doubled) must leave
+    # every other day byte-identical and not truncate the table
+    day1 = ev.filter(F.col("event_date") == F.lit(one_day)).withColumn(
+        "value", F.col("value") * 2
+    )
+    write_partitioned(day1, path, ["event_date"])
+    after = read_partitioned(spark, path)
+    assert after.count() == ev.count()
+    got_day = after.filter(F.col("event_date") == F.lit(one_day)).agg(
+        F.sum("value")).collect()[0][0]
+    want_day = 2 * ev.filter(F.col("event_date") == F.lit(one_day)).agg(
+        F.sum("value")).collect()[0][0]
+    assert abs(got_day - want_day) < 1e-6
+    others_got = after.filter(F.col("event_date") != F.lit(one_day)).count()
+    others_want = ev.filter(F.col("event_date") != F.lit(one_day)).count()
+    assert others_got == others_want
+
+
+def test_partitioned_static_overwrite_truncates(spark, sf_dir, tmp_path):
+    from dynamic_etl_pipeline_spark.operators.partitioned import (
+        read_partitioned,
+        write_partitioned,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_static")
+    write_partitioned(ev, path, ["event_date"])
+    one_day = ev.select(F.min("event_date")).collect()[0][0]
+    day1 = ev.filter(F.col("event_date") == F.lit(one_day))
+    write_partitioned(day1, path, ["event_date"], dynamic=False)
+    assert read_partitioned(spark, path).count() == day1.count()

@@ -260,3 +260,41 @@ def test_q12_q20_python_free_no_cartesian(spark, sf_dir):
         plan = formatted_plan(df)
         assert "CartesianProduct" not in plan, name
         assert python_eval_count(df) == 0, name
+
+
+def test_pit_features_is_single_window_pass_no_join(spark, sf_dir):
+    """Three point-in-time features must come from window evaluation
+    over one events scan — no self-join, no Python, and only the one
+    user_id exchange feeding the sort."""
+    from dynamic_etl_pipeline_spark.plans.inspect import exchange_count
+
+    df = QUERIES["events_pit_features"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, "PIT features must not self-join"
+    assert python_eval_count(df) == 0
+    assert len(read_schema_columns(df)) == 1  # one scan feeds everything
+    assert exchange_count(df) == 1  # hash partition on user_id only
+
+
+def test_bigram_lm_joins_stay_equi_python_free(spark, sf_dir):
+    df = QUERIES["doc_bigram_lm_score"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    # the 1-row vocab frame rides a broadcast nested loop; the model
+    # joins themselves must be equi (hash/sort-merge)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan
+    assert python_eval_count(df) == 0
+
+
+def test_ratio_to_report_single_exchange(spark, sf_dir):
+    from dynamic_etl_pipeline_spark.plans.inspect import exchange_count
+
+    df = QUERIES["window_ratio_to_report"](spark, sf_dir)
+    assert python_eval_count(df) == 0
+    assert exchange_count(df) == 1  # one hash partition on o_custkey
+
+
+def test_variant_extraction_jvm_only(spark, sf_dir):
+    df = QUERIES["events_variant_props"](spark, sf_dir)
+    assert python_eval_count(df) == 0
