@@ -589,6 +589,11 @@ def mmr_rerank(candidates: DataFrame, queries: DataFrame, k: int = 10,
     """
     if not 0.0 <= lam <= 1.0:
         raise ValueError(f"lam must be in [0, 1], got {lam}")
+    # NULL vectors score NULL cosine and would only enter an underfull
+    # pool — where np.stack on None would throw. Drop them up front
+    # (same contract as kmeans_centroids / _sig_udf).
+    candidates = candidates.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(F.col(vec_col).isNotNull())
     pooled = cosine_topk(
         candidates, queries, k=pool,
         id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,

@@ -246,3 +246,47 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt_if((F.col("t_view") < F.col("t_click"))
                & (F.col("t_click") < F.col("t_purchase")))("n_full_funnel"),
     )
+
+
+@query("events_cumulative_distinct_users", oracle="""
+WITH firsts AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS d FROM events GROUP BY user_id
+), daily_new AS (
+  SELECT d, count(*) AS new_users FROM firsts GROUP BY d
+), days AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d FROM events
+)
+SELECT CAST(days.d AS TIMESTAMP) AS day, COALESCE(new_users, 0) AS new_users,
+       CAST(sum(COALESCE(new_users, 0))
+            OVER (ORDER BY days.d ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) AS BIGINT) AS cumulative_users
+FROM days LEFT JOIN daily_new USING (d)
+""")
+def events_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct-user count per day. Window COUNT(DISTINCT) is
+    unsupported in Spark AND DuckDB; the scalable rewrite is the
+    operator: distinct = sum of first-appearances, so reduce each user
+    to their first-seen day (one groupBy on user_id), roll first-days
+    up to daily counts, and prefix-sum over the (tiny) day spine. The
+    expensive step shuffles O(users) once — never a per-day distinct
+    rescan; the global-order window runs over rows = distinct days,
+    which is bounded and safe.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    firsts = (
+        ev.groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("d"))
+    )
+    daily_new = firsts.groupBy("d").agg(F.count("*").alias("new_users"))
+    days = ev.select(F.to_date("ts").alias("d")).distinct()
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        days.join(daily_new, "d", "left")
+        .withColumn("new_users", F.coalesce("new_users", F.lit(0)))
+        .withColumn(
+            "cumulative_users",
+            F.sum("new_users").over(w).cast("long"),
+        )
+        .select(F.col("d").cast("timestamp_ntz").alias("day"), "new_users",
+                "cumulative_users")
+    )

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..streaming.rollups import (
     chained_hourly_6h,
+    dedup_then_rollup,
     dedup_within_watermark,
     session_counts,
     sliding_avg,
@@ -119,6 +120,55 @@ def streaming_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    max_files_per_trigger=1)
         drained = run_available_now_to_memory(
             chained_hourly_6h(events), output_mode="append"
+        )
+        return (
+            drained.filter(F.col("event_type") != "__sentinel__")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+@query("streaming_dedup_then_rollup", oracle="""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
+       count(*) AS n_events
+FROM events
+GROUP BY 1, 2
+""")
+def streaming_dedup_then_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained stateful operators #2: watermarked dedup feeding a
+    windowed rollup in ONE streaming query, exercised against an
+    at-least-once source — the replay stages the whole fixture TWICE
+    (batch 2 redelivers batch 1, the Kafka-redelivery failure mode)
+    plus watermark-flush sentinels. The dedup store must absorb the
+    redelivered event_ids so the rollup equals the batch result over a
+    SINGLE copy — which is exactly what the oracle computes."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..session import tune
+    from ..streaming.source import stream_events_dir
+
+    tune(spark)
+    stage, schema = _stage_event_sentinels(
+        spark, sf_dir,
+        lambda i, ts: [(-i, ts, -1, "__sentinel__", 0.0, "{}")],
+    )
+    try:
+        # redeliver the entire first batch between batch 0 and the
+        # sentinels (mtime orders the file source's micro-batches)
+        first = stage / "000_events.parquet"
+        replay = stage / "000b_replay.parquet"
+        shutil.copy(first, replay)
+        base = os.path.getmtime(first) + 0.25
+        os.utime(replay, (base, base))
+
+        events = stream_events_dir(spark, str(stage), schema,
+                                   max_files_per_trigger=1)
+        drained = run_available_now_to_memory(
+            dedup_then_rollup(events), output_mode="append"
         )
         return (
             drained.filter(F.col("event_type") != "__sentinel__")

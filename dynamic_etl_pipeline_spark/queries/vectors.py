@@ -407,3 +407,81 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("code_sum"),
         F.size("e").cast("int").alias("n_dims"),
     )
+
+
+@query("embedding_matryoshka_recall", oracle="""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+), scored AS (
+  SELECT query_id, vec_id,
+         round(list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+               6) AS cos_full,
+         round(list_dot_product(qv[1:16], cv[1:16])
+               / (sqrt(list_dot_product(qv[1:16], qv[1:16]))
+                  * sqrt(list_dot_product(cv[1:16], cv[1:16]))),
+               6) AS cos_16
+  FROM q CROSS JOIN c
+  WHERE vec_id <> query_id
+), ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_full DESC, vec_id) AS rn_full,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_16 DESC, vec_id) AS rn_16
+  FROM scored
+)
+SELECT f.query_id, count(*) AS n_overlap,
+       round(count(*) / 10.0, 6) AS recall_at_10
+FROM (SELECT query_id, vec_id FROM ranked WHERE rn_full <= 10) f
+JOIN (SELECT query_id, vec_id FROM ranked WHERE rn_16 <= 10) s
+  USING (query_id, vec_id)
+GROUP BY f.query_id
+""")
+def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation evaluation: recall@10 of retrieval
+    using only the first 16 of 64 dimensions against full-dimension
+    ground truth — the measurement that decides how far a
+    dimension-sliced index (4x cheaper dot products, 4x smaller
+    memory) can replace the full vectors.
+
+    One scored frame carries both similarities (full + prefix) so the
+    candidates are scanned once; the two rankings are windows over the
+    same shuffle, and the overlap join is equi on (query_id, vec_id).
+    Rounded similarity + id tie-break keeps rankings engine-portable.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    pre_q = F.slice(F.col("qv"), 1, 16)
+    pre_c = F.slice(F.col("embedding"), 1, 16)
+    scored = (
+        e.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id",
+            F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("cos_full"),
+            F.round(cosine(pre_q, pre_c), 6).alias("cos_16"),
+        )
+    )
+    w_full = Window.partitionBy("query_id").orderBy(F.desc("cos_full"), F.asc("vec_id"))
+    w_16 = Window.partitionBy("query_id").orderBy(F.desc("cos_16"), F.asc("vec_id"))
+    ranked = scored.select(
+        "query_id", "vec_id",
+        F.row_number().over(w_full).alias("rn_full"),
+        F.row_number().over(w_16).alias("rn_16"),
+    )
+    top_full = ranked.filter(F.col("rn_full") <= 10).select("query_id", "vec_id")
+    top_16 = ranked.filter(F.col("rn_16") <= 10).select("query_id", "vec_id")
+    return (
+        top_full.join(top_16, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_overlap"),
+            F.round(F.count("*") / 10.0, 6).alias("recall_at_10"),
+        )
+    )

@@ -87,6 +87,26 @@ def chained_hourly_6h(events: DataFrame,
     )
 
 
+def dedup_then_rollup(events: DataFrame, width: str = "1 hour",
+                      watermark: str = "2 hours") -> DataFrame:
+    """CHAINED stateful ops: watermarked key dedup feeding a windowed
+    aggregation in the same streaming query — the exactly-once shape
+    for an at-least-once source (Kafka redelivery, file replay): the
+    dedup store absorbs redelivered event_ids, the agg sees each key
+    once. Append-only (multiple stateful operators), so draining needs
+    the watermark pushed past end of input."""
+    return (
+        events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("bucket"),
+            "event_type", "n_events",
+        )
+    )
+
+
 def session_counts(events: DataFrame, gap: str = "30 minutes",
                    watermark: str = "2 hours") -> DataFrame:
     """Per-user session windows with a 30-minute inactivity gap

@@ -526,3 +526,17 @@ def test_mmr_validates_lambda(spark):
     q = df.select(F.col("vec_id").alias("query_id"), "embedding")
     with pytest.raises(ValueError, match="lam"):
         mmr_rerank(df, q, lam=1.5)
+
+
+def test_mmr_null_embeddings_dropped(spark):
+    from dynamic_etl_pipeline_spark.operators.knn import mmr_rerank
+
+    rows = [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, None), (4, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = spark.createDataFrame(
+        [(99, [1.0, 0.0]), (98, None)], "query_id long, embedding array<float>"
+    )
+    got = mmr_rerank(df, q, k=3, pool=4, lam=0.7).toPandas()
+    assert set(got["query_id"]) == {99}
+    assert 3 not in set(got["vec_id"])
+    assert len(got) == 3
