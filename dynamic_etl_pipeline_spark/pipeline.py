@@ -124,8 +124,6 @@ class EtlPipeline:
         the merge, so a batch that adds columns upserts cleanly (old
         rows read NULL for the new columns).
         """
-        import shutil
-
         from pyspark.sql import Observation
 
         from .operators.merge import merge_upsert
@@ -162,11 +160,14 @@ class EtlPipeline:
             )
             # commit point is the tmp write's _SUCCESS marker: every
             # crash window after it is rolled FORWARD by
-            # _recover_records, every one before it rolled back
-            old = store.with_name("records.old")
-            store.rename(old)
+            # _recover_records, every one before it rolled back.
+            # The displaced store is archived as a numbered generation
+            # (time travel): snapshot()/history()/vacuum() below.
+            archive = store.with_name(
+                f"records.gen-{self._next_generation():06d}"
+            )
+            store.rename(archive)
             tmp.rename(store)
-            shutil.rmtree(old)
         n_records = obs.get["n_records"]
         n_bad = obs.get["n_bad"] or 0
         return IngestReport(
@@ -213,6 +214,66 @@ class EtlPipeline:
         if latest_n is not None:
             df = df.orderBy(F.desc("_ingested_at")).limit(latest_n)
         return df
+
+    # -- time travel ----------------------------------------------------
+    # Every committed upsert swap archives the displaced store as
+    # records.gen-NNNNNN — a full immutable snapshot of the table as it
+    # was BEFORE that rewrite (the lakehouse time-travel contract,
+    # rebuilt from rename + parquet: no table format required). Plain
+    # ingest() appends and compact() rewrites are content-preserving,
+    # so they do not cut generations.
+
+    def _generation_dirs(self) -> list[Path]:
+        store = Path(self.records_path)
+        return sorted(store.parent.glob("records.gen-*"))
+
+    def _next_generation(self) -> int:
+        gens = self._generation_dirs()
+        if not gens:
+            return 1
+        return int(gens[-1].name.rsplit("-", 1)[1]) + 1
+
+    def history(self) -> list[dict]:
+        """Archived generations, oldest first: generation number, path,
+        and commit time (the mtime of the swap)."""
+        import datetime as _dt
+
+        return [
+            {
+                "generation": int(p.name.rsplit("-", 1)[1]),
+                "path": str(p),
+                "archived_at": _dt.datetime.fromtimestamp(p.stat().st_mtime),
+            }
+            for p in self._generation_dirs()
+        ]
+
+    def snapshot(self, generation: int) -> DataFrame:
+        """Read the record store as of BEFORE the given upsert: time
+        travel to archived generation N (1-based, see history())."""
+        path = Path(self.records_path).with_name(
+            f"records.gen-{generation:06d}"
+        )
+        if not path.exists():
+            known = [h["generation"] for h in self.history()]
+            raise ValueError(
+                f"no archived generation {generation}; available: {known}"
+            )
+        return self.spark.read.option("mergeSchema", "true").parquet(str(path))
+
+    def vacuum(self, retain: int = 2) -> int:
+        """Drop all but the newest ``retain`` generations; returns how
+        many were deleted. Storage grows one full table copy per upsert
+        until vacuumed — the same retention trade every time-traveling
+        table format makes, here made explicit."""
+        import shutil
+
+        if retain < 0:
+            raise ValueError("retain must be >= 0")
+        gens = self._generation_dirs()
+        doomed = gens[:-retain] if retain else gens
+        for p in doomed:
+            shutil.rmtree(p)
+        return len(doomed)
 
     def export_sqlite(self, db_path: str, batch_size: int = 10_000) -> int:
         """Export the record store + schema catalog into the reference's

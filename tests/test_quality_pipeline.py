@@ -181,3 +181,41 @@ def test_upsert_replaces_by_key_and_survives_drift(spark, tmp_path):
     pipe.upsert(df=batch2, keys=["rec_id"])
     again = {r["rec_id"]: r["content"] for r in pipe.records().collect()}
     assert again == {k: r["content"] for k, r in rows.items()}
+
+
+def test_time_travel_snapshots_and_vacuum(spark, tmp_path):
+    """Every committed upsert archives the pre-rewrite store as a
+    generation: snapshot(N) must read the table exactly as it was, and
+    vacuum keeps only the newest N."""
+    import pytest
+
+    pipe = EtlPipeline(spark, str(tmp_path / "tt_store"))
+    b1 = spark.createDataFrame(
+        [("k1", "v1"), ("k2", "v1")], ["rec_id", "content"])
+    b2 = spark.createDataFrame([("k1", "v2")], ["rec_id", "content"])
+    b3 = spark.createDataFrame([("k2", "v3")], ["rec_id", "content"])
+
+    pipe.upsert(df=b1, keys=["rec_id"])          # creates store
+    assert pipe.history() == []                  # first write: no rewrite yet
+    pipe.upsert(df=b2, keys=["rec_id"])          # gen 1 = state after b1
+    pipe.upsert(df=b3, keys=["rec_id"])          # gen 2 = state after b2
+    hist = pipe.history()
+    assert [h["generation"] for h in hist] == [1, 2]
+
+    gen1 = {r["rec_id"]: r["content"] for r in pipe.snapshot(1).collect()}
+    assert gen1 == {"k1": "v1", "k2": "v1"}
+    gen2 = {r["rec_id"]: r["content"] for r in pipe.snapshot(2).collect()}
+    assert gen2 == {"k1": "v2", "k2": "v1"}
+    now = {r["rec_id"]: r["content"] for r in pipe.records().collect()}
+    assert now == {"k1": "v2", "k2": "v3"}
+
+    with pytest.raises(ValueError, match="no archived generation"):
+        pipe.snapshot(9)
+
+    assert pipe.vacuum(retain=1) == 1            # drops gen 1
+    assert [h["generation"] for h in pipe.history()] == [2]
+    with pytest.raises(ValueError, match="no archived generation"):
+        pipe.snapshot(1)
+    # next upsert numbers PAST the vacuumed range (no reuse)
+    pipe.upsert(df=b2, keys=["rec_id"])
+    assert [h["generation"] for h in pipe.history()] == [2, 3]
