@@ -19,7 +19,12 @@ so both paths stay byte-identical.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 class EtlTextDataSource(DataSource):
@@ -41,6 +46,9 @@ class EtlTextDataSource(DataSource):
 
     def reader(self, schema) -> "EtlTextReader":
         return EtlTextReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "EtlTextStreamReader":
+        return EtlTextStreamReader(self.options)
 
 
 class _FilePartition(InputPartition):
@@ -83,6 +91,70 @@ class EtlTextReader(DataSourceReader):
         for i, line in enumerate(text.splitlines()):
             if self.keep_empty or line.strip():
                 yield (partition.file_path, i, line)
+
+
+class EtlTextStreamReader(SimpleDataSourceStreamReader):
+    """``spark.readStream.format("etl_text")``: tail a directory of
+    text files as micro-batches — the reference's one-shot upload loop
+    (app.py:296) turned into a continuous source.
+
+    Offsets are the sorted list of consumed file names, so replays of a
+    committed batch re-read exactly the same files (the contract the
+    engine's exactly-once sinks build on). New files are discovered by
+    set difference per trigger; decoding reuses the same cascade as the
+    batch reader.
+    """
+
+    def __init__(self, options):
+        path = options.get("path")
+        if not path:
+            raise ValueError("etl_text requires a path (use .load(path))")
+        self.path = path
+        self.keep_empty = str(options.get("keepEmpty", "false")).lower() == "true"
+
+    def _list_files(self) -> list[str]:
+        from pathlib import Path
+
+        p = Path(self.path)
+        if p.is_dir():
+            return sorted(str(f) for f in p.rglob("*") if f.is_file())
+        import glob
+
+        return sorted(glob.glob(self.path))
+
+    def _read_file(self, file_path: str):
+        from .encoding import decode_bytes
+
+        with open(file_path, "rb") as fh:
+            text = decode_bytes(fh.read())
+        for i, line in enumerate(text.splitlines()):
+            if self.keep_empty or line.strip():
+                yield (file_path, i, line)
+
+    def initialOffset(self) -> dict:
+        return {"files": []}
+
+    def read(self, start: dict):
+        seen = set(start.get("files", []))
+        files = self._list_files()
+        new = [f for f in files if f not in seen]
+        rows = [row for f in new for row in self._read_file(f)]
+        return iter(rows), {"files": sorted(seen | set(new))}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # deterministic replay of a committed batch: exactly the files
+        # added between the two offsets
+        seen = set(start.get("files", []))
+        rows = [
+            row
+            for f in end.get("files", [])
+            if f not in seen
+            for row in self._read_file(f)
+        ]
+        return iter(rows)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are self-describing; nothing external to ack
 
 
 def register(spark) -> None:

@@ -394,3 +394,54 @@ def events_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query("rollup_grouping_id", oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+       count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""")
+def rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() indicator columns: the standard way to tell a real
+    NULL group from a rollup subtotal row (rollup/cube values are
+    covered elsewhere; this pins the indicator semantics)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.count("*").alias("n"),
+        )
+        .select("l_returnflag", "l_linestatus", "g_flag", "g_status", "n")
+    )
+
+
+@query("scalar_try_funcs", oracle="""
+SELECT o_orderkey,
+       TRY_CAST(o_orderpriority AS INTEGER) AS prio_int,
+       TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS prio_digit,
+       round(o_totalprice / NULLIF(o_custkey % 3, 0), 6) AS risky_ratio,
+       CAST(TRY_CAST(o_orderdate AS DATE) AS TIMESTAMP) AS order_date
+FROM orders
+""")
+def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe try_* family: Spark 4 runs ANSI mode ON, so a bad cast
+    or division by zero in a 10-billion-row job is a runtime ERROR
+    unless handled — try_cast/try_divide are the per-expression opt-out
+    that yields NULL instead of killing the job ('1-URGENT' -> NULL,
+    x/0 -> NULL). The oracle mirrors with TRY_CAST and NULLIF."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").try_cast("int").alias("prio_int"),
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias("prio_digit"),
+        F.round(
+            F.try_divide("o_totalprice", F.col("o_custkey") % 3), 6
+        ).alias("risky_ratio"),
+        F.col("o_orderdate").try_cast("date").cast("timestamp_ntz")
+        .alias("order_date"),
+    )

@@ -69,3 +69,36 @@ def test_etl_text_source_keep_empty_option(spark, fixtures_dir):
 def test_etl_text_source_missing_path_errors(spark, tmp_path):
     with pytest.raises(Exception, match="no files match"):
         spark.read.format("etl_text").load(str(tmp_path / "nope-*.txt")).count()
+
+
+def test_etl_text_stream_reads_files_as_microbatches(spark, tmp_path):
+    """Streaming flavor: files appearing in a directory become
+    micro-batches; a second availableNow run from the same checkpoint
+    picks up only NEW files (offset = consumed file set)."""
+    src = tmp_path / "incoming"
+    src.mkdir()
+    (src / "a.txt").write_text("one\n\ntwo\n")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            spark.readStream.format("etl_text").load(str(src))
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r["path"], r["line_no"], r["content"])
+            for r in spark.read.parquet(out).collect()
+        }
+
+    got1 = drain()
+    assert {c for _, _, c in got1} == {"one", "two"}
+
+    (src / "b.txt").write_text("three\n")
+    got2 = drain()
+    assert {c for _, _, c in got2} == {"one", "two", "three"}
+    # file a was NOT re-read: line counts stay 2 + 1
+    assert len(got2) == 3
