@@ -103,6 +103,11 @@ class EtlTextStreamReader(SimpleDataSourceStreamReader):
     engine's exactly-once sinks build on). New files are discovered by
     set difference per trigger; decoding reuses the same cascade as the
     batch reader.
+
+    Scale note: the Simple reader API decodes on the DRIVER by design —
+    right for tailing control/config/upload feeds (this format's actual
+    role); a bulk firehose belongs on the partitioned batch reader above
+    or the engine's parquet file source (SCALING.md).
     """
 
     def __init__(self, options):

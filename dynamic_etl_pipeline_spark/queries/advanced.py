@@ -445,3 +445,41 @@ def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").try_cast("date").cast("timestamp_ntz")
         .alias("order_date"),
     )
+
+
+@query("udtf_session_summary", oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS seq
+  FROM flagged
+), sess AS (
+  SELECT user_id, seq, count(*) AS n FROM numbered GROUP BY 1, 2
+)
+SELECT user_id, CAST(count(*) AS INT) AS n_sessions,
+       CAST(max(n) AS INT) AS longest_session,
+       CAST(sum(n) AS INT) AS n_events
+FROM sess GROUP BY user_id
+""")
+def udtf_session_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned TABLE-argument UDTF (Spark 4 §2.11 surface): the
+    engine shuffles events by user and streams each user's rows in ts
+    order through a stateful Python session-walker that emits one
+    summary row per user from terminate(). Exact against the
+    lag/cumsum sessionization SQL — the same per-key custom
+    aggregation, two very different execution surfaces."""
+    from ..functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_ss")
+    return spark.sql("""
+        SELECT * FROM session_summary(
+            TABLE(events_ss) PARTITION BY user_id ORDER BY (ts, event_id))
+    """)
