@@ -627,3 +627,29 @@ def filter_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
                & (F.col("left_id") < F.col("right_id")))
         .select("left_id", "right_id")
     )
+
+
+@query("join_hint_strategies", oracle="""
+SELECT c_mktsegment, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""")
+def join_hint_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join strategy hints: the per-query escape hatch when Catalyst's
+    size estimate picks wrong (a "small" dim that decompresses 50x, a
+    broadcast that would OOM the driver). Here the customer side is
+    pinned to a shuffle SORT-MERGE join — overriding the broadcast the
+    stats would choose at fixture scale — without touching semantics
+    (results are hint-invariant, which is exactly what the oracle
+    verifies). Plan shape asserted in tests/test_plans.py."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").hint("merge")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+    )

@@ -298,3 +298,19 @@ def test_ratio_to_report_single_exchange(spark, sf_dir):
 def test_variant_extraction_jvm_only(spark, sf_dir):
     df = QUERIES["events_variant_props"](spark, sf_dir)
     assert python_eval_count(df) == 0
+
+
+def test_join_hint_forces_sort_merge_over_broadcast(spark, sf_dir):
+    """The merge hint must override the size-based broadcast choice;
+    the unhinted twin broadcasts at fixture scale."""
+    df = QUERIES["join_hint_strategies"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+    from dynamic_etl_pipeline_spark.catalog import load_table as lt
+    o = lt(spark, sf_dir, "orders")
+    c = lt(spark, sf_dir, "customer")
+    unhinted = o.join(c, o.o_custkey == c.c_custkey).groupBy(
+        "c_mktsegment").count()
+    assert "BroadcastHashJoin" in formatted_plan(unhinted)
