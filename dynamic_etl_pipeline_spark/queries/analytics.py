@@ -1064,3 +1064,65 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 4).alias("z"), (z > 2.0).alias("is_outlier"),
         )
     )
+
+
+@query("events_mad_outliers", oracle="""
+WITH med AS (
+  SELECT event_type,
+         CAST(quantile_cont(value, 0.5) AS DOUBLE) AS med_value
+  FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, e.event_id, e.value, med.med_value,
+         abs(e.value - med.med_value) AS abs_dev
+  FROM events e JOIN med USING (event_type)
+), mad AS (
+  SELECT event_type,
+         CAST(quantile_cont(abs_dev, 0.5) AS DOUBLE) AS mad_value
+  FROM dev GROUP BY event_type
+)
+SELECT dev.event_type,
+       count(*) AS n_events,
+       round(any_value(dev.med_value), 6) AS med_value,
+       round(any_value(mad.mad_value), 6) AS mad_value,
+       CAST(count(*) FILTER (
+         WHERE abs_dev > 3 * 1.4826 * mad.mad_value) AS BIGINT
+       ) AS n_outliers
+FROM dev JOIN mad USING (event_type)
+GROUP BY dev.event_type
+""")
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation — the
+    mean/stddev z-score (events_value_outliers) breaks down exactly
+    when outliers are present, since they inflate the moments; median
+    and MAD have a 50% breakdown point. Two exact-percentile passes
+    (value median, then deviation median) with the tiny per-type
+    frames broadcast back onto the stream; 1.4826 rescales MAD to
+    sigma-equivalent units under normality.
+
+    Scale note: exact per-group medians sort within groups — fine for
+    bounded group counts like event types; unbounded-cardinality keys
+    switch to approx_percentile exactly as in queries/advanced.py.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med_value")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "abs_dev", F.abs(F.col("value") - F.col("med_value"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("abs_dev", F.lit(0.5)).alias("mad_value")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.any_value("med_value"), 6).alias("med_value"),
+            F.round(F.any_value("mad_value"), 6).alias("mad_value"),
+            F.sum(
+                (F.col("abs_dev") > 3 * 1.4826 * F.col("mad_value"))
+                .cast("long")
+            ).alias("n_outliers"),
+        )
+    )

@@ -833,3 +833,55 @@ def doc_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_neg_logp"),
         )
     )
+
+
+@query("doc_token_entropy", oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), cnt AS (
+  SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2
+), tot AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS n_types
+  FROM cnt GROUP BY doc_id
+)
+SELECT cnt.doc_id, tot.n AS n_tokens, tot.n_types,
+       round(CAST(sum(CAST(
+         -(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)
+         AS DECIMAL(27,12))) AS DOUBLE), 6) AS token_entropy,
+       round(CAST(n_types AS DOUBLE) / n, 6) AS type_token_ratio
+FROM cnt JOIN tot USING (doc_id)
+GROUP BY cnt.doc_id, tot.n, tot.n_types
+""")
+def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution Shannon entropy + type-token ratio per doc —
+    the repetitiveness signal (low entropy = looping/boilerplate text)
+    that complements the Gopher n-gram repetition gates. One tokenize
+    pass, per-doc counts, decimal-summed -p*ln(p) so both engines add
+    identical scalars in exact arithmetic; all shuffles key on doc_id.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = spread(d).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    cnt = tok.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+    tot = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n"), F.count("*").alias("n_types")
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    return (
+        cnt.join(tot, "doc_id")
+        .groupBy("doc_id", "n", "n_types")
+        .agg(
+            F.round(
+                F.sum((-p * F.log(p)).cast("decimal(27,12)")).cast("double"), 6
+            ).alias("token_entropy"),
+            F.round(
+                F.first(F.col("n_types").cast("double") / F.col("n")), 6
+            ).alias("type_token_ratio"),
+        )
+        .select(
+            "doc_id", F.col("n").alias("n_tokens"), "n_types",
+            "token_entropy", "type_token_ratio",
+        )
+    )

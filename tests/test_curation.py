@@ -140,3 +140,34 @@ def test_new_text_queries_survive_degenerate_docs(spark, tmp_path):
                 QUERIES["corpus_dsir_weights"](spark, str(sf)).collect()}
     assert 3 in dsir_ids and 5 in dsir_ids
     assert 1 not in dsir_ids and 4 not in dsir_ids
+
+
+def test_bigram_lm_survives_degenerate_docs(spark, tmp_path):
+    """doc_bigram_lm_score on empty / 1-token / NULL-text docs: the
+    slice guard must yield no bigrams (not a descending-sequence crash),
+    and scoreable docs still come out."""
+    import math
+
+    import pandas as pd
+
+    from dynamic_etl_pipeline_spark.queries import QUERIES
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["", "single", None, "a b a b a"],
+        "lang": ["en"] * 4,
+        "source": ["s1"] * 4,
+        "n_chars": [0, 6, 0, 9],
+    })
+    sf = tmp_path / "lm_sf"
+    sf.mkdir()
+    spark.createDataFrame(docs).coalesce(1).write.mode("overwrite").parquet(
+        str(sf / "documents.parquet")
+    )
+    rows = {r["doc_id"]: r for r in
+            QUERIES["doc_bigram_lm_score"](spark, str(sf)).collect()}
+    # only the 5-token doc has bigrams; empty/1-token/NULL drop out
+    assert set(rows) == {4}
+    assert rows[4]["n_bigrams"] == 4
+    assert math.isfinite(rows[4]["avg_neg_logp"])
+    assert rows[4]["avg_neg_logp"] > 0
