@@ -13,6 +13,7 @@ from .inspect import (  # noqa: F401
     exchange_count,
     formatted_plan,
     has_operator,
+    plan_stats,
     pushed_filters,
     python_eval_count,
     read_schema_columns,

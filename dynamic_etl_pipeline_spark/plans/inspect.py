@@ -66,3 +66,19 @@ def python_eval_count(df: DataFrame) -> int:
             formatted_plan(df),
         )
     )
+
+
+def plan_stats(df: DataFrame) -> dict:
+    """Catalyst's own cost estimates for the optimized plan: size in
+    bytes and (when CBO has one) a row-count estimate. This is the
+    number the broadcast-vs-shuffle decision reads — exposing it makes
+    'why did this join broadcast?' answerable from a test instead of
+    from plan archaeology."""
+    stats = df._jdf.queryExecution().optimizedPlan().stats()
+    row_count = stats.rowCount()
+    return {
+        "size_bytes": int(str(stats.sizeInBytes())),
+        "row_count": (
+            int(str(row_count.get())) if not row_count.isEmpty() else None
+        ),
+    }

@@ -314,3 +314,19 @@ def test_join_hint_forces_sort_merge_over_broadcast(spark, sf_dir):
     unhinted = o.join(c, o.o_custkey == c.c_custkey).groupBy(
         "c_mktsegment").count()
     assert "BroadcastHashJoin" in formatted_plan(unhinted)
+
+
+def test_plan_stats_explain_broadcast_decision(spark, sf_dir):
+    """Catalyst's size estimate must place the broadcast side of the
+    star join under the 10 MB threshold and the fact side over the dim
+    side — the arithmetic behind test_star_join_broadcasts_dimensions."""
+    from dynamic_etl_pipeline_spark.plans.inspect import plan_stats
+
+    nation = load_table(spark, sf_dir, "nation")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    n_stats = plan_stats(nation)
+    l_stats = plan_stats(lineitem)
+    threshold = int(spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+                    .removesuffix("b"))
+    assert n_stats["size_bytes"] < threshold
+    assert l_stats["size_bytes"] > n_stats["size_bytes"]
