@@ -1126,3 +1126,90 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_outliers"),
         )
     )
+
+
+@query("events_value_histogram", oracle="""
+WITH b AS (
+  SELECT event_type,
+         LEAST(CAST(floor(value / 10.0) AS INT), 9) AS bucket
+  FROM events WHERE value >= 0
+)
+SELECT event_type, bucket,
+       CAST(bucket * 10.0 AS DOUBLE) AS bucket_lo,
+       count(*) AS n
+FROM b GROUP BY event_type, bucket
+""")
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width value histogram per event type (10-unit buckets,
+    top-clamped) — the profiling shape dashboards build on. Bucket
+    assignment is a map-side expression, so the shuffle carries only
+    (type, bucket) keys: histogram cost is O(buckets), not O(rows),
+    no matter the corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / 10.0).cast("int"), F.lit(9))
+    return (
+        ev.filter(F.col("value") >= 0)
+        .groupBy("event_type", bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            "event_type", "bucket",
+            (F.col("bucket") * 10.0).cast("double").alias("bucket_lo"),
+            "n",
+        )
+    )
+
+
+@query("part_abc_classification", oracle="""
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(27,4))) AS DOUBLE)
+           AS part_rev
+  FROM lineitem GROUP BY l_partkey
+), tot AS (
+  SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(27,4))) AS DOUBLE)
+           AS total_rev
+  FROM lineitem
+), ranked AS (
+  SELECT l_partkey, part_rev,
+         sum(part_rev) OVER (ORDER BY round(part_rev, 4) DESC, l_partkey
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_rev
+  FROM rev
+)
+SELECT l_partkey, round(part_rev, 4) AS part_rev,
+       CASE WHEN cum_rev / total_rev <= 0.8 THEN 'A'
+            WHEN cum_rev / total_rev <= 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked CROSS JOIN tot
+""")
+def part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification: parts ranked by revenue, class A =
+    the head covering 80% of cumulative revenue, B to 95%, C the tail.
+    Revenue per part is decimal-summed; the running total orders by the
+    ROUNDED revenue + partkey so both engines walk an identical
+    sequence.
+
+    Scale note: the cumulative window is global-ordered over the
+    per-part frame (|parts| << |lineitem|) — acceptable when the
+    grouped domain is bounded; the row-level fact table never sees a
+    global sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(dsum("l_extendedprice").alias("part_rev"))
+    tot = li.agg(dsum("l_extendedprice").alias("total_rev"))
+    w = (
+        Window.orderBy(F.round(F.col("part_rev"), 4).desc(), F.col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    share = F.col("cum_rev") / F.col("total_rev")
+    return (
+        rev.withColumn("cum_rev", F.sum("part_rev").over(w))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "l_partkey",
+            F.round("part_rev", 4).alias("part_rev"),
+            F.when(share <= 0.8, "A")
+            .when(share <= 0.95, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )
