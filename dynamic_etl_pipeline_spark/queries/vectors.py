@@ -485,3 +485,81 @@ def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("*") / 10.0, 6).alias("recall_at_10"),
         )
     )
+
+
+_PACK_LO = (
+    "aggregate(sequence(0, 31), 0L, (acc, i) -> acc + "
+    "IF(element_at({col}, i + 1) > CAST(0 AS FLOAT), shiftleft(1L, i), 0L))"
+)
+_PACK_HI = (
+    "aggregate(sequence(32, 63), 0L, (acc, i) -> acc + "
+    "IF(element_at({col}, i + 1) > CAST(0 AS FLOAT), shiftleft(1L, i - 32), 0L))"
+)
+
+
+@query("embedding_hamming_topk", oracle="""
+WITH codes AS (
+  SELECT vec_id,
+         CAST(list_sum([CASE WHEN embedding[i + 1] > 0
+                             THEN (1::BIGINT << i) ELSE 0::BIGINT END
+                        FOR i IN range(0, 32)]) AS BIGINT) AS code_lo,
+         CAST(list_sum([CASE WHEN embedding[i + 33] > 0
+                             THEN (1::BIGINT << i) ELSE 0::BIGINT END
+                        FOR i IN range(0, 32)]) AS BIGINT) AS code_hi
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, code_lo AS q_lo, code_hi AS q_hi
+  FROM codes WHERE vec_id < 5
+), scored AS (
+  SELECT query_id, vec_id,
+         CAST(bit_count(xor(code_lo, q_lo))
+              + bit_count(xor(code_hi, q_hi)) AS INT) AS hamming
+  FROM codes CROSS JOIN q
+  WHERE vec_id <> query_id
+)
+SELECT query_id, vec_id, hamming, CAST(rn AS INT) AS rn
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY hamming, vec_id) AS rn
+      FROM scored)
+WHERE rn <= 10
+""")
+def embedding_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized retrieval: sign-quantize each 64-dim embedding
+    into two 32-bit words (64x smaller than float32), then rank by
+    Hamming distance — popcount over XOR, the cheapest similarity
+    kernel there is and the backbone of binary-embedding vector search.
+    Packing and distance are pure integer ops, so unlike every cosine
+    query this ranking needs no rounding for cross-engine exactness.
+
+    Scale shape: quantization is map-only JVM codegen; search is the
+    broadcast-probe scan of knn_bruteforce with a 16-byte payload per
+    candidate instead of 256 — the brute-force ceiling moves up ~16x
+    before an index (LSH/IVF/PQ, all implemented) is needed.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    codes = e.select(
+        "vec_id",
+        F.expr(_PACK_LO.format(col="embedding")).alias("code_lo"),
+        F.expr(_PACK_HI.format(col="embedding")).alias("code_hi"),
+    )
+    q = codes.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("code_lo").alias("q_lo"),
+        F.col("code_hi").alias("q_hi"),
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id",
+            (
+                F.bit_count(F.col("code_lo").bitwiseXOR(F.col("q_lo")))
+                + F.bit_count(F.col("code_hi").bitwiseXOR(F.col("q_hi")))
+            ).cast("int").alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 10)
+    )
