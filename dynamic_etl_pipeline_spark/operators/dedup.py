@@ -180,6 +180,24 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def band_postings(sigs: DataFrame, id_col: str, bands: int, r: int) -> DataFrame:
+    """(_id, band_id, band_hash) LSH postings from a signature frame —
+    the skinny rows every band join (batch self-join or incremental
+    index probe) moves; the num_perm-long signature array never enters
+    a shuffle."""
+    return sigs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(",", F.slice("sig", b * r + 1, r))
+                ),
+            )
+        ).alias("band_id", "band_hash"),
+    ).select("_id", "band_id", "band_hash")
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       num_perm: int = 64, bands: int = 16,
                       shingle_n: int = 3, threshold: float = 0.5,
@@ -207,17 +225,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     # join shuffle (measured ~2x the whole pipeline at sf0.1, and pure
     # dead weight at corpus scale). Signatures are re-attached to the
     # few surviving candidate pairs afterwards.
-    band_entries = sigs.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(",", F.slice("sig", b * r + 1, r))
-                ),
-            )
-        ).alias("band_id", "band_hash"),
-    ).select("_id", "band_id", "band_hash")
+    band_entries = band_postings(sigs, id_col, bands, r)
     left = band_entries.select(F.col("_id").alias("id_a"), "band_id", "band_hash")
     right = band_entries.select(F.col("_id").alias("id_b"), "band_id", "band_hash")
     cand = (

@@ -457,3 +457,153 @@ def maintain_distinct_rollup(stream_df: DataFrame, store_dir: str,
         F.hll_sketch_estimate("sketch").cast("bigint")
         .alias("distinct_keys_est"),
     )
+
+
+def apply_dedup_index_batch(batch_df, batch_id: int, store_dir: str,
+                            id_col: str = "doc_id", text_col: str = "text",
+                            num_perm: int = 64, bands: int = 16,
+                            shingle_n: int = 3, threshold: float = 0.5,
+                            seed: int = 42) -> None:
+    """One micro-batch of the incremental near-dup index (the
+    foreachBatch body of maintain_dedup_index, callable directly for
+    batch backfills).
+
+    Per batch: (1) MinHash signatures for the new docs (map-only);
+    (2) LSH postings probe the ACCUMULATED postings store — so new docs
+    pair against every previously indexed doc without recomputing
+    anything for the old corpus — plus a batch-internal self-join;
+    (3) candidates verify by signature agreement >= threshold;
+    (4) the batch's postings/signatures/pairs land in batch-addressed
+    subdirectories, so a replayed batch OVERWRITES its own output
+    instead of double-indexing (idempotent under at-least-once
+    delivery).
+
+    Incremental cost: |batch postings| x matching store postings — the
+    all-pairs recompute a batch pipeline would need is gone, which is
+    the point: at corpus scale the index accretes, it is never rebuilt.
+    """
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import band_postings, minhash_signatures
+
+    spark = batch_df.sparkSession
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    store = Path(store_dir)
+    post_dir = store / "postings"
+    sig_dir = store / "signatures"
+    pair_dir = store / "pairs"
+
+    sigs = minhash_signatures(
+        batch_df, id_col, text_col, num_perm, shingle_n, seed,
+        udf_partitions=8,
+    ).localCheckpoint(eager=True)
+    posts = band_postings(sigs, id_col, bands, r).localCheckpoint(eager=True)
+
+    # candidates: new-vs-store (cross-batch) + new-vs-new (in-batch).
+    # Exclude THIS batch's own directory from the store read so a
+    # replayed batch doesn't pair against its half-written self.
+    older = [
+        str(d) for d in sorted(post_dir.glob("batch-*"))
+        if d.name != f"batch-{batch_id}" and any(d.glob("*.parquet"))
+    ]
+    new_posts = posts.select(
+        F.col("_id").alias("id_b"), "band_id", "band_hash"
+    )
+    cands = []
+    if older:
+        stored = spark.read.parquet(*older).select(
+            F.col("_id").alias("id_a"), "band_id", "band_hash"
+        )
+        cands.append(
+            stored.join(new_posts, ["band_id", "band_hash"])
+            .filter(F.col("id_a") != F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+    intra = posts.select(F.col("_id").alias("id_a"), "band_id", "band_hash")
+    cands.append(
+        intra.join(new_posts, ["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    cand = cands[0]
+    for c in cands[1:]:
+        cand = cand.unionByName(c)
+    cand = cand.dropDuplicates(["id_a", "id_b"])
+
+    # verify on signatures: old sigs come from the store, new from this
+    # batch (union covers both sides of cross-batch pairs)
+    old_sig_dirs = [
+        str(d) for d in sorted(sig_dir.glob("batch-*"))
+        if d.name != f"batch-{batch_id}" and any(d.glob("*.parquet"))
+    ]
+    all_sigs = sigs.select(F.col(id_col).alias("_sid"), "sig")
+    if old_sig_dirs:
+        all_sigs = all_sigs.unionByName(
+            spark.read.parquet(*old_sig_dirs).select(
+                F.col(id_col).alias("_sid"), "sig"
+            )
+        )
+    sig_a = all_sigs.select(F.col("_sid").alias("id_a"), F.col("sig").alias("sig_a"))
+    sig_b = all_sigs.select(F.col("_sid").alias("id_b"), F.col("sig").alias("sig_b"))
+    agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                 lambda eq: eq)
+    )
+    pairs = (
+        cand.join(sig_a, "id_a").join(sig_b, "id_b")
+        .select(
+            "id_a", "id_b",
+            (agree.cast("double") / num_perm).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+    # batch-addressed writes: replay = overwrite, never append-twice
+    pairs.write.mode("overwrite").parquet(str(pair_dir / f"batch-{batch_id}"))
+    sigs.write.mode("overwrite").parquet(str(sig_dir / f"batch-{batch_id}"))
+    posts.write.mode("overwrite").parquet(str(post_dir / f"batch-{batch_id}"))
+
+
+def maintain_dedup_index(stream_df, store_dir: str, checkpoint: str,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         timeout_s: int = 300, **lsh_kwargs):
+    """Streaming near-dup index maintenance: each arriving micro-batch
+    of documents is MinHash-indexed and paired against everything
+    indexed before it — exact-once under replay via batch-addressed
+    output dirs. Returns the accumulated (id_a, id_b, est_jaccard)
+    pairs after an availableNow drain."""
+    from pathlib import Path
+
+    spark = stream_df.sparkSession
+
+    def _body(batch_df, batch_id):
+        apply_dedup_index_batch(
+            batch_df, batch_id, store_dir,
+            id_col=id_col, text_col=text_col, **lsh_kwargs,
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(_body)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    pair_dirs = [
+        str(d) for d in sorted((Path(store_dir) / "pairs").glob("batch-*"))
+        if any(d.glob("*.parquet"))
+    ]
+    if not pair_dirs:
+        from pyspark.sql import types as T
+
+        return spark.createDataFrame(
+            [], T.StructType([
+                T.StructField("id_a", T.LongType()),
+                T.StructField("id_b", T.LongType()),
+                T.StructField("est_jaccard", T.DoubleType()),
+            ])
+        )
+    return spark.read.parquet(*pair_dirs).dropDuplicates(["id_a", "id_b"])

@@ -309,3 +309,56 @@ def test_distinct_rollup_sketch_equals_batch_twin(spark, sf_dir,
         b_est, b_exact = batch_m[k]
         assert est == b_est, k          # merge == single pass, exactly
         assert abs(est - b_exact) <= max(1, 0.05 * b_exact), k
+
+
+def test_incremental_dedup_index_pairs_across_batches(spark, tmp_path):
+    """Docs arriving in different micro-batches must still pair: batch 2
+    contains a near-dup of a batch-1 doc — the index probe against the
+    accumulated postings store finds it without recomputing batch 1."""
+    from dynamic_etl_pipeline_spark.streaming.sinks import (
+        apply_dedup_index_batch,
+        maintain_dedup_index,
+    )
+    from dynamic_etl_pipeline_spark.streaming.source import stream_parquet_dir
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "cat watches from the warm windowsill every single morning")
+    distinct = ("completely unrelated text about distributed query "
+                "engines shuffling partitioned columnar data across "
+                "executor nodes with adaptive planning")
+    b1 = spark.createDataFrame(
+        [(1, base), (2, distinct)], "doc_id long, text string")
+    near = base.replace("morning", "evening")
+    b2 = spark.createDataFrame(
+        [(3, near)], "doc_id long, text string")
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    b1.coalesce(1).write.mode("overwrite").parquet(str(feed / "d1"))
+    b2.coalesce(1).write.mode("overwrite").parquet(str(feed / "d2"))
+    # flatten into one dir of files with ordered mtimes
+    import os
+    import shutil
+    import time as _t
+    for i, d in enumerate(sorted(feed.glob("d*"))):
+        part = next(d.glob("part-*.parquet"))
+        dest = feed / f"{i:03d}.parquet"
+        shutil.move(str(part), dest)
+        os.utime(dest, (_t.time() + i, _t.time() + i))
+        shutil.rmtree(d)
+
+    store = str(tmp_path / "dedup_store")
+    stream = stream_parquet_dir(
+        spark, str(feed), b1.schema, max_files_per_trigger=1)
+    pairs = maintain_dedup_index(
+        stream, store, str(tmp_path / "ckpt"), threshold=0.4)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 3) in got            # cross-batch near-dup found
+    assert all(2 not in p for p in got)  # distinct doc pairs with nothing
+
+    # replayed batch = same batch id -> overwrite, not double-count
+    n_before = pairs.count()
+    apply_dedup_index_batch(b2, 1, store, threshold=0.4)
+    pairs2 = spark.read.parquet(f"{store}/pairs/*").dropDuplicates(
+        ["id_a", "id_b"])
+    assert pairs2.count() == n_before
