@@ -102,3 +102,37 @@ def test_read_any_dispatch(spark, fixtures_dir):
     assert read_any(spark, str(fixtures_dir / "notes.txt")).count() == 5
     with pytest.raises(ValueError, match="Unsupported file format"):
         read_any(spark, "file.xyz")
+
+
+def test_jsonl_writer_roundtrips_through_reader(spark, tmp_path):
+    from dynamic_etl_pipeline_spark.ingest.readers import read_json
+    from dynamic_etl_pipeline_spark.ingest.writers import write_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "alice", ["a@x.com"]), (2, "bob", [])],
+        "id long, name string, emails array<string>",
+    )
+    out = str(tmp_path / "recs_jsonl")
+    write_jsonl(df, out)
+    back = read_json(spark, out)
+    got = {(r["id"], r["name"], tuple(r["emails"] or [])) for r in back.collect()}
+    assert got == {(1, "alice", ("a@x.com",)), (2, "bob", ())}
+
+
+def test_csv_writer_serializes_complex_columns(spark, tmp_path):
+    import json
+
+    from dynamic_etl_pipeline_spark.ingest.readers import read_csv
+    from dynamic_etl_pipeline_spark.ingest.writers import write_csv
+
+    df = spark.createDataFrame(
+        [(1, {"emails": ["a@x.com", "b@y.org"]}, ["ok"])],
+        "id long, pat struct<emails:array<string>>, issues array<string>",
+    )
+    out = str(tmp_path / "recs_csv")
+    write_csv(df, out)
+    back = read_csv(spark, out)
+    row = back.collect()[0]
+    assert row["id"] == 1
+    assert json.loads(row["pat"]) == {"emails": ["a@x.com", "b@y.org"]}
+    assert json.loads(row["issues"]) == ["ok"]
