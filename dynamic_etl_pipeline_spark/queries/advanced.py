@@ -483,3 +483,53 @@ def udtf_session_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT * FROM session_summary(
             TABLE(events_ss) PARTITION BY user_id ORDER BY (ts, event_id))
     """)
+
+
+@query("sql_pivot_facade", oracle="""
+SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p
+FROM orders
+GROUP BY 1
+""")
+def sql_pivot_facade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL PIVOT clause (the DataFrame pivot() is covered by
+    pivot_status_by_year): Spark rewrites the clause to the same
+    conditional-aggregation plan the oracle states directly, so the
+    pivot adds zero execution cost over a grouped CASE battery."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_pv")
+    return spark.sql("""
+        SELECT * FROM (
+            SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+                   o_orderstatus
+            FROM orders_pv
+        )
+        PIVOT (count(*) FOR o_orderstatus IN ('F' AS n_f, 'O' AS n_o,
+                                              'P' AS n_p))
+    """)
+
+
+@query("sql_unpivot_facade", oracle="""
+SELECT o_orderkey, 'total_price' AS metric, o_totalprice AS val
+FROM orders
+UNION ALL
+SELECT o_orderkey, 'acct_balance' AS metric, c_acctbal AS val
+FROM orders JOIN customer ON o_custkey = c_custkey
+""")
+def sql_unpivot_facade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL UNPIVOT clause (DataFrame melt is covered by
+    unpivot_flag_measures): wide measure columns rotate to (metric,
+    val) rows without the UNION-of-scans the oracle spells out —
+    Spark's Expand operator emits both rows in one pass over the
+    join."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_up")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("cust_up")
+    return spark.sql("""
+        SELECT o_orderkey, metric, val FROM (
+            SELECT o_orderkey, o_totalprice AS total_price,
+                   c_acctbal AS acct_balance
+            FROM orders_up JOIN cust_up ON o_custkey = c_custkey
+        )
+        UNPIVOT (val FOR metric IN (total_price, acct_balance))
+    """)
