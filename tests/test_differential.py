@@ -1,0 +1,78 @@
+"""Differential predicate fuzzing (SQLancer-style): random WHERE
+clauses — written in the SQL subset both dialects share — run against
+the SAME parquet through Spark and DuckDB, comparing matched-row count
+and an order-insensitive key checksum. The oracle gate checks 192
+hand-written queries; this checks the predicate/comparison/null
+semantics LATTICE between them (AND/OR/NOT nesting, BETWEEN, IN, LIKE,
+IS NULL, modulo arithmetic, date comparisons) on inputs nobody
+hand-picked.
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+
+SEEDS = list(range(24))
+
+
+def _predicate(rng: random.Random, depth: int = 0) -> str:
+    """A random predicate over the orders table, valid in Spark SQL and
+    DuckDB alike."""
+    atoms = [
+        lambda: f"o_totalprice {rng.choice(['<', '>', '<=', '>='])} "
+                f"{rng.uniform(1000, 400000):.2f}",
+        lambda: f"o_orderkey % {rng.randint(2, 13)} = {rng.randint(0, 1)}",
+        lambda: f"o_custkey % {rng.randint(2, 7)} "
+                f"{rng.choice(['=', '<>'])} {rng.randint(0, 2)}",
+        lambda: f"o_orderstatus = '{rng.choice(['F', 'O', 'P'])}'",
+        lambda: f"o_orderstatus IN ({', '.join(repr(s) for s in rng.sample(['F', 'O', 'P'], rng.randint(1, 3)))})",
+        lambda: f"o_orderpriority LIKE '%{rng.choice(['URGENT', 'HIGH', 'LOW', 'MEDIUM', 'NOT'])}%'",
+        lambda: f"o_orderdate {rng.choice(['<', '>='])} "
+                f"TIMESTAMP '{rng.randint(1995, 2001)}-0{rng.randint(1, 9)}-01 00:00:00'",
+        lambda: f"o_totalprice BETWEEN {rng.uniform(0, 150000):.2f} "
+                f"AND {rng.uniform(150000, 500000):.2f}",
+        lambda: "o_orderpriority IS NOT NULL",
+    ]
+    if depth >= 2 or rng.random() < 0.4:
+        return rng.choice(atoms)()
+    op = rng.choice(["AND", "OR"])
+    left = _predicate(rng, depth + 1)
+    right = _predicate(rng, depth + 1)
+    neg = "NOT " if rng.random() < 0.2 else ""
+    return f"{neg}(({left}) {op} ({right}))"
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/orders.parquet')"
+    )
+    yield con
+    con.close()
+
+
+@pytest.fixture(scope="module", autouse=True)
+def orders_view(spark, sf_dir):
+    from dynamic_etl_pipeline_spark.catalog import load_table
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_diff")
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_random_predicates_agree_with_duckdb(spark, duck, seed):
+    rng = random.Random(seed)
+    pred = _predicate(rng)
+    body = (
+        "SELECT count(*) AS n, "
+        "coalesce(sum(o_orderkey * o_orderkey % 97), 0) AS checksum "
+        "FROM {table} WHERE " + pred
+    )
+    s_row = spark.sql(body.format(table="orders_diff")).collect()[0]
+    d_n, d_sum = duck.execute(body.format(table="orders")).fetchone()
+    assert s_row["n"] == d_n, pred
+    assert int(s_row["checksum"]) == int(d_sum), pred
