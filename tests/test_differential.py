@@ -76,3 +76,46 @@ def test_random_predicates_agree_with_duckdb(spark, duck, seed):
     d_n, d_sum = duck.execute(body.format(table="orders")).fetchone()
     assert s_row["n"] == d_n, pred
     assert int(s_row["checksum"]) == int(d_sum), pred
+
+
+@pytest.fixture(scope="module", autouse=True)
+def customer_views(spark, sf_dir, duck):
+    from dynamic_etl_pipeline_spark.catalog import load_table
+
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_diff")
+    duck.execute(
+        f"CREATE VIEW customer AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/customer.parquet')"
+    )
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_random_join_aggregates_agree_with_duckdb(spark, duck, seed):
+    """Random filtered join + group-by: the aggregate lattice (grouped
+    counts and exact decimal sums over a join) must agree."""
+    rng = random.Random(1000 + seed)
+    pred = _predicate(rng)
+    group = rng.choice(
+        ["o_orderstatus", "c_mktsegment", "o_orderpriority",
+         "year(o_orderdate)"]
+    )
+    body = (
+        "SELECT {g} AS g, count(*) AS n, "
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) AS s "
+        "FROM {o} JOIN {c} ON o_custkey = c_custkey "
+        "WHERE " + pred + " GROUP BY 1"
+    ).replace("{g}", group)
+    s_rows = {
+        (str(r["g"]), r["n"], round(r["s"], 4))
+        for r in spark.sql(
+            body.format(o="orders_diff", c="customer_diff")
+        ).collect()
+    }
+    d_rows = {
+        (str(g), n, round(s, 4))
+        for g, n, s in duck.execute(
+            body.format(o="orders", c="customer")
+        ).fetchall()
+    }
+    assert s_rows == d_rows, (group, pred)
