@@ -119,3 +119,28 @@ def test_random_join_aggregates_agree_with_duckdb(spark, duck, seed):
         ).fetchall()
     }
     assert s_rows == d_rows, (group, pred)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_window_topk_agree_with_duckdb(spark, duck, seed):
+    """Random ranked-window top-k: partition key, ranking function, and
+    k drawn at random; the surviving orderkey set must agree (ordering
+    made total with a rounded measure + unique tie-break)."""
+    rng = random.Random(2000 + seed)
+    part = rng.choice(["o_orderstatus", "o_orderpriority",
+                       "o_custkey % 10", "year(o_orderdate)"])
+    fn = rng.choice(["row_number()", "rank()", "dense_rank()"])
+    k = rng.randint(1, 20)
+    direction = rng.choice(["ASC", "DESC"])
+    body = (
+        "SELECT o_orderkey FROM ("
+        "  SELECT o_orderkey, {fn} OVER ("
+        "    PARTITION BY {p} ORDER BY round(o_totalprice, 4) {d}, o_orderkey"
+        "  ) AS rn FROM {t}"
+        ") WHERE rn <= {k}"
+    ).replace("{fn}", fn).replace("{p}", part).replace(
+        "{d}", direction).replace("{k}", str(k))
+    s_keys = {r["o_orderkey"]
+              for r in spark.sql(body.format(t="orders_diff")).collect()}
+    d_keys = {r[0] for r in duck.execute(body.format(t="orders")).fetchall()}
+    assert s_keys == d_keys, (part, fn, k, direction)
