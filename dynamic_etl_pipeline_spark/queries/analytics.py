@@ -1213,3 +1213,117 @@ def part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("abc_class"),
         )
     )
+
+
+@query("events_ab_test_lift", oracle="""
+WITH assigned AS (
+  SELECT user_id, user_id % 2 AS variant,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted
+  FROM events GROUP BY user_id
+), arms AS (
+  SELECT variant, count(*) AS n_users,
+         CAST(sum(converted) AS BIGINT) AS n_converted,
+         round(CAST(sum(converted) AS DOUBLE) / count(*), 6) AS conv_rate
+  FROM assigned GROUP BY variant
+)
+SELECT a.variant, a.n_users, a.n_converted, a.conv_rate,
+       round((a.conv_rate - b.conv_rate) / b.conv_rate, 6)
+         AS lift_vs_control
+FROM arms a CROSS JOIN arms b
+WHERE b.variant = 0
+""")
+def events_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: deterministic hash-of-user arm
+    assignment (the standard experiment-bucketing trick — stable across
+    sessions, no assignment table), per-arm user-level conversion
+    rates, and relative lift vs the control arm. One shuffle on
+    user_id for the user collapse; the two-row arms frame cross-joins
+    as a broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    assigned = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted")
+        )
+        .withColumn("variant", F.col("user_id") % 2)
+    )
+    arms = assigned.groupBy("variant").agg(
+        F.count("*").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+        F.round(
+            F.sum("converted").cast("double") / F.count("*"), 6
+        ).alias("conv_rate"),
+    )
+    control = arms.filter(F.col("variant") == 0).select(
+        F.col("conv_rate").alias("control_rate")
+    )
+    return (
+        arms.crossJoin(F.broadcast(control))
+        .select(
+            "variant", "n_users", "n_converted", "conv_rate",
+            F.round(
+                (F.col("conv_rate") - F.col("control_rate"))
+                / F.col("control_rate"), 6,
+            ).alias("lift_vs_control"),
+        )
+    )
+
+
+@query("orders_seasonal_decompose", oracle="""
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE)
+           AS revenue
+  FROM orders GROUP BY 1
+), ma AS (
+  SELECT month, revenue,
+         CAST(avg(CAST(revenue AS DECIMAL(27,4))) OVER (
+           ORDER BY month ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING
+         ) AS DOUBLE) AS trend,
+         CAST(count(*) OVER (
+           ORDER BY month ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING
+         ) AS INT) AS window_n
+  FROM monthly
+)
+SELECT month, round(revenue, 4) AS revenue, round(trend, 4) AS trend,
+       round(revenue - trend, 4) AS residual
+FROM ma WHERE window_n = 12
+""")
+def orders_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical trend/residual decomposition of monthly revenue: a
+    12-month moving average (full windows only, so edges with partial
+    coverage drop out) and the de-trended residual that carries the
+    seasonal + noise signal. The series frame is one row per month —
+    the global-order window runs over dozens of rows, never the fact
+    table; the decimal-averaged trend divides exact sums by the frame
+    count so both engines emit identical doubles."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(
+            F.date_trunc("month", "o_orderdate").cast("timestamp_ntz")
+            .alias("month")
+        )
+        .agg(dsum("o_totalprice").alias("revenue"))
+    )
+    w = Window.orderBy("month").rowsBetween(-5, 6)
+    ma = monthly.select(
+        "month", "revenue",
+        (
+            F.sum(F.col("revenue").cast("decimal(27,4)")).over(w)
+            .cast("double")
+            / F.count("*").over(w)
+        ).alias("trend"),
+        F.count("*").over(w).cast("int").alias("window_n"),
+    )
+    return (
+        ma.filter(F.col("window_n") == 12)
+        .select(
+            "month",
+            F.round("revenue", 4).alias("revenue"),
+            F.round("trend", 4).alias("trend"),
+            F.round(F.col("revenue") - F.col("trend"), 4).alias("residual"),
+        )
+    )
