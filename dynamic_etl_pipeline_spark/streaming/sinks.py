@@ -607,3 +607,53 @@ def maintain_dedup_index(stream_df, store_dir: str, checkpoint: str,
             ])
         )
     return spark.read.parquet(*pair_dirs).dropDuplicates(["id_a", "id_b"])
+
+
+def maintain_quality_split(stream_df, store_dir: str, checkpoint: str,
+                           issues_col: str = "_quality_issues",
+                           timeout_s: int = 300):
+    """Streaming ingest with a dead-letter queue: each micro-batch
+    splits on the quality annotation (quality.validate's issues column
+    — the reference's per-record issue strings, app.py:355-360) and
+    lands good rows in the main store, bad rows in the DLQ — the
+    at-scale answer to the reference's counters-only handling: bad
+    records stay queryable and replayable instead of being a number in
+    a UI.
+
+    Both sides write batch-addressed directories (replay = overwrite =
+    idempotent, same contract as the dedup index / CDC sinks). Returns
+    (good_df, bad_df) after an availableNow drain; either may be empty.
+    """
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    spark = stream_df.sparkSession
+    store = Path(store_dir)
+    schema = stream_df.schema
+
+    def _body(batch_df, batch_id):
+        is_bad = F.size(F.col(issues_col)) > 0
+        batch_df.filter(~is_bad).write.mode("overwrite").parquet(
+            str(store / "good" / f"batch-{batch_id}")
+        )
+        batch_df.filter(is_bad).write.mode("overwrite").parquet(
+            str(store / "bad" / f"batch-{batch_id}")
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(_body)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+
+    def _read(side: str):
+        dirs = [str(d) for d in sorted((store / side).glob("batch-*"))
+                if any(d.glob("*.parquet"))]
+        if not dirs:
+            return spark.createDataFrame([], schema)
+        return spark.read.parquet(*dirs)
+
+    return _read("good"), _read("bad")

@@ -362,3 +362,33 @@ def test_incremental_dedup_index_pairs_across_batches(spark, tmp_path):
     pairs2 = spark.read.parquet(f"{store}/pairs/*").dropDuplicates(
         ["id_a", "id_b"])
     assert pairs2.count() == n_before
+
+
+def test_quality_split_routes_bad_records_to_dlq(spark, tmp_path):
+    """Streaming validation split: records failing quality checks land
+    in the dead-letter store, clean ones in the main store, and the
+    union is lossless."""
+    from dynamic_etl_pipeline_spark.quality import validate
+    from dynamic_etl_pipeline_spark.streaming.sinks import maintain_quality_split
+    from dynamic_etl_pipeline_spark.streaming.source import stream_parquet_dir
+
+    import pyspark.sql.types as T
+
+    schema = T.StructType([
+        T.StructField("rec_id", T.LongType()),
+        T.StructField("content", T.StringType()),
+    ])
+    rows = [(1, "fine"), (2, None), (3, "also fine"), (4, None)]
+    feed = tmp_path / "qfeed"
+    feed.mkdir()
+    df = spark.createDataFrame(rows, schema)
+    df.coalesce(1).write.mode("overwrite").parquet(str(feed))
+
+    stream = stream_parquet_dir(spark, str(feed), df.schema,
+                                max_files_per_trigger=1)
+    stream = validate(stream, schema)  # null content -> missing-field issue
+    good, bad = maintain_quality_split(
+        stream, str(tmp_path / "qstore"), str(tmp_path / "qckpt"))
+    assert {r["rec_id"] for r in good.collect()} == {1, 3}
+    assert {r["rec_id"] for r in bad.collect()} == {2, 4}
+    assert good.count() + bad.count() == len(rows)
