@@ -144,3 +144,24 @@ def test_random_window_topk_agree_with_duckdb(spark, duck, seed):
               for r in spark.sql(body.format(t="orders_diff")).collect()}
     d_keys = {r[0] for r in duck.execute(body.format(t="orders")).fetchall()}
     assert s_keys == d_keys, (part, fn, k, direction)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_set_operations_agree_with_duckdb(spark, duck, seed):
+    """Random INTERSECT/EXCEPT/UNION between two predicate-filtered key
+    sets — bag-vs-set and null semantics of the set operators on inputs
+    nobody hand-picked."""
+    rng = random.Random(3000 + seed)
+    p1, p2 = _predicate(rng), _predicate(rng)
+    op = rng.choice(["INTERSECT", "EXCEPT", "UNION", "UNION ALL"])
+    body = (
+        "SELECT count(*) AS n, coalesce(sum(k % 101), 0) AS checksum FROM ("
+        "  SELECT o_orderkey AS k FROM {t} WHERE " + p1 +
+        f"  {op} "
+        "  SELECT o_custkey AS k FROM {t} WHERE " + p2 +
+        ")"
+    )
+    s_row = spark.sql(body.format(t="orders_diff")).collect()[0]
+    d_n, d_sum = duck.execute(body.format(t="orders")).fetchone()
+    assert s_row["n"] == d_n, (op, p1, p2)
+    assert int(s_row["checksum"]) == int(d_sum), (op, p1, p2)
