@@ -295,10 +295,21 @@ _READERS: dict[str, Callable[..., DataFrame]] = {
 
 
 def read_any(spark: SparkSession, path: str, format: str | None = None,
-             **kwargs) -> DataFrame:
+             on_error: str = "raise", **kwargs) -> DataFrame:
     """Suffix-dispatched facade (reference app.py:298-315). ``format``
     overrides the suffix for extensionless paths (e.g. a directory of
-    part files)."""
+    part files).
+
+    ``on_error="record"`` reproduces the reference's ingest-failure
+    fallback (app.py:220-222, 55-56): instead of raising, a failed read
+    yields one record ``{"content": "", "_ingest_error": str(e)}`` so
+    the pipeline keeps a queryable trace of the bad upload. The read is
+    materialized eagerly in this mode (localCheckpoint) so lazy
+    executor-side parse errors are caught too — the right trade for
+    upload-sized batches, not for bulk scans (default stays "raise").
+    """
+    if on_error not in ("raise", "record"):
+        raise ValueError(f"on_error must be raise|record, got {on_error!r}")
     suffix = f".{format.lstrip('.')}" if format else Path(path).suffix.lower()
     try:
         reader = _READERS[suffix]
@@ -306,4 +317,12 @@ def read_any(spark: SparkSession, path: str, format: str | None = None,
         raise ValueError(
             f"Unsupported file format: {suffix} (supported: {sorted(_READERS)})"
         ) from exc
+    if on_error == "record":
+        try:
+            return reader(spark, path, **kwargs).localCheckpoint(eager=True)
+        except Exception as exc:  # noqa: BLE001 - fallback is the contract
+            return spark.createDataFrame(
+                [("", str(exc)[:500])],
+                "content string, _ingest_error string",
+            )
     return reader(spark, path, **kwargs)

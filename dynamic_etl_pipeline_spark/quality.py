@@ -71,3 +71,27 @@ def quality_summary(df: DataFrame) -> DataFrame:
     return df.groupBy(has_issues.alias("has_issues")).agg(
         F.count("*").alias("n_records")
     )
+
+
+def coerce_strings(df: DataFrame) -> DataFrame:
+    """Reference-compat all-string mode (app.py:255-261: every value is
+    str(value), None -> "" before schema inference). Scalar columns
+    cast to string with NULL -> ''; nested columns (the
+    _extracted_patterns struct) keep their shape — matching the
+    reference's observed schemas, where genson still types the nested
+    object (SURVEY §1.2). Lineage columns pass through untouched.
+
+    This is a COMPAT mode, not the default: the engine keeps real
+    types (SURVEY §1.4 calls the string-only model an artifact).
+    """
+    nested = (T.StructType, T.ArrayType, T.MapType)
+    cols = []
+    for f in df.schema.fields:
+        if f.name in LINEAGE_COLS or isinstance(f.dataType, nested):
+            cols.append(F.col(f.name))
+        else:
+            cols.append(
+                F.coalesce(F.col(f.name).cast("string"), F.lit(""))
+                .alias(f.name)
+            )
+    return df.select(cols)

@@ -136,3 +136,52 @@ def test_csv_writer_serializes_complex_columns(spark, tmp_path):
     assert row["id"] == 1
     assert json.loads(row["pat"]) == {"emails": ["a@x.com", "b@y.org"]}
     assert json.loads(row["issues"]) == ["ok"]
+
+
+def test_read_any_error_record_fallback(spark, tmp_path):
+    """Reference app.py:220-222 parity: a failed ingest yields one
+    {"content": "", "_ingest_error": ...} record instead of raising."""
+    from dynamic_etl_pipeline_spark.ingest.readers import read_any
+
+    bad = tmp_path / "broken.xml"
+    bad.write_text("<root><unclosed></root")
+    df = read_any(spark, str(bad), on_error="record")
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0]["content"] == ""
+    assert rows[0]["_ingest_error"]
+
+    # healthy files are unaffected by the mode
+    ok = tmp_path / "ok.csv"
+    ok.write_text("a,b\n1,2\n")
+    good = read_any(spark, str(ok), on_error="record")
+    assert good.count() == 1 and "_ingest_error" not in good.columns
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="on_error"):
+        read_any(spark, str(ok), on_error="nope")
+
+
+def test_coerce_strings_compat_mode(spark):
+    """All-string compat (app.py:255-261): scalars -> str with
+    NULL -> '', nested columns keep shape, lineage untouched."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from dynamic_etl_pipeline_spark.quality import coerce_strings
+
+    df = spark.createDataFrame(
+        [(1, 2.5, None, dt.datetime(2024, 1, 1), {"emails": ["a@x.com"]})],
+        "id long, score double, note string, at timestamp, "
+        "pat struct<emails:array<string>>",
+    ).withColumn("_schema_version", F.lit(7))
+    out = coerce_strings(df)
+    types = dict((f.name, f.dataType.simpleString()) for f in out.schema.fields)
+    assert types["id"] == "string" and types["score"] == "string"
+    assert types["at"] == "string"
+    assert types["pat"].startswith("struct")          # nested kept
+    assert types["_schema_version"] == "int"          # lineage kept
+    row = out.collect()[0]
+    assert row["id"] == "1" and row["note"] == ""     # NULL -> ''
+    assert row["score"] == "2.5"
