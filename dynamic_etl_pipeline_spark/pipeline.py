@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from .functions.extract import extract_patterns
 from .ingest import read_any
-from .quality import ISSUES_COL, quality_summary, validate, with_lineage
+from .quality import ISSUES_COL, validate, with_lineage
 from .schema_registry import SchemaRegistry
 
 

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..catalog import load_table
-from ._helpers import davg, dsum
+from ._helpers import dsum
 from .registry import query
 
 

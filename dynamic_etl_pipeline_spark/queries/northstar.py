@@ -14,7 +14,7 @@ from ..catalog import load_table
 from ..operators.asof import asof_join
 from ..operators.dedup import connected_components, minhash_lsh_pairs, simhash_pairs
 from ..operators.knn import lsh_ann_topk, mmr_rerank
-from ..operators.multimodal import extract_media_meta, fake_payload, media_stats
+from ..operators.multimodal import extract_media_meta, media_stats
 from .registry import query
 
 
