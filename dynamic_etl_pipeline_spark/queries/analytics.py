@@ -497,10 +497,10 @@ WITH hourly AS (
   FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN span s
 )
 SELECT g.event_type, g.h AS bucket,
-       round(coalesce(hourly.avg_value,
+       coalesce(hourly.avg_value,
              last_value(hourly.avg_value IGNORE NULLS)
                OVER (PARTITION BY g.event_type ORDER BY g.h
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), 4)
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
          AS filled_avg
 FROM grid g
 LEFT JOIN hourly ON hourly.event_type = g.event_type AND hourly.h = g.h
@@ -547,16 +547,17 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             F.col("h").alias("bucket"),
-            F.round(
-                F.coalesce(
-                    F.col("avg_value"),
-                    F.last("avg_value", ignorenulls=True).over(
-                        Window.partitionBy("event_type")
-                        .orderBy("h")
-                        .rowsBetween(Window.unboundedPreceding, -1)
-                    ),
+            # no rounding: the exact-decimal-sum / count division is
+            # already bit-identical cross-engine, while round() at a
+            # half-way boundary is where the engines' double-rounding
+            # strategies can disagree (caught by the sf0.1 sweep)
+            F.coalesce(
+                F.col("avg_value"),
+                F.last("avg_value", ignorenulls=True).over(
+                    Window.partitionBy("event_type")
+                    .orderBy("h")
+                    .rowsBetween(Window.unboundedPreceding, -1)
                 ),
-                4,
             ).alias("filled_avg"),
         )
     )

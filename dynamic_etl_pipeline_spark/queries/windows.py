@@ -169,12 +169,18 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-valued RANGE frame: per-user trailing-hour count/sum at each
     event. rangeBetween over the ORDER BY value (not row offsets) — the
-    frame Spark evaluates with one per-key sort, no self-join."""
+    frame Spark evaluates with one per-key sort, no self-join.
+
+    The ordering key is epoch MICROS, not seconds: a seconds-truncated
+    key silently widens the frame at sub-second boundaries (an event
+    1h + 400ms old looks exactly 1h old) — caught by the sf0.1 oracle
+    sweep where fractional-second gaps actually occur."""
     ev = load_table(spark, sf_dir, "events")
+    hour_us = 3600 * 10**6
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("timestamp").cast("long"))
-        .rangeBetween(-3600, Window.currentRow)
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-hour_us, Window.currentRow)
     )
     return ev.select(
         "event_id", "user_id", "ts",
