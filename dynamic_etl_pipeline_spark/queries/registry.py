@@ -14,6 +14,13 @@ matches):
   widens to HUGEINT);
 - LIMIT queries order by a deterministic key (rounded measure + unique
   tie-break) on both sides.
+- PREFER unrounded output when the value is already bit-deterministic
+  (exact-decimal sums, or divisions of identical doubles): round() at
+  an exact half-way point is where the engines' double-rounding
+  strategies disagree (HALF_UP on the exact BigDecimal vs double
+  arithmetic) — events_gap_fill hit this at sf0.1. Round only to
+  *stabilize* a value that would otherwise differ, never as a final
+  cosmetic step on an already-identical one.
 """
 
 from __future__ import annotations
