@@ -14,6 +14,7 @@ import random
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 SEEDS = list(range(24))
 
@@ -165,3 +166,48 @@ def test_random_set_operations_agree_with_duckdb(spark, duck, seed):
     d_n, d_sum = duck.execute(body.format(t="orders")).fetchone()
     assert s_row["n"] == d_n, (op, p1, p2)
     assert int(s_row["checksum"]) == int(d_sum), (op, p1, p2)
+
+
+@pytest.fixture(scope="module")
+def null_tables(spark, duck, sf_dir, tmp_path_factory):
+    """orders with NULLs injected into a measure, a filter column, and
+    the date — the fixture itself is null-free, so three-valued-logic
+    paths are otherwise only exercised by hand-written cases."""
+    from dynamic_etl_pipeline_spark.catalog import load_table
+
+    out = str(tmp_path_factory.mktemp("nullified") / "orders_nulls.parquet")
+    (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("o_totalprice", F.when(
+            F.col("o_orderkey") % 7 != 0, F.col("o_totalprice")))
+        .withColumn("o_orderpriority", F.when(
+            F.col("o_orderkey") % 11 != 0, F.col("o_orderpriority")))
+        .withColumn("o_orderdate", F.when(
+            F.col("o_orderkey") % 13 != 0, F.col("o_orderdate")))
+        .coalesce(1).write.mode("overwrite").parquet(out)
+    )
+    spark.read.parquet(out).createOrReplaceTempView("orders_nulls_diff")
+    duck.execute(
+        f"CREATE VIEW orders_nulls AS SELECT * FROM read_parquet('{out}/*.parquet')"
+    )
+    return out
+
+
+@pytest.mark.parametrize("seed", range(16))
+def test_random_predicates_on_null_data_agree(spark, duck, null_tables, seed):
+    """Three-valued logic under fuzz: the same random predicates over
+    null-riddled columns must filter identically (NULL neither matches
+    nor fails into NOT(...) branches differently across engines)."""
+    rng = random.Random(4000 + seed)
+    pred = _predicate(rng)
+    body = (
+        "SELECT count(*) AS n, "
+        "coalesce(sum(o_orderkey % 89), 0) AS checksum, "
+        "count(o_totalprice) AS n_price_nonnull "
+        "FROM {t} WHERE " + pred
+    )
+    s = spark.sql(body.format(t="orders_nulls_diff")).collect()[0]
+    d_n, d_sum, d_nn = duck.execute(body.format(t="orders_nulls")).fetchone()
+    assert s["n"] == d_n, pred
+    assert int(s["checksum"]) == int(d_sum), pred
+    assert s["n_price_nonnull"] == d_nn, pred
