@@ -211,3 +211,40 @@ def test_random_predicates_on_null_data_agree(spark, duck, null_tables, seed):
     assert s["n"] == d_n, pred
     assert int(s["checksum"]) == int(d_sum), pred
     assert s["n_price_nonnull"] == d_nn, pred
+
+
+@pytest.fixture(scope="module")
+def null_key_table(spark, duck, sf_dir, tmp_path_factory):
+    """orders with NULL join keys (every 5th custkey) — inner joins
+    must drop them identically in both engines."""
+    from dynamic_etl_pipeline_spark.catalog import load_table
+
+    out = str(tmp_path_factory.mktemp("nullkeys") / "orders_nk.parquet")
+    (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("o_custkey", F.when(
+            F.col("o_orderkey") % 5 != 0, F.col("o_custkey")))
+        .coalesce(1).write.mode("overwrite").parquet(out)
+    )
+    spark.read.parquet(out).createOrReplaceTempView("orders_nk_diff")
+    duck.execute(
+        f"CREATE VIEW orders_nk AS SELECT * FROM read_parquet('{out}/*.parquet')"
+    )
+    return out
+
+
+@pytest.mark.parametrize("seed", range(8))
+@pytest.mark.parametrize("how", ["JOIN", "LEFT JOIN"])
+def test_random_null_key_joins_agree(spark, duck, null_key_table, seed, how):
+    """NULL join keys under fuzz: inner joins must drop NULL-key rows,
+    left joins must null-extend them — identically across engines."""
+    rng = random.Random(5000 + seed)
+    pred = _predicate(rng)
+    body = (
+        "SELECT count(*) AS n, count(c_mktsegment) AS n_matched "
+        "FROM {o} " + how + " {c} ON o_custkey = c_custkey "
+        "WHERE " + pred
+    )
+    s = spark.sql(body.format(o="orders_nk_diff", c="customer_diff")).collect()[0]
+    d_n, d_m = duck.execute(body.format(o="orders_nk", c="customer")).fetchone()
+    assert (s["n"], s["n_matched"]) == (d_n, d_m), (how, pred)

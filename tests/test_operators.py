@@ -540,3 +540,19 @@ def test_mmr_null_embeddings_dropped(spark):
     assert set(got["query_id"]) == {99}
     assert 3 not in set(got["vec_id"])
     assert len(got) == 3
+
+
+def test_hamming_retrieval_recall_floor_vs_cosine(spark, sf_dir):
+    """Binary sign-quantized retrieval must retain meaningful agreement
+    with full-precision cosine ranking (the design claim that makes the
+    16x-cheaper scan useful as a first stage)."""
+    from dynamic_etl_pipeline_spark.queries import QUERIES
+
+    ham = QUERIES["embedding_hamming_topk"](spark, sf_dir).toPandas()
+    cos = QUERIES["knn_bruteforce"](spark, sf_dir).toPandas()
+    recalls = []
+    for qid in cos["query_id"].unique():
+        top_cos = set(cos[cos["query_id"] == qid]["vec_id"])
+        top_ham = set(ham[ham["query_id"] == qid]["vec_id"])
+        recalls.append(len(top_cos & top_ham) / len(top_cos))
+    assert sum(recalls) / len(recalls) >= 0.2, recalls
