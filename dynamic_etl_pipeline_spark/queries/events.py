@@ -290,3 +290,55 @@ def events_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFr
         .select(F.col("d").cast("timestamp_ntz").alias("day"), "new_users",
                 "cumulative_users")
     )
+
+
+@query("events_dau_wau_stickiness", oracle="""
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+), days AS (
+  SELECT DISTINCT day FROM du
+), dau AS (
+  SELECT day, count(*) AS dau FROM du GROUP BY day
+), wau AS (
+  SELECT days.day, count(DISTINCT du.user_id) AS wau
+  FROM days JOIN du
+    ON du.day BETWEEN days.day - INTERVAL 6 DAY AND days.day
+  GROUP BY days.day
+)
+SELECT CAST(days.day AS TIMESTAMP) AS day, dau.dau, wau.wau,
+       round(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+FROM days JOIN dau USING (day) JOIN wau USING (day)
+""")
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per day. Distinct counting
+    over a sliding time window has no window-function form (COUNT
+    DISTINCT OVER RANGE is unsupported everywhere); the scalable
+    rewrite reduces events to the distinct (day, user) frame FIRST —
+    one shuffle over the raw stream — then the trailing-week membership
+    is a bounded range join on that tiny frame (|days| x <= 7 rows per
+    user-day), never on raw events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    days = du.select("day").distinct()
+    dau = du.groupBy("day").agg(F.count("*").alias("dau"))
+    wau = (
+        days.alias("d")
+        .join(
+            du.alias("u"),
+            F.col("u.day").between(
+                F.date_sub(F.col("d.day"), 6), F.col("d.day")
+            ),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("u.user_id").alias("wau"))
+    )
+    return (
+        days.join(dau, "day").join(wau, "day")
+        .select(
+            F.col("day").cast("timestamp_ntz").alias("day"),
+            "dau", "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6)
+            .alias("stickiness"),
+        )
+    )
