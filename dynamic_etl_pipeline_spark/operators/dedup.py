@@ -25,12 +25,16 @@ value-hash — the driver records rows-only for these by design.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
+
+logger = logging.getLogger(__name__)
 
 # Mersenne prime 2^61-1: permutation arithmetic stays in signed-64 range
 # because shingle hashes are reduced mod 2^31-1 (max a*h + b < 2^62).
@@ -198,19 +202,143 @@ def band_postings(sigs: DataFrame, id_col: str, bands: int, r: int) -> DataFrame
     ).select("_id", "band_id", "band_hash")
 
 
+def _cap_postings(postings: DataFrame, max_per_bucket: int,
+                  keys: tuple[str, ...] = ("band_id", "band_hash"),
+                  id_col: str = "_id") -> DataFrame:
+    """Per-bucket posting cap: any (band_id, band_hash) bucket larger
+    than ``max_per_bucket`` is thinned to ~that size by a deterministic
+    hash sample of its member ids.
+
+    This is the defense-in-depth half of the hot-band mitigation (the
+    primary half is the identical-signature collapse in the pair
+    functions): even after collapse, a heavily templated corpus can
+    put many DISTINCT signatures into one band bucket, and the
+    band self-join is quadratic in bucket size. The cap bounds any
+    bucket's contribution to ~max_per_bucket^2 candidate pairs.
+
+    Scale shape: bucket sizes come from one map-side-combining count
+    aggregation; the (rare) oversized keys are broadcast back. No
+    window sort ever lands a multi-million-row bucket in one task.
+    Dropped postings lose ONLY that band's vote for their pairs —
+    the other bands still probe — and the drop volume is logged.
+    """
+    sizes = (
+        postings.groupBy(*keys)
+        .agg(F.count("*").alias("_bn"))
+        .filter(F.col("_bn") > max_per_bucket)
+    )
+    n_hot = sizes.count()
+    if n_hot == 0:
+        return postings
+    dropped = sizes.agg(
+        F.sum(F.col("_bn") - max_per_bucket).alias("d")
+    ).first()["d"]
+    logger.warning(
+        "LSH posting cap: %d buckets exceed %d postings; dropping ~%d "
+        "postings (pairs keep their other bands' votes)",
+        n_hot, max_per_bucket, dropped,
+    )
+    keep_frac = F.lit(max_per_bucket) / F.col("_bn")
+    u = (
+        F.pmod(
+            F.xxhash64(F.col(id_col), *[F.col(k) for k in keys]),
+            F.lit(1_000_000),
+        )
+        / F.lit(1_000_000.0)
+    )
+    return (
+        postings.join(F.broadcast(sizes), list(keys), "left")
+        .filter(F.col("_bn").isNull() | (u < keep_frac))
+        .drop("_bn")
+    )
+
+
+def _expand_group_pairs(rep_pairs: DataFrame, mem: DataFrame,
+                        score_col: str, max_group_expand: int) -> DataFrame:
+    """Expand representative-level near-dup pairs back to document
+    pairs, plus intra-group pairs for collapsed identical-key groups.
+
+    ``mem`` is (_rep, _member, _gn); identical-key groups share the
+    representative's score with every member, so:
+    - small x small cross-group rep pairs expand to all member pairs
+      (bit-identical to the uncollapsed output);
+    - any pair touching a group larger than ``max_group_expand`` stays
+      at the representative level (the full expansion is inherently
+      O(|A|x|B|) — at corpus scale you want the cluster certificate,
+      not a quadratic pair list);
+    - intra-group: all pairs for small groups, a star on the
+      representative for large ones (same component structure either
+      way, O(c) rows instead of O(c^2)).
+    """
+    perfect = F.lit(1.0) if score_col == "est_jaccard" else F.lit(0)
+    small = mem.filter(F.col("_gn") <= max_group_expand)
+    sm_a = small.select(F.col("_rep").alias("_r"), F.col("_member").alias("id_a"))
+    sm_b = small.select(F.col("_rep").alias("_r"), F.col("_member").alias("id_b"))
+    intra_small = (
+        sm_a.join(sm_b, "_r")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", perfect.alias(score_col))
+    )
+    # the representative is the group min id, so rep < member always
+    intra_large = (
+        mem.filter((F.col("_gn") > max_group_expand)
+                   & (F.col("_member") != F.col("_rep")))
+        .select(F.col("_rep").alias("id_a"), F.col("_member").alias("id_b"),
+                perfect.alias(score_col))
+    )
+    gsz_a = mem.select(F.col("_rep").alias("id_a"), F.col("_gn").alias("_gna")).distinct()
+    gsz_b = mem.select(F.col("_rep").alias("id_b"), F.col("_gn").alias("_gnb")).distinct()
+    rp = rep_pairs.join(gsz_a, "id_a").join(gsz_b, "id_b")
+    big = (F.col("_gna") > max_group_expand) | (F.col("_gnb") > max_group_expand)
+    cross_large = rp.filter(big).select("id_a", "id_b", score_col)
+    mem_a = small.select(F.col("_rep").alias("id_a"), F.col("_member").alias("_ma"))
+    mem_b = small.select(F.col("_rep").alias("id_b"), F.col("_member").alias("_mb"))
+    cross_small = (
+        rp.filter(~big)
+        .join(mem_a, "id_a").join(mem_b, "id_b")
+        .select(
+            F.least("_ma", "_mb").alias("id_a"),
+            F.greatest("_ma", "_mb").alias("id_b"),
+            F.col(score_col),
+        )
+    )
+    return cross_small.unionByName(cross_large).unionByName(
+        intra_small
+    ).unionByName(intra_large)
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       num_perm: int = 64, bands: int = 16,
                       shingle_n: int = 3, threshold: float = 0.5,
                       seed: int = 42,
-                      udf_partitions: int | None = None) -> DataFrame:
+                      udf_partitions: int | None = None,
+                      collapse_identical: bool = True,
+                      max_group_expand: int = 32,
+                      max_postings_per_band: int | None = 4096) -> DataFrame:
     """Near-dup pairs (id_a, id_b, est_jaccard) via banded MinHash-LSH.
 
     bands=16 over 64 perms -> rows-per-band r=4; the LSH S-curve puts
     the 50%-capture point near (1/bands)^(1/r) ≈ 0.5. est_jaccard is
     the fraction of agreeing permutations, computed on the candidate
     pairs only.
+
+    Hot-band mitigation (the duplicate-heavy-corpus case): identical
+    documents produce IDENTICAL signatures, hence share every band
+    hash, so a cluster of c exact dups puts c postings in 16 hot
+    buckets and the band self-join emits O(c^2) candidate rows. With
+    ``collapse_identical`` (default), signatures are first grouped by
+    value and only one representative per identical-signature group
+    enters the band join; member pairs are reconstructed afterwards —
+    exactly for groups ≤ ``max_group_expand`` (bit-identical output to
+    the uncollapsed path), as an O(c) representative star for larger
+    groups. ``max_postings_per_band`` additionally caps any residual
+    bucket of DISTINCT signatures (templated corpora) via
+    ``_cap_postings``; None disables.
     """
-    assert num_perm % bands == 0, "num_perm must divide into bands"
+    if num_perm % bands != 0:
+        raise ValueError(
+            f"num_perm ({num_perm}) must be divisible by bands ({bands})"
+        )
     r = num_perm // bands
     # Materialize signatures once: the self-join below reads them from
     # both sides, and without this the whole shingle+UDF pipeline runs
@@ -219,13 +347,30 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
         df, id_col, text_col, num_perm, shingle_n, seed, udf_partitions
     ).localCheckpoint(eager=True)
 
+    if collapse_identical:
+        # One representative (min id) per distinct signature VALUE.
+        # Grouping on the array itself, not a hash of it: no collision
+        # can ever merge two genuinely different documents.
+        reps = (
+            sigs.groupBy("sig")
+            .agg(F.min(id_col).alias(id_col), F.count("*").alias("_gn"))
+            .localCheckpoint(eager=True)
+        )
+        band_src = reps.select(id_col, "sig")
+    else:
+        band_src = sigs
+
     # The band self-join moves SKINNY rows only (id, band_id, band_hash):
     # carrying the num_perm-long signature array through the bands-way
     # posexplode would replicate every signature `bands` times into the
     # join shuffle (measured ~2x the whole pipeline at sf0.1, and pure
     # dead weight at corpus scale). Signatures are re-attached to the
     # few surviving candidate pairs afterwards.
-    band_entries = band_postings(sigs, id_col, bands, r)
+    band_entries = band_postings(band_src, id_col, bands, r)
+    if max_postings_per_band is not None:
+        band_entries = _cap_postings(
+            band_entries.localCheckpoint(eager=True), max_postings_per_band
+        )
     left = band_entries.select(F.col("_id").alias("id_a"), "band_id", "band_hash")
     right = band_entries.select(F.col("_id").alias("id_b"), "band_id", "band_hash")
     cand = (
@@ -238,8 +383,9 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     # next to the banded postings). At fixture scale Catalyst broadcasts
     # it; at corpus scale these become shuffle hash joins on id — still
     # proportional to |docs| + |candidates|, never |postings| x sig.
-    sig_a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
-    sig_b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    sig_src = band_src if collapse_identical else sigs
+    sig_a = sig_src.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sig_b = sig_src.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
     cand = cand.join(sig_a, "id_a").join(sig_b, "id_b")
     agree = F.size(
         F.filter(
@@ -247,13 +393,25 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
             lambda eq: eq,
         )
     )
-    return (
+    rep_pairs = (
         cand.select(
             "id_a", "id_b",
             (agree.cast("double") / num_perm).alias("est_jaccard"),
         )
         .filter(F.col("est_jaccard") >= threshold)
     )
+    if not collapse_identical:
+        return rep_pairs
+    mem = (
+        sigs.alias("s")
+        .join(reps.alias("g"), F.col("s.sig") == F.col("g.sig"))
+        .select(
+            F.col(f"g.{id_col}").alias("_rep"),
+            F.col(f"s.{id_col}").alias("_member"),
+            F.col("g._gn").alias("_gn"),
+        )
+    )
+    return _expand_group_pairs(rep_pairs, mem, "est_jaccard", max_group_expand)
 
 
 @pandas_udf(LongType())
@@ -294,11 +452,22 @@ def simhash64(col: Column | str) -> Column:
 
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
                   max_hamming: int = 3,
-                  udf_partitions: int | None = None) -> DataFrame:
+                  udf_partitions: int | None = None,
+                  collapse_identical: bool = True,
+                  max_group_expand: int = 32,
+                  max_postings_per_chunk: int | None = 4096) -> DataFrame:
     """Candidate pairs within a Hamming radius via the pigeonhole band
     trick: a pair within distance k<=3 must agree exactly on at least
     one of 4 16-bit chunks, so candidates come from an equi-join on
-    (chunk_id, chunk_value) and are verified with bit_count(xor)."""
+    (chunk_id, chunk_value) and are verified with bit_count(xor).
+
+    Hot-chunk mitigation mirrors minhash_lsh_pairs: identical texts
+    share the full 64-bit fingerprint, so exact-dup clusters are
+    collapsed to one representative per distinct fingerprint before
+    the chunk join (exact expansion for groups ≤ max_group_expand, a
+    representative star beyond), and residual chunk buckets — which at
+    billion-doc scale are inherently populous, the chunk space is only
+    2^16 per position — are capped via ``_cap_postings``."""
     if udf_partitions is not None:
         df = df.repartition(udf_partitions)  # see minhash_signatures
     fp = (
@@ -306,7 +475,16 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
         .filter(F.col("fp").isNotNull())  # null/empty text has no fingerprint
         .localCheckpoint(eager=True)  # fingerprint once, not once per join side
     )
-    chunks = fp.select(
+    if collapse_identical:
+        reps = (
+            fp.groupBy("fp")
+            .agg(F.min("_id").alias("_id"), F.count("*").alias("_gn"))
+            .localCheckpoint(eager=True)
+        )
+        chunk_src = reps.select("_id", "fp")
+    else:
+        chunk_src = fp
+    chunks = chunk_src.select(
         "_id", "fp",
         F.posexplode(
             F.array(*[
@@ -315,18 +493,29 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
             ])
         ).alias("chunk_id", "chunk_val"),
     )
+    if max_postings_per_chunk is not None:
+        chunks = _cap_postings(
+            chunks.localCheckpoint(eager=True), max_postings_per_chunk,
+            keys=("chunk_id", "chunk_val"),
+        )
     a = chunks.select(F.col("_id").alias("id_a"), F.col("fp").alias("fp_a"),
                       "chunk_id", "chunk_val")
     b = chunks.select(F.col("_id").alias("id_b"), F.col("fp").alias("fp_b"),
                       "chunk_id", "chunk_val")
     hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
-    return (
+    rep_pairs = (
         a.join(b, ["chunk_id", "chunk_val"])
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+    if not collapse_identical:
+        return rep_pairs
+    mem = fp.join(
+        reps.select(F.col("fp"), F.col("_id").alias("_rep"), "_gn"), "fp"
+    ).select(F.col("_rep"), F.col("_id").alias("_member"), "_gn")
+    return _expand_group_pairs(rep_pairs, mem, "hamming", max_group_expand)
 
 
 def dedup_exact(df: DataFrame, subset: list[str] | None = None,

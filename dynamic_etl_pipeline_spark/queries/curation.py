@@ -179,11 +179,18 @@ def corpus_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     granularity); each document reports what fraction of its n-gram
     positions are boilerplate, the signal used to drop template pages.
 
-    Shape: one explode keyed by the gram -> distinct-doc count (one
-    shuffle, map-side partial on (gram, doc)), the surviving boilerplate
-    set is vocabulary-sized and broadcast back onto the position stream
-    — no self-join, no quadratic stage. At 100 TB the gram df aggregate
-    is the only wide stage and it's uniformly keyed."""
+    Shape: one explode keyed by the gram -> distinct-doc count, then
+    the surviving boilerplate set joins back onto the position stream
+    — no self-join, no quadratic stage. Gram keys are NOT uniform (a
+    true boilerplate gram appears in millions of docs — that's the
+    definition), but countDistinct plans as TWO aggregations: a
+    dedup keyed by (gram, doc_id) — doc_id spreads the hot gram — then
+    a count keyed by gram whose map-side partials deliver at most one
+    row per gram per partition, so no task ever holds a hot gram's
+    full posting list. The broadcast-back is bounded by
+    |positions| / df_threshold grams; at corpus scale raise the
+    threshold (boilerplate by definition has high df) or drop the
+    hint and let AQE pick a shuffle join — both sides stay linear."""
     return boilerplate_ngrams(load_table(spark, sf_dir, "documents"))
 
 

@@ -463,7 +463,8 @@ def apply_dedup_index_batch(batch_df, batch_id: int, store_dir: str,
                             id_col: str = "doc_id", text_col: str = "text",
                             num_perm: int = 64, bands: int = 16,
                             shingle_n: int = 3, threshold: float = 0.5,
-                            seed: int = 42) -> None:
+                            seed: int = 42,
+                            max_postings_per_band: int | None = 4096) -> None:
     """One micro-batch of the incremental near-dup index (the
     foreachBatch body of maintain_dedup_index, callable directly for
     batch backfills).
@@ -481,15 +482,25 @@ def apply_dedup_index_batch(batch_df, batch_id: int, store_dir: str,
     Incremental cost: |batch postings| x matching store postings — the
     all-pairs recompute a batch pipeline would need is gone, which is
     the point: at corpus scale the index accretes, it is never rebuilt.
+
+    Hot-band safety: a duplicate-heavy batch probing a store whose
+    matching band buckets are themselves hot would multiply — so BOTH
+    probe sides pass through the same per-(band_id, band_hash) cap the
+    batch pair functions use (``max_postings_per_band``, None
+    disables). The STORE keeps full postings: caps apply at join time
+    only, so tightening/loosening the cap never requires a reindex.
     """
     from pathlib import Path
 
     from pyspark.sql import functions as F
 
-    from ..operators.dedup import band_postings, minhash_signatures
+    from ..operators.dedup import _cap_postings, band_postings, minhash_signatures
 
     spark = batch_df.sparkSession
-    assert num_perm % bands == 0
+    if num_perm % bands != 0:
+        raise ValueError(
+            f"num_perm ({num_perm}) must be divisible by bands ({bands})"
+        )
     r = num_perm // bands
     store = Path(store_dir)
     post_dir = store / "postings"
@@ -501,6 +512,10 @@ def apply_dedup_index_batch(batch_df, batch_id: int, store_dir: str,
         udf_partitions=8,
     ).localCheckpoint(eager=True)
     posts = band_postings(sigs, id_col, bands, r).localCheckpoint(eager=True)
+    probe = (
+        _cap_postings(posts, max_postings_per_band)
+        if max_postings_per_band is not None else posts
+    )
 
     # candidates: new-vs-store (cross-batch) + new-vs-new (in-batch).
     # Exclude THIS batch's own directory from the store read so a
@@ -509,12 +524,15 @@ def apply_dedup_index_batch(batch_df, batch_id: int, store_dir: str,
         str(d) for d in sorted(post_dir.glob("batch-*"))
         if d.name != f"batch-{batch_id}" and any(d.glob("*.parquet"))
     ]
-    new_posts = posts.select(
+    new_posts = probe.select(
         F.col("_id").alias("id_b"), "band_id", "band_hash"
     )
     cands = []
     if older:
-        stored = spark.read.parquet(*older).select(
+        stored = spark.read.parquet(*older)
+        if max_postings_per_band is not None:
+            stored = _cap_postings(stored, max_postings_per_band)
+        stored = stored.select(
             F.col("_id").alias("id_a"), "band_id", "band_hash"
         )
         cands.append(
@@ -522,7 +540,7 @@ def apply_dedup_index_batch(batch_df, batch_id: int, store_dir: str,
             .filter(F.col("id_a") != F.col("id_b"))
             .select("id_a", "id_b")
         )
-    intra = posts.select(F.col("_id").alias("id_a"), "band_id", "band_hash")
+    intra = probe.select(F.col("_id").alias("id_a"), "band_id", "band_hash")
     cands.append(
         intra.join(new_posts, ["band_id", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
@@ -591,7 +609,13 @@ def maintain_dedup_index(stream_df, store_dir: str, checkpoint: str,
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    try:
+        if not q.awaitTermination(timeout_s):
+            raise TimeoutError(
+                f"dedup-index drain did not finish within {timeout_s}s"
+            )
+    finally:
+        q.stop()
     pair_dirs = [
         str(d) for d in sorted((Path(store_dir) / "pairs").glob("batch-*"))
         if any(d.glob("*.parquet"))
@@ -647,7 +671,13 @@ def maintain_quality_split(stream_df, store_dir: str, checkpoint: str,
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    try:
+        if not q.awaitTermination(timeout_s):
+            raise TimeoutError(
+                f"quality-split drain did not finish within {timeout_s}s"
+            )
+    finally:
+        q.stop()
 
     def _read(side: str):
         dirs = [str(d) for d in sorted((store / side).glob("batch-*"))

@@ -121,6 +121,95 @@ def test_connected_components_two_clusters(spark):
 
 
 # ---------------------------------------------------------------------------
+# Hot-band mitigation (VERDICT r2 item 1): a duplicate cluster of c docs
+# must cost O(c), not O(c^2), through the LSH band join.
+# ---------------------------------------------------------------------------
+
+def test_minhash_hot_cluster_linear_pairs(spark):
+    c = 1000
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(i, base) for i in range(c)], ["doc_id", "text"]
+    )
+    pairs = minhash_lsh_pairs(df, "doc_id", "text", udf_partitions=8)
+    got = pairs.collect()
+    # a star on the min-id representative: c-1 rows, never c*(c-1)/2
+    assert len(got) == c - 1
+    assert all(r["est_jaccard"] == 1.0 for r in got)
+    assert all(r["id_a"] == 0 for r in got)
+    comp = connected_components(pairs)
+    assert comp.count() == c
+    assert comp.select("component").distinct().count() == 1
+
+
+def test_minhash_small_groups_expand_exactly(spark):
+    # groups <= max_group_expand reproduce the uncollapsed pair list
+    # bit-for-bit, including cross-group near-dup pairs
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b = a.rsplit(" ", 1)[0]  # near-dup of a (drop last word)
+    texts = [a, a, a, b, b, "completely different words entirely here now ok"]
+    df = corpus(spark, texts)
+    kw = dict(threshold=0.5, udf_partitions=4)
+    got = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(df, "doc_id", "text", **kw).collect()
+    }
+    flat = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(
+            df, "doc_id", "text", collapse_identical=False, **kw
+        ).collect()
+    }
+    assert got == flat
+    # intra-group pairs all present at est 1.0
+    for pair in [(0, 1), (0, 2), (1, 2), (3, 4)]:
+        assert got[pair] == 1.0
+    # cross-group near-dup pairs expanded to every member combination
+    for pair in [(0, 3), (0, 4), (1, 3), (1, 4), (2, 3), (2, 4)]:
+        assert pair in got
+    assert not any(5 in p for p in got)
+
+
+def test_minhash_posting_cap_thins_hot_buckets(spark, caplog):
+    import logging as _logging
+
+    # 12 docs sharing one template word-set permutation: force a tiny
+    # cap so the hot-bucket path executes (collapse off so buckets
+    # actually exceed the cap), and check it logs + stays functional.
+    texts = [
+        "zz template words shared by every doc " + f"unique{i}"
+        for i in range(12)
+    ]
+    df = corpus(spark, texts)
+    with caplog.at_level(_logging.WARNING,
+                         logger="dynamic_etl_pipeline_spark.operators.dedup"):
+        out = minhash_lsh_pairs(
+            df, "doc_id", "text", threshold=0.1, udf_partitions=4,
+            collapse_identical=False, max_postings_per_band=2,
+        ).collect()
+    assert any("posting cap" in r.message for r in caplog.records)
+    assert all(r["id_a"] < r["id_b"] for r in out)
+
+
+def test_minhash_bad_band_config_raises(spark):
+    df = corpus(spark, ["some text here words"])
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_lsh_pairs(df, "doc_id", "text", num_perm=64, bands=13)
+
+
+def test_simhash_hot_cluster_linear_pairs(spark):
+    c = 500
+    base = " ".join(f"tok{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(i, base) for i in range(c)], ["doc_id", "text"]
+    )
+    pairs = simhash_pairs(df, "doc_id", "text", udf_partitions=8)
+    got = pairs.collect()
+    assert len(got) == c - 1
+    assert all(r["hamming"] == 0 and r["id_a"] == 0 for r in got)
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 
