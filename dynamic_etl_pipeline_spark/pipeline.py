@@ -180,21 +180,29 @@ class EtlPipeline:
 
     def _recover_records(self) -> None:
         """Finish or roll back an interrupted upsert swap (single-writer
-        store). A staging dir with Spark's _SUCCESS marker is a
-        committed merge: if the store is missing (crash between the two
-        renames) it is promoted; an uncommitted staging dir is
-        discarded and the previous store restored. Stale leftovers from
-        a crash after promotion are garbage-collected."""
+        store). The commit point is Spark's _SUCCESS marker in the
+        staging dir: a committed merge is rolled FORWARD by completing
+        the generation-archive swap (archive the displaced store as
+        records.gen-NNNNNN if the crash hit before that rename, then
+        promote staging); an uncommitted staging dir is discarded (the
+        store was never touched). ``records.old`` is the pre-generation
+        layout's staging name — kept only as legacy-crash cleanup for
+        stores written by older builds."""
         import shutil
 
         store = Path(self.records_path)
         tmp = store.with_name("records.upserting")
         old = store.with_name("records.old")
-        if not store.exists():
-            if (tmp / "_SUCCESS").exists():
-                tmp.rename(store)  # roll forward: merge was committed
-            elif old.exists():
-                old.rename(store)  # roll back: staging never completed
+        if (tmp / "_SUCCESS").exists():
+            # roll forward: the merge was committed, finish the swap
+            # wherever it was interrupted
+            if store.exists():
+                store.rename(store.with_name(
+                    f"records.gen-{self._next_generation():06d}"
+                ))
+            tmp.rename(store)
+        elif not store.exists() and old.exists():
+            old.rename(store)  # legacy (pre-generation) rollback
         for d in (tmp, old):
             if store.exists() and d.exists():
                 shutil.rmtree(d)

@@ -522,7 +522,9 @@ def sql_unpivot_facade(spark: SparkSession, sf_dir: str) -> DataFrame:
     unpivot_flag_measures): wide measure columns rotate to (metric,
     val) rows without the UNION-of-scans the oracle spells out —
     Spark's Expand operator emits both rows in one pass over the
-    join."""
+    join. INCLUDE NULLS: UNPIVOT drops NULL measures by default, the
+    oracle's UNION ALL keeps them — the equivalence must not depend
+    on the fixture's columns happening to be non-null."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_up")
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("cust_up")
     return spark.sql("""
@@ -531,5 +533,5 @@ def sql_unpivot_facade(spark: SparkSession, sf_dir: str) -> DataFrame:
                    c_acctbal AS acct_balance
             FROM orders_up JOIN cust_up ON o_custkey = c_custkey
         )
-        UNPIVOT (val FOR metric IN (total_price, acct_balance))
+        UNPIVOT INCLUDE NULLS (val FOR metric IN (total_price, acct_balance))
     """)

@@ -235,7 +235,12 @@ def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     sensor/event pipelines lean on. One per-key sort serves both frames.
     """
     ev = load_table(spark, sf_dir, "events")
-    val = F.when(F.col("event_type") != "error", F.col("value"))
+    # explicit otherwise(): the oracle's CASE WHEN type = 'error' THEN
+    # NULL ELSE value END keeps the value for NULL event_type, whereas
+    # when(type != 'error', value) would blank it (inverted 3VL)
+    val = F.when(
+        F.col("event_type") == "error", F.lit(None)
+    ).otherwise(F.col("value"))
     prev = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")

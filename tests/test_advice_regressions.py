@@ -193,3 +193,105 @@ def test_upsert_swap_crash_recovery(spark, tmp_path):
     records.rename(records.with_name("records.old"))
     assert {r["rec_id"] for r in pipe.records().collect()} == {"k1"}
     assert not tmp.exists() and not records.with_name("records.old").exists()
+
+
+# ---------------------------------------------------------------------------
+# Round-2 advisor findings (ADVICE.md r2)
+# ---------------------------------------------------------------------------
+
+def test_window_ignore_nulls_null_event_type(spark, tmp_path):
+    """NULL event_type must KEEP its value (oracle CASE semantics), not
+    be blanked by inverted 3VL in when(type != 'error', value)."""
+    import shutil
+
+    from dynamic_etl_pipeline_spark.queries import QUERIES
+
+    src = "/root/testdata/sf0.001"
+    d = str(tmp_path / "sfnull")
+    shutil.copytree(src, d)
+    # inject NULL event_type rows with known values
+    ev = spark.read.parquet(f"{src}/events.parquet")
+    ev = ev.withColumn(
+        "event_type",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(
+            F.col("event_type")
+        ),
+    )
+    ev.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    got = QUERIES["window_ignore_nulls"](spark, d)
+    null_rows = (
+        spark.read.parquet(f"{d}/events.parquet")
+        .filter(F.col("event_type").isNull())
+        .select("event_id", "value")
+    )
+    joined = got.join(null_rows, "event_id").collect()
+    assert joined, "fixture injection produced no NULL event_type rows"
+    for r in joined:
+        assert r["val"] == r["value"], (
+            f"event {r['event_id']}: NULL event_type blanked the value"
+        )
+
+
+def test_unpivot_include_nulls_matches_union_all(spark, sf_dir):
+    """sql_unpivot_facade must keep NULL measures like the oracle's
+    UNION ALL does (UNPIVOT excludes them by default)."""
+    from dynamic_etl_pipeline_spark.catalog import load_table
+    from dynamic_etl_pipeline_spark.queries import QUERIES
+
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    out = QUERIES["sql_unpivot_facade"](spark, sf_dir)
+    # every order yields exactly two rows regardless of measure nullity
+    assert out.count() == 2 * n_orders
+    # and a synthetic NULL measure survives the rotation
+    spark.createDataFrame(
+        [(1, 10.0, None)], "o_orderkey long, total_price double, acct_balance double"
+    ).createOrReplaceTempView("null_measure_probe")
+    rows = spark.sql(
+        """SELECT metric, val FROM null_measure_probe
+           UNPIVOT INCLUDE NULLS (val FOR metric IN (total_price, acct_balance))"""
+    ).collect()
+    assert {(r["metric"], r["val"]) for r in rows} == {
+        ("total_price", 10.0), ("acct_balance", None)
+    }
+
+
+def test_upsert_crash_before_archive_rolls_forward(spark, tmp_path):
+    """Crash AFTER the staging _SUCCESS but BEFORE the store->archive
+    rename: store still present + committed staging. Recovery must
+    complete the swap (archive a generation, promote staging) — the
+    commit point is the _SUCCESS marker, not the first rename."""
+    import shutil
+    from pathlib import Path
+
+    from dynamic_etl_pipeline_spark.pipeline import EtlPipeline
+
+    store_dir = str(tmp_path / "crash_fwd_store")
+    pipe = EtlPipeline(spark, store_dir)
+    pipe.upsert(df=spark.createDataFrame([("k1", "v1")], ["rec_id", "content"]),
+                keys=["rec_id"])
+    pipe.upsert(df=spark.createDataFrame([("k1", "v2"), ("k2", "v2")],
+                                         ["rec_id", "content"]),
+                keys=["rec_id"])
+    records = Path(pipe.records_path)
+    n_gens_before = len(pipe.history())
+
+    # simulate: committed staging alongside a still-present store
+    tmp = records.with_name("records.upserting")
+    shutil.copytree(records, tmp)
+    got = {r["rec_id"] for r in pipe.records().collect()}
+    assert got == {"k1", "k2"}
+    assert not tmp.exists()
+    # the displaced store was archived, not discarded
+    assert len(pipe.history()) == n_gens_before + 1
+
+
+def test_dedup_index_bad_band_config_valueerror(spark, tmp_path):
+    """apply_dedup_index_batch must reject invalid band configs with
+    ValueError even under python -O (was a bare assert)."""
+    from dynamic_etl_pipeline_spark.streaming.sinks import apply_dedup_index_batch
+
+    df = spark.createDataFrame([(1, "some text")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="divisible"):
+        apply_dedup_index_batch(df, 0, str(tmp_path / "idx"),
+                                num_perm=64, bands=13)
