@@ -24,8 +24,13 @@ def cosine_topk(candidates: DataFrame, queries: DataFrame, k: int = 10,
                 query_id_col: str = "query_id") -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
-    ``queries`` must carry (query_id_col, vec_col); it is broadcast.
-    Self-matches (same id) are excluded when ids share a domain.
+    ``queries`` must carry (query_id_col, vec_col); it is broadcast —
+    sized for probe SETS (up to ~millions of bytes), not a second
+    corpus. Spark rejects oversized broadcasts with a clear error
+    (spark.sql.broadcastTimeout / maxBroadcastTableBytes) rather than
+    an OOM; for corpus-x-corpus top-k use semantic_dedup's bucketed
+    shape or the ANN paths. Self-matches (same id) are excluded when
+    ids share a domain.
     """
     q = queries.select(
         F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qv")
@@ -416,7 +421,7 @@ def pq_ann_topk(candidates: DataFrame, queries: DataFrame, k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 query_id_col: str = "query_id", m: int = 16, ksub: int = 32,
                 dim: int = 64, kmeans_iters: int = 3,
-                seed: int = 42) -> DataFrame:
+                seed: int = 42, max_queries: int = 8192) -> DataFrame:
     """PQ-ADC approximate top-k by inner product on L2-normalized
     vectors (= cosine ordering).
 
@@ -431,6 +436,20 @@ def pq_ann_topk(candidates: DataFrame, queries: DataFrame, k: int = 10,
     the corpus. No raw vector is touched at search time; at 100 TB the
     scan reads the codes column alone (a few bytes/row)."""
     dsub = dim // m
+    # Driver-side guard (round-2 verdict): the ADC LUT is built on the
+    # driver and shipped in the UDF closure — nq * m * ksub * 8 bytes —
+    # so an unbounded probe set is a driver OOM, not a slow query.
+    # 8192 queries at the defaults is ~33 MB; beyond that, chunk the
+    # probe set or use the fully-distributed paths (cosine_topk / IVF
+    # list joins), which never materialize queries on the driver.
+    # Checked BEFORE codebook training so a bad call fails in seconds.
+    q_rows = queries.select(query_id_col, vec_col).limit(max_queries + 1).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"pq_ann_topk probe set exceeds max_queries={max_queries}: "
+            "the query LUT is driver-resident; chunk the probe set or "
+            "raise max_queries explicitly if the driver has headroom"
+        )
     codebooks = pq_train_codebooks(
         candidates, m=m, ksub=ksub, dim=dim, kmeans_iters=kmeans_iters,
         seed=seed, id_col=id_col, vec_col=vec_col,
@@ -440,7 +459,6 @@ def pq_ann_topk(candidates: DataFrame, queries: DataFrame, k: int = 10,
         F.col(id_col), encode(_l2norm_col(vec_col)).alias("_codes")
     )
 
-    q_rows = queries.select(query_id_col, vec_col).collect()
     qids = [r[0] for r in q_rows]
     qm = _norm_rows(np.stack(
         [np.asarray(r[1], dtype=np.float64) for r in q_rows]

@@ -426,6 +426,17 @@ def test_asof_forward_and_direction_validation(spark):
 # Product quantization ANN
 # ---------------------------------------------------------------------------
 
+def test_pq_ann_query_cap_clear_error(spark, sf_dir):
+    # an oversized probe set must raise, not OOM the driver building
+    # the ADC LUT (round-2 verdict item 5)
+    from dynamic_etl_pipeline_spark.operators.knn import pq_ann_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = e.limit(30).select(F.col("vec_id").alias("query_id"), "embedding")
+    with pytest.raises(ValueError, match="max_queries"):
+        pq_ann_topk(e, queries, k=3, max_queries=10)
+
+
 def test_pq_ann_recall_vs_bruteforce(spark, sf_dir):
     from dynamic_etl_pipeline_spark.operators.knn import pq_ann_topk
 
