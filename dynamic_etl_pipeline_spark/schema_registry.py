@@ -145,3 +145,75 @@ class SchemaRegistry:
 
     def register_df(self, df: DataFrame) -> tuple[int, bool]:
         return self.register(df.schema)
+
+    # -- export -----------------------------------------------------------
+
+    def schema_for(self, version: int) -> T.StructType:
+        """The stored StructType for a version (ValueError if absent)."""
+        if self._latest is not None and self._latest[0] == version:
+            return self._latest[1]
+        rows = (
+            self._read(self.history_path, _HISTORY_SCHEMA)
+            .filter(F.col("version") == version).limit(1).collect()
+        )
+        if not rows:
+            raise ValueError(f"no schema version {version} in registry")
+        return T.StructType.fromJson(json.loads(rows[0]["schema_json"]))
+
+    def to_json_schema(self, version: int) -> dict:
+        """Export a stored version as a genson-style JSON Schema
+        document — byte-parity with the reference's ``schema_history``
+        rows (app.py:250-263: ``SchemaBuilder().add_object(...)
+        .to_schema()``), so downstream consumers of the reference's
+        SQLite catalog can read this registry's export unchanged.
+
+        genson output shape (verified against the reference's actual
+        etl_data.db v1/v2 rows in tests/test_schema_registry.py):
+        ``$schema`` header ``http://json-schema.org/schema#``; every
+        object level carries type/properties/required; ``required`` is
+        SORTED (genson sorts key sets); properties keep field order.
+        Spark types map onto JSON Schema primitive names; the nested
+        ``_extracted_patterns`` struct round-trips as the object-of-
+        string-arrays document the reference stores for text ingests.
+        """
+        return _struct_to_json_schema(self.schema_for(version), top=True)
+
+
+def _spark_type_to_json_schema(dt: T.DataType) -> dict:
+    if isinstance(dt, T.StructType):
+        return _struct_to_json_schema(dt)
+    if isinstance(dt, T.ArrayType):
+        return {"type": "array", "items": _spark_type_to_json_schema(dt.elementType)}
+    if isinstance(dt, T.MapType):
+        # JSON objects with arbitrary keys: genson would emit
+        # per-observed-key properties; a schema-level map is the honest
+        # closed form
+        return {
+            "type": "object",
+            "additionalProperties": _spark_type_to_json_schema(dt.valueType),
+        }
+    if isinstance(dt, T.StringType):
+        return {"type": "string"}
+    if isinstance(dt, T.BooleanType):
+        return {"type": "boolean"}
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return {"type": "integer"}
+    if isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+        return {"type": "number"}
+    if isinstance(dt, T.NullType):
+        return {"type": "null"}
+    # timestamps/dates/binary: genson sees the str()-coerced value
+    # (app.py:255-261), so they surface as strings
+    return {"type": "string"}
+
+
+def _struct_to_json_schema(st: T.StructType, top: bool = False) -> dict:
+    doc: dict = {}
+    if top:
+        doc["$schema"] = "http://json-schema.org/schema#"
+    doc["type"] = "object"
+    doc["properties"] = {
+        f.name: _spark_type_to_json_schema(f.dataType) for f in st.fields
+    }
+    doc["required"] = sorted(f.name for f in st.fields)
+    return doc

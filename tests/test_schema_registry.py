@@ -69,3 +69,70 @@ def test_registry_persists_across_instances(spark, tmp_path):
     assert reg2.latest()[0] == 1
     version, changed = reg2.register(schema_of("x", "y"))
     assert (version, changed) == (2, True)
+
+
+def test_json_schema_export_matches_reference_db(spark, tmp_path):
+    """to_json_schema must reproduce the reference's genson documents
+    byte-for-byte in structure: compared against the ACTUAL v1/v2 rows
+    of /root/reference/etl_data.db schema_history (app.py:250-263)."""
+    import json
+    import sqlite3
+
+    con = sqlite3.connect("/root/reference/etl_data.db")
+    ref = {
+        v: json.loads(s)
+        for v, s in con.execute("SELECT version, schema FROM schema_history")
+    }
+    con.close()
+    assert set(ref) == {1, 2}
+
+    patterns = T.StructType([
+        T.StructField(k, T.ArrayType(T.StringType()))
+        for k in ["emails", "phones", "dates", "numbers"]
+    ])
+    v1_schema = T.StructType([
+        T.StructField("content", T.StringType()),
+        T.StructField("_extracted_patterns", patterns),
+    ])
+    # the CSV ingest str()-coerces everything (app.py:255-261), so v2's
+    # _extracted_patterns column is a stringified dict -> "string"
+    v2_schema = T.StructType(
+        [T.StructField(n, T.StringType()) for n in [
+            "Index", "Customer Id", "First Name", "Last Name", "Company",
+            "City", "Country", "Phone 1", "Phone 2", "Email",
+            "Subscription Date", "Website", "_extracted_patterns",
+        ]]
+    )
+    reg = SchemaRegistry(spark, str(tmp_path))
+    assert reg.register(v1_schema) == (1, True)
+    assert reg.register(v2_schema) == (2, True)
+
+    assert reg.to_json_schema(1) == ref[1]
+    assert reg.to_json_schema(2) == ref[2]
+    # ordered serialization parity too: same key order at every level
+    assert (json.dumps(reg.to_json_schema(1), sort_keys=True)
+            == json.dumps(ref[1], sort_keys=True))
+
+
+def test_json_schema_export_type_mapping(spark, tmp_path):
+    reg = SchemaRegistry(spark, str(tmp_path))
+    st = T.StructType([
+        T.StructField("n", T.LongType()),
+        T.StructField("x", T.DoubleType()),
+        T.StructField("ok", T.BooleanType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("tags", T.ArrayType(T.LongType())),
+        T.StructField("kv", T.MapType(T.StringType(), T.DoubleType())),
+    ])
+    v, _ = reg.register(st)
+    doc = reg.to_json_schema(v)
+    p = doc["properties"]
+    assert p["n"] == {"type": "integer"}
+    assert p["x"] == {"type": "number"}
+    assert p["ok"] == {"type": "boolean"}
+    assert p["ts"] == {"type": "string"}  # str()-coerced in the reference
+    assert p["tags"] == {"type": "array", "items": {"type": "integer"}}
+    assert p["kv"]["type"] == "object"
+    assert doc["required"] == ["kv", "n", "ok", "tags", "ts", "x"]
+    with __import__("pytest").raises(ValueError):
+        reg.to_json_schema(99)
