@@ -248,3 +248,125 @@ def test_random_null_key_joins_agree(spark, duck, null_key_table, seed, how):
     s = spark.sql(body.format(o="orders_nk_diff", c="customer_diff")).collect()[0]
     d_n, d_m = duck.execute(body.format(o="orders_nk", c="customer")).fetchone()
     assert (s["n"], s["n_matched"]) == (d_n, d_m), (how, pred)
+
+
+# ---------------------------------------------------------------------------
+# Round-3 families (VERDICT r2 item 6): outer joins with NULL keys and
+# random ON-clause extras; explicit window frame specs (ROWS/RANGE).
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("seed", range(50))
+@pytest.mark.parametrize("how", ["LEFT JOIN", "FULL JOIN"])
+def test_random_outer_joins_agree(spark, duck, null_key_table, how, seed):
+    """Outer joins under fuzz, including FULL OUTER over NULL-key rows
+    and random extra ON-clause conjuncts (ON-filter vs WHERE-filter
+    semantics differ for outer joins — the classic divergence spot)."""
+    rng = random.Random(6000 + seed)
+    on_extra = rng.choice([
+        "",
+        f" AND o_totalprice > {rng.uniform(1000, 300000):.2f}",
+        f" AND c_acctbal > {rng.uniform(-500, 5000):.2f}",
+        f" AND o_orderkey % {rng.randint(2, 9)} = 0",
+    ])
+    where = rng.choice([
+        "",
+        "WHERE c_custkey IS NULL",
+        "WHERE o_orderkey IS NULL OR o_orderkey % 3 = 0",
+        f"WHERE coalesce(o_totalprice, 0) < {rng.uniform(0, 200000):.2f}",
+    ])
+    body = (
+        "SELECT count(*) AS n, "
+        "count(c_mktsegment) AS n_right, "
+        "count(o_orderstatus) AS n_left, "
+        "coalesce(sum(coalesce(o_orderkey, 0) % 97 "
+        "             + coalesce(c_custkey, 0) % 89), 0) AS checksum "
+        "FROM {o} " + how + " {c} ON o_custkey = c_custkey" + on_extra +
+        " " + where
+    )
+    s = spark.sql(body.format(o="orders_nk_diff", c="customer_diff")).collect()[0]
+    d = duck.execute(body.format(o="orders_nk", c="customer")).fetchone()
+    assert (s["n"], s["n_right"], s["n_left"], int(s["checksum"])) == (
+        d[0], d[1], d[2], int(d[3])
+    ), (how, on_extra, where)
+
+
+def _frame_spec(rng: random.Random) -> tuple[str, str]:
+    """(order_clause, frame_clause) valid in Spark SQL and DuckDB."""
+    mode = rng.choice(["ROWS", "RANGE"])
+    if mode == "ROWS":
+        # total order => deterministic ROWS frames
+        direction = rng.choice(["ASC", "DESC"])
+        nulls = rng.choice(["NULLS FIRST", "NULLS LAST"])
+        order = f"ORDER BY o_totalprice {direction} {nulls}, o_orderkey"
+        lo = rng.choice(["UNBOUNDED PRECEDING", "CURRENT ROW",
+                         f"{rng.randint(1, 20)} PRECEDING"])
+        hi = rng.choice(["UNBOUNDED FOLLOWING", "CURRENT ROW",
+                         f"{rng.randint(1, 20)} FOLLOWING"])
+        if lo == "CURRENT ROW" and hi == "CURRENT ROW":
+            hi = "UNBOUNDED FOLLOWING"
+    else:
+        # RANGE: single numeric order key; value-based frames are
+        # deterministic even under ties
+        direction = rng.choice(["ASC", "DESC"])
+        nulls = rng.choice(["NULLS FIRST", "NULLS LAST"])
+        order = f"ORDER BY o_orderkey {direction} {nulls}"
+        lo = rng.choice(["UNBOUNDED PRECEDING",
+                         f"{rng.randint(1, 5000)} PRECEDING"])
+        hi = rng.choice(["UNBOUNDED FOLLOWING", "CURRENT ROW",
+                         f"{rng.randint(1, 5000)} FOLLOWING"])
+    return order, f"{mode} BETWEEN {lo} AND {hi}"
+
+
+@pytest.mark.parametrize("seed", range(60))
+def test_random_window_frames_agree(spark, duck, seed):
+    """Explicit ROWS/RANGE frame specs under fuzz: bounds, direction,
+    and NULLS FIRST/LAST drawn at random; per-row frame aggregates
+    must agree via an order-insensitive checksum (integer arithmetic
+    only, so no float accumulation ambiguity)."""
+    rng = random.Random(7000 + seed)
+    part = rng.choice(["o_orderstatus", "o_orderpriority", "o_custkey % 7"])
+    agg = rng.choice([
+        "sum(o_orderkey % 97)", "count(*)",
+        "min(o_orderkey)", "max(o_orderkey)",
+    ])
+    order, frame = _frame_spec(rng)
+    body = (
+        "SELECT count(*) AS n, coalesce(sum(w % 1009), 0) AS checksum FROM ("
+        "  SELECT {agg} OVER (PARTITION BY {p} {ord} {frame}) AS w FROM {t}"
+        ")"
+    ).replace("{agg}", agg).replace("{p}", part).replace(
+        "{ord}", order).replace("{frame}", frame)
+    s = spark.sql(body.format(t="orders_diff")).collect()[0]
+    d_n, d_sum = duck.execute(body.format(t="orders")).fetchone()
+    assert (s["n"], int(s["checksum"])) == (d_n, int(d_sum)), (
+        part, agg, order, frame)
+
+
+@pytest.mark.parametrize("seed", range(40))
+def test_random_window_frames_on_null_data_agree(spark, duck, null_tables, seed):
+    """Frame specs over NULL-riddled ordering columns: NULL peer groups
+    in RANGE frames and explicit NULLS FIRST/LAST placement in ROWS
+    frames must aggregate identically."""
+    rng = random.Random(8000 + seed)
+    part = rng.choice(["o_orderstatus", "o_orderkey % 5"])
+    agg = rng.choice(["count(o_totalprice)", "count(*)",
+                      "sum(o_orderkey % 83)"])
+    direction = rng.choice(["ASC", "DESC"])
+    nulls = rng.choice(["NULLS FIRST", "NULLS LAST"])
+    lo = rng.choice(["UNBOUNDED PRECEDING", f"{rng.randint(1, 10)} PRECEDING"])
+    hi = rng.choice(["CURRENT ROW", "UNBOUNDED FOLLOWING",
+                     f"{rng.randint(1, 10)} FOLLOWING"])
+    body = (
+        "SELECT count(*) AS n, coalesce(sum(w % 1009), 0) AS checksum FROM ("
+        "  SELECT {agg} OVER ("
+        "    PARTITION BY {p} "
+        "    ORDER BY o_totalprice {d} {nu}, o_orderkey"
+        "    ROWS BETWEEN {lo} AND {hi}) AS w FROM {t}"
+        ")"
+    ).replace("{agg}", agg).replace("{p}", part).replace(
+        "{d}", direction).replace("{nu}", nulls).replace(
+        "{lo}", lo).replace("{hi}", hi)
+    s = spark.sql(body.format(t="orders_nulls_diff")).collect()[0]
+    d_n, d_sum = duck.execute(body.format(t="orders_nulls")).fetchone()
+    assert (s["n"], int(s["checksum"])) == (d_n, int(d_sum)), (
+        part, agg, direction, nulls, lo, hi)
