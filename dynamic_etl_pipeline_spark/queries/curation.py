@@ -14,7 +14,7 @@ text.py::ngram_jaccard_pairs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -363,4 +363,199 @@ def corpus_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.size("toks") - F.size("_kept")).cast("int").alias("n_removed"),
             F.array_join(F.col("_kept"), " ").alias("text_clean"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: vocabulary pruning / OOV scoring, token-budget
+# data selection, and directional n-gram containment — three more
+# standard pre-training curation steps, each DuckDB-oracle-exact.
+# ---------------------------------------------------------------------------
+
+_VOCAB_MIN_FREQ = 2
+
+
+@query("doc_vocab_oov_rate", oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), wc AS (
+  SELECT word, count(*) AS freq FROM tok GROUP BY word
+), vocab AS (
+  SELECT word FROM wc WHERE freq >= {_VOCAB_MIN_FREQ}
+)
+SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(*) FILTER (WHERE v.word IS NULL) AS BIGINT) AS n_oov,
+       round(CAST(count(*) FILTER (WHERE v.word IS NULL) AS DOUBLE)
+             / count(*), 6) AS oov_rate
+FROM tok LEFT JOIN vocab v USING (word)
+GROUP BY tok.doc_id
+""")
+def doc_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-pruned vocabulary + per-document out-of-vocabulary
+    rate — the tokenizer-coverage signal: a doc whose words mostly
+    fall outside the corpus vocabulary (freq >= {min_freq}) is noise,
+    another language, or mojibake, and OOV rate is the standard gate.
+
+    Shape: one word-count aggregate (map-side combining, word-keyed),
+    one token->vocab join (word-keyed; vocab is the FILTERED word set
+    — broadcastable into the ~100M-distinct-terms regime, shuffle
+    join beyond, see SCALING.md), one per-doc aggregate. All three
+    shuffles linear in tokens; no windows, no collects.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    vocab = (
+        tok.groupBy("word").agg(F.count("*").alias("freq"))
+        .filter(F.col("freq") >= _VOCAB_MIN_FREQ)
+        .select("word", F.lit(True).alias("_in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint").alias("n_oov"),
+            F.round(
+                F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0))
+                .cast("double") / F.count("*"), 6,
+            ).alias("oov_rate"),
+        )
+    )
+
+
+_TOKEN_BUDGET = 20_000
+
+
+@query("corpus_token_budget_fill", oracle=f"""
+WITH t AS (
+  SELECT doc_id, source, n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), w AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY n_chars DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM w WHERE cum_tokens - n_tokens < {_TOKEN_BUDGET}
+""")
+def corpus_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget data selection: fill a per-source token budget
+    ({budget} tokens) greedily, preferring longer documents
+    (n_chars DESC, doc_id tie-break) — the "select the best N tokens
+    per domain" step every mixture-building pipeline runs before
+    packing. A document is taken while the budget is not yet full
+    when it starts (the last doc may overflow, standard fill rule).
+
+    Shape: one running-sum window per source. Source cardinality is
+    small (one partition per source holds the whole domain), so at
+    100 TB the per-source sort is the bottleneck — the documented
+    rewrite is the same two-level prefix sum corpus_pack_sequences
+    uses (bucket by hash(doc) within source, local cumsum, broadcast
+    per-bucket offsets); output contract is identical.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    t = d.select(
+        "doc_id", "source", "n_chars",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") - F.col("n_tokens") < _TOKEN_BUDGET)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )
+
+
+_CONTAIN_MIN = 0.5
+
+
+@query("doc_ngram_containment_pairs", oracle=f"""
+WITH tk AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+), shingled AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, len(toks) - 1),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+  FROM tk
+), counts AS (
+  SELECT doc_id, count(*) AS n_sh FROM shingled GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM shingled a JOIN shingled b USING (shingle)
+  WHERE a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common,
+       CAST(n_common AS DOUBLE) / ca.n_sh AS containment
+FROM pairs JOIN counts ca ON ca.doc_id = doc_a
+WHERE CAST(n_common AS DOUBLE) / ca.n_sh >= {_CONTAIN_MIN}
+""")
+def doc_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional n-gram containment C(A,B) = |sh(A) ∩ sh(B)| /
+    |sh(A)|: near-dup detection's asymmetric twin — catches a short
+    doc embedded inside a longer one (quote farms, scraped excerpts),
+    which symmetric Jaccard under-scores exactly when the size ratio
+    is large. Emits (doc_a, doc_b) when A is >= {c}% contained in B;
+    both directions can appear, by design.
+
+    Same inverted-index shape as ngram_jaccard_pairs (shingle-keyed
+    self-join, never a doc cross join); the division is by the LEFT
+    doc's shingle count only. Hot-shingle skew carries the same
+    argument as the boilerplate pass: the pair aggregate keys on
+    (doc_a, doc_b) — spread by construction — and a stop-shingle cap
+    (drop shingles in > P% of docs, they carry no dedup signal)
+    bounds the worst case at corpus scale.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    base = (
+        spread(d).select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
+    )
+    shingled = base.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - 3),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("toks"), i + 1),
+                        F.element_at(F.col("toks"), i + 2),
+                        F.element_at(F.col("toks"), i + 3),
+                    ),
+                )
+            )
+        ).alias("shingle"),
+    ).localCheckpoint(eager=True)  # three consumers, one explode
+    counts = shingled.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = shingled.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = shingled.select(F.col("doc_id").alias("doc_b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh"))
+    return (
+        pairs.join(ca, "doc_a")
+        .withColumn(
+            "containment",
+            F.col("n_common").cast("double") / F.col("n_sh"),
+        )
+        .filter(F.col("containment") >= _CONTAIN_MIN)
+        .select("doc_a", "doc_b", "n_common", "containment")
     )
