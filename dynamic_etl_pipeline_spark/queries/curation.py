@@ -559,3 +559,54 @@ def doc_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("containment") >= _CONTAIN_MIN)
         .select("doc_a", "doc_b", "n_common", "containment")
     )
+
+
+@query("doc_quality_classifier")  # rows-only: iterative GD training
+def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fasttext-style quality classifier over the corpus: hashed
+    bag-of-words features, full-batch logistic regression trained as
+    DataFrame aggregations (operators/classifier.py), then one
+    broadcast-weights scoring pass over every document.
+
+    The fixture is uniform word soup (nothing to discover), so the
+    corpus is augmented with a planted quality signal — the
+    doc_pii_redact convention: docs with doc_id % 3 == 0 get a spam
+    marker phrase appended and form the negative class. A correct
+    trainer separates them perfectly; the pytest asserts exactly that
+    plus bit-determinism of the learned weights (decimal gradient
+    accumulation).
+
+    Scale shape: training shuffles are bucket-keyed (<= 256 result
+    rows per iteration regardless of corpus size); scoring is one
+    map pass + doc-keyed agg. The weight vector stays on the driver
+    (KBs) and enters plans as a broadcast literal.
+    """
+    from ..operators.classifier import (
+        hashed_features, score_logreg, train_logreg,
+    )
+
+    d = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    spam = F.col("doc_id") % 3 == 0
+    corpus = d.select(
+        "doc_id",
+        F.when(
+            spam,
+            F.concat_ws(" ", "text",
+                        F.lit("clickspam winnow prize clickspam prize")),
+        ).otherwise(F.col("text")).alias("text"),
+        (~spam).cast("double").alias("label"),
+    )
+    feats = hashed_features(corpus, binary=True)
+    w, b = train_logreg(
+        feats, corpus.select("doc_id", "label"), iters=12, lr=2.0
+    )
+    scores = score_logreg(feats, w, b)
+    return (
+        corpus.select("doc_id", "label")
+        .join(scores, "doc_id")
+        .select(
+            "doc_id", "label",
+            F.round("prob", 4).alias("prob"),
+            (F.col("prob") >= 0.5).cast("int").alias("pred"),
+        )
+    )
