@@ -356,6 +356,14 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
             .agg(F.min(id_col).alias(id_col), F.count("*").alias("_gn"))
             .localCheckpoint(eager=True)
         )
+        # Fast path: a corpus with no exact-dup signatures (the common
+        # case after an upstream exact dedup) needs no reconstruction —
+        # the representative set IS the document set, so skip the
+        # membership/expansion joins entirely. One cheap count on an
+        # already-checkpointed aggregate buys back the whole overhead.
+        if reps.count() == sigs.count():
+            collapse_identical = False
+            sigs = reps.select(id_col, "sig")
         band_src = reps.select(id_col, "sig")
     else:
         band_src = sigs
@@ -481,6 +489,10 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
             .agg(F.min("_id").alias("_id"), F.count("*").alias("_gn"))
             .localCheckpoint(eager=True)
         )
+        # fast path: no duplicate fingerprints -> no reconstruction
+        # needed (see minhash_lsh_pairs)
+        if reps.count() == fp.count():
+            collapse_identical = False
         chunk_src = reps.select("_id", "fp")
     else:
         chunk_src = fp
