@@ -342,3 +342,61 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("stickiness"),
         )
     )
+
+
+@query("events_ohlc_buckets", oracle="""
+WITH r AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_start, value,
+         row_number() OVER (
+           PARTITION BY event_type, date_trunc('hour', ts)
+           ORDER BY ts, event_id) AS rn_open,
+         row_number() OVER (
+           PARTITION BY event_type, date_trunc('hour', ts)
+           ORDER BY ts DESC, event_id DESC) AS rn_close
+  FROM events
+)
+SELECT event_type, bucket_start,
+       count(*) AS n_events,
+       CAST(max(CASE WHEN rn_open = 1 THEN value END) AS DOUBLE) AS open,
+       CAST(max(value) AS DOUBLE) AS high,
+       CAST(min(value) AS DOUBLE) AS low,
+       CAST(max(CASE WHEN rn_close = 1 THEN value END) AS DOUBLE) AS close
+FROM r
+GROUP BY 1, 2
+""")
+def events_ohlc_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick rollup: per (event_type, hour) the first/last
+    value by event time (deterministic tie-break on event_id) plus
+    high/low/count — the finance-style resample every metrics store
+    offers, on the relational surface.
+
+    Shape: one window pass keyed by the bucket computes BOTH edge
+    ranks (same partitioning, opposite orders — one Exchange, two
+    in-partition sorts), then one hash aggregate per bucket. No join,
+    no self-union; at corpus scale the only wide stage is the bucket
+    exchange, keyed by (event_type, hour) — time-sliced uniform.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.date_trunc("hour", F.col("ts"))
+    w = Window.partitionBy("event_type", bucket)
+    rn_open = F.row_number().over(w.orderBy("ts", "event_id"))
+    rn_close = F.row_number().over(w.orderBy(F.desc("ts"), F.desc("event_id")))
+    return (
+        ev.select(
+            "event_type",
+            bucket.cast("timestamp_ntz").alias("bucket_start"),
+            "value",
+            rn_open.alias("rn_open"),
+            rn_close.alias("rn_close"),
+        )
+        .groupBy("event_type", "bucket_start")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max(F.when(F.col("rn_open") == 1, F.col("value")))
+            .alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_close") == 1, F.col("value")))
+            .alias("close"),
+        )
+    )

