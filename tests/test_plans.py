@@ -330,3 +330,62 @@ def test_plan_stats_explain_broadcast_decision(spark, sf_dir):
                     .removesuffix("b"))
     assert n_stats["size_bytes"] < threshold
     assert l_stats["size_bytes"] > n_stats["size_bytes"]
+
+
+# ---------------------------------------------------------------------------
+# Round-3 queries: plan shapes that must survive
+# ---------------------------------------------------------------------------
+
+def test_vocab_oov_joins_stay_equi_and_jvm(spark, sf_dir):
+    df = QUERIES["doc_vocab_oov_rate"](spark, sf_dir)
+    assert not has_operator(df, "CartesianProduct")
+    assert not has_operator(df, "BroadcastNestedLoopJoin")
+    assert python_eval_count(df) == 0, formatted_plan(df)
+
+
+def test_containment_is_inverted_index_not_cross(spark, sf_dir):
+    # asymmetric containment must keep the shingle-keyed equi self-join
+    # shape; a doc-level cross join would be O(n^2)
+    df = QUERIES["doc_ngram_containment_pairs"](spark, sf_dir)
+    assert not has_operator(df, "CartesianProduct")
+    assert not has_operator(df, "BroadcastNestedLoopJoin")
+    assert python_eval_count(df) == 0, formatted_plan(df)
+
+
+def _op_count(df, op: str) -> int:
+    """Number of physical operators named ``op`` (counted on the
+    numbered detail headers, which list each operator exactly once)."""
+    import re
+
+    return len(re.findall(rf"^\(\d+\) {op}\b", formatted_plan(df),
+                          flags=re.MULTILINE))
+
+
+def test_ohlc_two_exchanges_only(spark, sf_dir):
+    # both edge ranks share one bucket partitioning: one shuffle for
+    # the window stage plus one for the final aggregate, nothing more
+    df = QUERIES["events_ohlc_buckets"](spark, sf_dir)
+    assert _op_count(df, "Exchange") <= 2, formatted_plan(df)
+    assert python_eval_count(df) == 0
+    assert not has_operator(df, "CartesianProduct")
+
+
+def test_token_budget_fill_is_one_window_pass(spark, sf_dir):
+    df = QUERIES["corpus_token_budget_fill"](spark, sf_dir)
+    assert _op_count(df, "Window") == 1, formatted_plan(df)
+    assert python_eval_count(df) == 0
+
+
+def test_minhash_collapse_fast_path_no_expansion_joins(spark):
+    # a corpus of pairwise-distinct documents has all-unique signatures,
+    # so the fast path must return the plain band-join plan WITHOUT the
+    # membership/expansion union (a Union means the slow path ran)
+    from dynamic_etl_pipeline_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"totally distinct document number {i} about topic{i} "
+             f"with unique{i} trailing words{i}") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    df = minhash_lsh_pairs(docs, "doc_id", "text", udf_partitions=4)
+    assert not has_operator(df, "Union"), formatted_plan(df)
