@@ -219,3 +219,24 @@ def test_decode_bytes_encoding_cascade():
     assert decode_bytes(None) == ""
     assert decode_bytes(b"") == ""
     assert decode_bytes("already str") == "already str"
+
+
+def test_decode_bytes_never_raises_fuzz():
+    """Property: decode_bytes is total over arbitrary byte strings —
+    any input decodes to SOME str (the reference's never-fail upload
+    contract, app.py:55-56)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dynamic_etl_pipeline_spark.ingest.encoding import decode_bytes
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=512))
+    def check(raw):
+        out = decode_bytes(raw)
+        assert isinstance(out, str)
+        # round-trip sanity: pure-ASCII bytes always decode to themselves
+        if raw and max(raw) < 128 and 0 not in raw:
+            assert out == raw.decode("ascii")
+
+    check()
