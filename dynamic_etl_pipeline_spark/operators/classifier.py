@@ -102,27 +102,30 @@ def train_logreg(feats: DataFrame, labels: DataFrame,
     DECIMAL(38,18) so the result is identical across partitionings.
     """
     lab = labels.select(F.col(id_col), F.col(label_col).cast("double"))
+    # bias as a constant feature at bucket `dim` (val 1.0 on every
+    # labeled doc, including docs with no token features): the whole
+    # iteration — margins, errors, full gradient INCLUDING the bias
+    # component — reduces to ONE bucket-keyed aggregate and ONE
+    # collect, halving per-iteration job count
     tf = (
         feats.join(lab.select(id_col), id_col)
+        .unionByName(lab.select(
+            F.col(id_col), F.lit(dim).alias("bucket"), F.lit(1.0).alias("val")
+        ))
         .localCheckpoint(eager=True)  # re-read every iteration
     )
     lab = lab.localCheckpoint(eager=True)
     n = lab.count()
     if n == 0:
         raise ValueError("train_logreg: empty training set")
-    w = [0.0] * dim
-    b = 0.0
+    wb = [0.0] * (dim + 1)
     dec = "decimal(38,18)"
     for _ in range(iters):
-        m = _margins(tf, id_col, w, b)
-        derr = (
-            lab.join(m, id_col, "left")  # no-feature docs: margin = bias
-            .select(
-                id_col,
-                (F.lit(1.0)
-                 / (F.lit(1.0) + F.exp(-F.coalesce("margin", F.lit(b))))
-                 - F.col(label_col)).alias("_e"),
-            )
+        m = _margins(tf, id_col, wb, 0.0)
+        derr = lab.join(m, id_col).select(
+            id_col,
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin")))
+             - F.col(label_col)).alias("_e"),
         )
         grad_rows = (
             tf.join(derr, id_col)
@@ -130,13 +133,15 @@ def train_logreg(feats: DataFrame, labels: DataFrame,
             .agg(F.sum((F.col("val") * F.col("_e")).cast(dec)).alias("g"))
             .collect()
         )
-        gb = derr.agg(F.sum(F.col("_e").cast(dec)).alias("g")).first()["g"]
-        g = [0.0] * dim
+        g = [0.0] * (dim + 1)
         for r in grad_rows:
             g[int(r["bucket"])] = float(r["g"])
-        w = [wi - lr * (gi / n + l2 * wi) for wi, gi in zip(w, g)]
-        b = b - lr * float(gb) / n
-    return w, b
+        # no L2 on the bias term, standard practice
+        wb = [
+            wi - lr * (gi / n + (l2 * wi if k < dim else 0.0))
+            for k, (wi, gi) in enumerate(zip(wb, g))
+        ]
+    return wb[:dim], wb[dim]
 
 
 def score_logreg(feats: DataFrame, w: list[float], bias: float,
