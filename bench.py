@@ -57,6 +57,10 @@ HEADLINE = [
     "events_pit_features",      # point-in-time feature join, one window pass (round 2)
     "doc_bigram_lm_score",      # bigram-LM perplexity quality scoring (round 2)
     "ann_mmr_rerank",           # MMR diversity re-rank over cosine pool (round 2)
+    "doc_vocab_oov_rate",       # vocab pruning + OOV scoring (round 3)
+    "corpus_token_budget_fill", # per-source token-budget selection (round 3)
+    "doc_ngram_containment_pairs",  # asymmetric containment join (round 3)
+    "events_ohlc_buckets",      # OHLC resample, 2-exchange window+agg (round 3)
 ]
 
 
