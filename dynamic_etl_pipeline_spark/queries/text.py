@@ -885,3 +885,110 @@ def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token_entropy", "type_token_ratio",
         )
     )
+
+
+@query("dedup_keep_best_exact", oracle="""
+WITH RECURSIVE tk AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+), shingled AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, len(toks) - 1),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+  FROM tk
+), counts AS (
+  SELECT doc_id, count(*) AS n_sh FROM shingled GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM shingled a JOIN shingled b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+), edges AS (
+  SELECT doc_a, doc_b FROM pairs
+  JOIN counts ca ON ca.doc_id = doc_a JOIN counts cb ON cb.doc_id = doc_b
+  WHERE CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common) >= 0.6
+), bidir AS (
+  SELECT doc_a AS src, doc_b AS dst FROM edges
+  UNION ALL SELECT doc_b, doc_a FROM edges
+), cc AS (
+  SELECT DISTINCT src AS id, src AS comp FROM bidir
+  UNION
+  SELECT b.dst AS id, cc.comp FROM cc JOIN bidir b ON b.src = cc.id
+  WHERE cc.comp < b.dst
+), comp AS (
+  SELECT id AS doc_id, min(comp) AS component FROM cc GROUP BY id
+)
+SELECT c.doc_id, c.component, d.n_chars,
+       (row_number() OVER (
+          PARTITION BY c.component
+          ORDER BY d.n_chars DESC, c.doc_id) = 1) AS keep
+FROM comp c JOIN documents d USING (doc_id)
+""")
+def dedup_keep_best_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION step, end to end and exactly verifiable:
+    exact 3-gram-Jaccard edges (>= 0.6) -> connected components ->
+    keep the best document per duplicate cluster (longest, doc_id
+    tie-break). Output is one row per DUPLICATED doc with its cluster
+    id and the keep/drop verdict — the thing a curation pipeline
+    actually joins back onto the corpus.
+
+    The DuckDB oracle computes the same components with a recursive
+    CTE (min-label transitive closure), making this one of the few
+    places an iterative distributed algorithm
+    (operators/dedup.py::connected_components, O(log n) rounds of two
+    equi-join shuffles) is checked value-exact against a declarative
+    fixpoint, not just property-tested.
+    """
+    from ..operators.dedup import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    base = (
+        spread(d).select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
+    )
+    shingled = base.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - 3),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("toks"), i + 1),
+                        F.element_at(F.col("toks"), i + 2),
+                        F.element_at(F.col("toks"), i + 3),
+                    ),
+                )
+            )
+        ).alias("shingle"),
+    ).localCheckpoint(eager=True)
+    cnt = shingled.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = shingled.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = shingled.select(F.col("doc_id").alias("doc_b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("_na"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("_nb"))
+    edges = (
+        pairs.join(ca, "doc_a").join(cb, "doc_b")
+        .filter(
+            F.col("n_common").cast("double")
+            / (F.col("_na") + F.col("_nb") - F.col("n_common")) >= 0.6
+        )
+        .select("doc_a", "doc_b")
+    )
+    comp = connected_components(edges, "doc_a", "doc_b").select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        comp.join(d.select("doc_id", "n_chars"), "doc_id")
+        .withColumn("keep", F.row_number().over(w) == 1)
+        .select("doc_id", "component", "n_chars", "keep")
+    )
