@@ -417,3 +417,60 @@ def test_random_grouping_sets_agree(spark, duck, seed):
         return
     assert (s["n"], int(s["checksum"])) == (d_n, int(d_sum)), (
         grouping, pred)
+
+
+@pytest.mark.parametrize("seed", range(30))
+def test_random_string_exprs_agree(spark, duck, seed):
+    """String-function compositions (shared-subset semantics: positive
+    indexes only — negative substr offsets legitimately differ across
+    engines): per-row expression checksummed order-insensitively."""
+    rng = random.Random(10_000 + seed)
+    base = rng.choice(["o_orderpriority", "o_orderstatus",
+                       "concat(o_orderstatus, '-', o_orderpriority)"])
+    expr = base
+    for _ in range(rng.randint(1, 3)):
+        expr = rng.choice([
+            f"upper({expr})",
+            f"lower({expr})",
+            f"trim({expr})",
+            f"substr({expr}, {rng.randint(1, 4)}, {rng.randint(1, 6)})",
+            f"replace({expr}, '{rng.choice(['1', 'U', 'o', '-'])}', "
+            f"'{rng.choice(['', 'x', 'zz'])}')",
+            f"reverse({expr})",
+            f"lpad({expr}, {rng.randint(3, 12)}, '.')",
+        ])
+    body = (
+        "SELECT count(DISTINCT v) AS nd, "
+        "coalesce(sum(length(v)), 0) AS lensum, "
+        "coalesce(sum(CASE WHEN instr(v, 'x') > 0 THEN 1 ELSE 0 END), 0) AS nx "
+        f"FROM (SELECT {expr} AS v FROM {{t}})"
+    )
+    s = spark.sql(body.format(t="orders_diff")).collect()[0]
+    d = duck.execute(body.format(t="orders")).fetchone()
+    assert (s["nd"], int(s["lensum"]), int(s["nx"])) == (
+        d[0], int(d[1]), int(d[2])), expr
+
+
+@pytest.mark.parametrize("seed", range(30))
+def test_random_date_exprs_agree(spark, duck, seed):
+    """Date/time lattice: random date_trunc units, extract fields, and
+    interval arithmetic over the orders dates."""
+    rng = random.Random(11_000 + seed)
+    unit = rng.choice(["year", "quarter", "month", "week", "day"])
+    field = rng.choice(["year", "month", "day", "quarter"])
+    d_field = s_field = field
+    shift = rng.randint(0, 400)
+    body_t = (
+        "SELECT count(DISTINCT t) AS nd, "
+        "coalesce(sum(f), 0) AS fsum FROM ("
+        "  SELECT date_trunc('{u}', o_orderdate + INTERVAL '{n}' DAY) AS t,"
+        "         extract({f} FROM o_orderdate) AS f"
+        "  FROM {tab})"
+    )
+    s = spark.sql(
+        body_t.format(u=unit, n=shift, f=s_field, tab="orders_diff")
+    ).collect()[0]
+    d = duck.execute(
+        body_t.format(u=unit, n=shift, f=d_field, tab="orders")
+    ).fetchone()
+    assert (s["nd"], int(s["fsum"])) == (d[0], int(d[1])), (unit, field, shift)
