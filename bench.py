@@ -61,6 +61,7 @@ HEADLINE = [
     "corpus_token_budget_fill", # per-source token-budget selection (round 3)
     "doc_ngram_containment_pairs",  # asymmetric containment join (round 3)
     "events_ohlc_buckets",      # OHLC resample, 2-exchange window+agg (round 3)
+    "dedup_keep_best_exact",    # jaccard edges -> components -> keep verdict (round 3)
 ]
 
 

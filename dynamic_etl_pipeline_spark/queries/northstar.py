@@ -246,3 +246,38 @@ def corpus_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(e, threshold=0.3, n_clusters=8).select(
         "vec_id", "label", "cluster_id"
     )
+
+
+@query("multimodal_feature_knn")  # rows-only: Python featurize stage
+def multimodal_feature_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full multimodal retrieval pipeline, end to end: binary
+    payloads -> Arrow-batched feature extraction (the deterministic
+    content-hash encoder standing in for a vision model — same batch
+    shape, schema, and partitioning a real model UDF uses) -> exact
+    cosine top-5 per probe via the shared kNN operator. Proves the
+    media surface COMPOSES with the similarity-search surface with no
+    glue: extract_features output feeds cosine_topk unchanged."""
+    from ..operators.knn import cosine_topk
+    from ..operators.multimodal import extract_features
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(
+            F.lit(b"MM1|"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("image")).otherwise(F.lit("audio")),
+            F.lit("|"),
+            (F.col("n_chars") % 640).cast("string"),
+            F.lit("x"),
+            (F.col("n_chars") % 480).cast("string"),
+            F.lit("|"),
+            F.col("text"),
+        ).cast("binary").alias("payload"),
+    )
+    feats = extract_features(media).localCheckpoint(eager=True)
+    probes = feats.filter(F.col("media_id") < 3).select(
+        F.col("media_id").alias("query_id"), F.col("feature")
+    )
+    return cosine_topk(
+        feats, probes, k=5, id_col="media_id", vec_col="feature"
+    ).orderBy("query_id", "rn")

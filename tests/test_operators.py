@@ -656,3 +656,26 @@ def test_hamming_retrieval_recall_floor_vs_cosine(spark, sf_dir):
         top_ham = set(ham[ham["query_id"] == qid]["vec_id"])
         recalls.append(len(top_cos & top_ham) / len(top_cos))
     assert sum(recalls) / len(recalls) >= 0.2, recalls
+
+
+def test_multimodal_features_compose_with_knn(spark, sf_dir):
+    """extract_features output must feed cosine_topk unchanged, with
+    deterministic self-retrieval: every probe's own payload ranks
+    first at cosine 1.0 among the OTHER candidates... (self excluded),
+    and re-running yields identical rankings (content-hash encoder)."""
+    from dynamic_etl_pipeline_spark.queries import QUERIES
+
+    out1 = QUERIES["multimodal_feature_knn"](spark, sf_dir).collect()
+    assert out1
+    per_q = {}
+    for r in out1:
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert set(per_q) == {0, 1, 2}
+    for q, rows in per_q.items():
+        assert len(rows) == 5
+        assert all(r["media_id"] != q for r in rows)  # self excluded
+        assert all(-1.0 <= r["cos_sim"] <= 1.0 for r in rows)
+    out2 = QUERIES["multimodal_feature_knn"](spark, sf_dir).collect()
+    key = lambda r: (r["query_id"], r["rn"])  # noqa: E731
+    assert sorted(((r["query_id"], r["rn"], r["media_id"]) for r in out1)) == \
+           sorted(((r["query_id"], r["rn"], r["media_id"]) for r in out2))
