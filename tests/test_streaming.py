@@ -447,3 +447,41 @@ def test_transform_with_state_matches_apply_in_pandas_twin(spark, sf_dir,
             spark.conf.unset(prov_key)
         else:
             spark.conf.set(prov_key, prev)
+
+
+def test_dedup_index_equals_batch_lsh_twin(spark, tmp_path):
+    """Streaming-twin equivalence for the near-dup index: draining a
+    3-batch corpus through the incremental index must find exactly the
+    pair set the one-shot batch LSH finds on the unioned corpus (same
+    params, caps not hit) — the same batch-twin contract the windowed
+    rollups are held to."""
+    from dynamic_etl_pipeline_spark.operators.dedup import minhash_lsh_pairs
+    from dynamic_etl_pipeline_spark.streaming.sinks import apply_dedup_index_batch
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    docs = []
+    for i in range(12):
+        if i % 4 == 0:
+            docs.append((i, base + f" tail{i}"))        # near-dup family
+        else:
+            docs.append((i, f"totally distinct corpus entry number {i} "
+                            f"about subject{i} with words{i} nobody shares"))
+    full = spark.createDataFrame(docs, "doc_id long, text string")
+
+    store = str(tmp_path / "twin_store")
+    for b, lo in enumerate(range(0, 12, 4)):
+        batch = full.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 4))
+        apply_dedup_index_batch(batch, b, store, threshold=0.5)
+
+    streamed = spark.read.parquet(f"{store}/pairs/*")
+    s_pairs = {frozenset((r["id_a"], r["id_b"])) for r in streamed.collect()}
+    batch_pairs = {
+        frozenset((r["id_a"], r["id_b"]))
+        for r in minhash_lsh_pairs(
+            full, "doc_id", "text", threshold=0.5, udf_partitions=4
+        ).collect()
+    }
+    assert s_pairs == batch_pairs
+    assert s_pairs, "expected the near-dup family to pair"
