@@ -20,3 +20,4 @@ from . import analytics  # noqa: E402,F401
 from . import mutations  # noqa: E402,F401
 from . import curation  # noqa: E402,F401
 from . import features  # noqa: E402,F401
+from . import timeseries  # noqa: E402,F401

@@ -1328,3 +1328,40 @@ def orders_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("revenue") - F.col("trend"), 4).alias("residual"),
         )
     )
+
+
+@query("part_name_jw_pairs", oracle="""
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       jaro_winkler_similarity(a.p_name, b.p_name) AS jw
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+ AND a.p_partkey < b.p_partkey
+WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.88
+""")
+def part_name_jw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity-resolution pairs by Jaro-Winkler similarity — the
+    ER verifier Spark lacks natively, supplied as an Arrow-batched
+    pandas UDF (functions/strsim.py) that reproduces DuckDB's
+    ``jaro_winkler_similarity`` arithmetic bit-for-bit, so the oracle
+    comparison needs no rounding. Blocking on (p_brand, p_size) keeps
+    the candidate join sum-of-squared-block-sizes, same ER shape as
+    ``part_name_blocked_pairs`` (levenshtein) — two verifiers over one
+    blocking strategy."""
+    from ..functions.strsim import jaro_winkler_udf
+
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand", "p_size")
+    a = p.select(
+        F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"),
+        "p_brand", "p_size",
+    )
+    b = p.select(
+        F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"),
+        "p_brand", "p_size",
+    )
+    return (
+        a.join(b, ["p_brand", "p_size"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("jw", jaro_winkler_udf(F.col("name_a"), F.col("name_b")))
+        .filter(F.col("jw") >= 0.88)
+        .select("key_a", "key_b", "jw")
+    )

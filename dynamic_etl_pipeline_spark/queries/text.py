@@ -992,3 +992,128 @@ def dedup_keep_best_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("keep", F.row_number().over(w) == 1)
         .select("doc_id", "component", "n_chars", "keep")
     )
+
+
+@query("jaccard_prefix_filter_pairs", oracle="""
+WITH tk AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+), shingled AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, len(toks) - 1),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+  FROM tk
+), counts AS (
+  SELECT doc_id, count(*) AS n_sh FROM shingled GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM shingled a JOIN shingled b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common,
+       CAST(ca.n_sh + cb.n_sh - n_common AS BIGINT) AS n_union
+FROM pairs
+JOIN counts ca ON ca.doc_id = doc_a
+JOIN counts cb ON cb.doc_id = doc_b
+WHERE 8 * n_common >= 3 * (ca.n_sh + cb.n_sh)
+""")
+def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All document pairs with 3-gram-shingle Jaccard >= 0.6, found by
+    PREFIX FILTERING (PPJoin, Xiao et al. 2008) instead of a full
+    inverted-index join.
+
+    The prefix lemma: order every doc's shingle set by one global total
+    order (here: ascending document frequency, then shingle text — the
+    rarest-first order that minimizes candidates) and keep only the
+    first ``p = n - ceil(t*n) + 1`` shingles; any pair with Jaccard >=
+    t MUST share a prefix shingle. So the candidate join touches only
+    the prefix inverted index — by construction built from each doc's
+    RAREST shingles, which bounds posting-list lengths and removes the
+    hot-key risk a full shingle join has on boilerplate-heavy corpora.
+    Verification then counts intersections candidate-driven (join the
+    two full shingle sets of each candidate pair only).
+
+    The threshold test is integer cross-multiplication
+    (``8*inter >= 3*(na+nb)``  <=>  ``inter/union >= 0.6``) — exact,
+    no floats anywhere. The DuckDB oracle runs the brute-force
+    inverted-index join with the same integer test, so the comparison
+    proves the prefix filter is LOSSLESS, not just plausible.
+
+    Scale: df table is vocabulary-sized (shuffle on shingle, uniform);
+    the per-doc prefix selection is a window partitioned by doc_id;
+    candidates are pair-keyed — no global window, no driver state.
+    """
+    t_num, t_den = 3, 5  # tau = 0.6 = t_num/t_den
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    base = spread(d).select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 3)
+    shingled = base.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("toks"), i),
+                        F.element_at(F.col("toks"), i + 1),
+                        F.element_at(F.col("toks"), i + 2),
+                    ),
+                )
+            )
+        ).alias("shingle"),
+    )
+    counts = shingled.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    df_tbl = shingled.groupBy("shingle").agg(F.count("*").alias("df"))
+    # Per-doc prefix: the p rarest shingles under the global (df, shingle)
+    # order; p = n - ceil(tau*n) + 1, with ceil(tau*n) = ceil(n*t_num/t_den)
+    # computed in integers: -floordiv(-n*t_num, t_den).
+    ranked = (
+        shingled.join(df_tbl, "shingle")
+        .join(counts, "doc_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "shingle")
+            ),
+        )
+        .withColumn(
+            "prefix_len",
+            F.col("n_sh") - (-F.floor((-F.col("n_sh") * t_num) / t_den)) + 1,
+        )
+    )
+    prefix = ranked.filter(F.col("rn") <= F.col("prefix_len")).select(
+        "doc_id", "shingle"
+    )
+    pa = prefix.select(F.col("doc_id").alias("doc_a"), "shingle")
+    pb = prefix.select(F.col("doc_id").alias("doc_b"), "shingle")
+    cand = (
+        pa.join(pb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = shingled.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = shingled.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("_na"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("_nb"))
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .filter(
+            (t_den + t_num) * F.col("n_common")
+            >= t_num * (F.col("_na") + F.col("_nb"))
+        )
+        .select(
+            "doc_a", "doc_b", "n_common",
+            (F.col("_na") + F.col("_nb") - F.col("n_common"))
+            .cast("bigint").alias("n_union"),
+        )
+    )

@@ -1,0 +1,195 @@
+"""Edge-case tests for the round-3 time-series / robust-stat queries
+(queries/timeseries.py) and the PPJoin prefix-filter pair join
+(queries/text.py::jaccard_prefix_filter_pairs) — semantics the fixture
+tables can't exercise: single-event users, tiny winsorize groups, docs
+at exactly the Jaccard threshold."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+
+from dynamic_etl_pipeline_spark.queries import QUERIES
+
+
+def _write_events(spark, tmp_path, rows):
+    df = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    sf = tmp_path / "sf_events"
+    sf.mkdir(exist_ok=True)
+    spark.createDataFrame(df).coalesce(1).write.mode("overwrite").parquet(
+        str(sf / "events.parquet")
+    )
+    return str(sf)
+
+
+T0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+
+def test_decay_ewma_single_event_is_quantized_value(spark, tmp_path):
+    """A user with one event gets decayed_sum == round(value*100)/100
+    (weight 2^0 = 1) — the cent-quantization contract stated in the
+    docstring, and n_terms == 1."""
+    sf = _write_events(spark, tmp_path, [
+        (1, T0, 7, "click", 12.34, "{}"),
+    ])
+    [r] = QUERIES["events_decay_ewma"](spark, sf).collect()
+    assert r["n_terms"] == 1
+    assert r["decayed_sum"] == pytest.approx(12.34, abs=1e-12)
+
+
+def test_decay_ewma_halving_weights(spark, tmp_path):
+    """Three equal-value events: the last one's decayed sum is
+    v + v/2 + v/4."""
+    sf = _write_events(spark, tmp_path, [
+        (i, T0 + dt.timedelta(minutes=i), 1, "click", 8.0, "{}")
+        for i in range(3)
+    ])
+    rows = {r["event_id"]: r for r in
+            QUERIES["events_decay_ewma"](spark, sf).collect()}
+    assert rows[0]["decayed_sum"] == pytest.approx(8.0)
+    assert rows[1]["decayed_sum"] == pytest.approx(8.0 + 4.0)
+    assert rows[2]["decayed_sum"] == pytest.approx(8.0 + 4.0 + 2.0)
+    assert rows[2]["n_terms"] == 3
+
+
+def test_decay_ewma_band_is_bounded(spark, tmp_path):
+    """More events than DECAY_DEPTH+1: n_terms caps at the band width —
+    the join is O(n * depth), never a full per-user cross join."""
+    from dynamic_etl_pipeline_spark.queries.timeseries import DECAY_DEPTH
+
+    n = DECAY_DEPTH + 10
+    sf = _write_events(spark, tmp_path, [
+        (i, T0 + dt.timedelta(seconds=i), 1, "click", 1.0, "{}")
+        for i in range(n)
+    ])
+    rows = QUERIES["events_decay_ewma"](spark, sf).collect()
+    assert max(r["n_terms"] for r in rows) == DECAY_DEPTH + 1
+    assert len(rows) == n
+
+
+def test_user_hour_quota_split(spark, tmp_path):
+    """5 events for one user in one hour -> 3 kept, 2 dropped; a second
+    user with 2 events keeps both."""
+    rows = [
+        (i, T0 + dt.timedelta(minutes=i), 1, "click", 1.0, "{}")
+        for i in range(5)
+    ] + [
+        (10 + i, T0 + dt.timedelta(minutes=i), 2, "view", 1.0, "{}")
+        for i in range(2)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {r["event_type"]: r for r in
+           QUERIES["events_user_hour_quota"](spark, sf).collect()}
+    assert got["click"]["kept"] == 3 and got["click"]["dropped"] == 2
+    assert got["view"]["kept"] == 2 and got["view"]["dropped"] == 0
+
+
+def test_winsorized_stats_small_group(spark, tmp_path):
+    """n=4 values: lo rank = max(1, ceil(0.04)) = 1, hi rank = ceil(3.96)
+    = 4 — cutoffs are the min and max, so the winsorized mean equals the
+    plain mean; NULL values are excluded up front."""
+    vals = [10.0, 20.0, 30.0, 40.0, None]
+    sf = _write_events(spark, tmp_path, [
+        (i, T0 + dt.timedelta(minutes=i), 1, "click", v, "{}")
+        for i, v in enumerate(vals)
+    ])
+    [r] = QUERIES["events_winsorized_stats"](spark, sf).collect()
+    assert r["n_values"] == 4
+    assert r["lo_cut"] == 10.0 and r["hi_cut"] == 40.0
+    assert r["winsorized_mean"] == pytest.approx(25.0)
+
+
+def _write_docs(spark, tmp_path, texts):
+    docs = pd.DataFrame({
+        "doc_id": list(range(1, len(texts) + 1)),
+        "text": texts,
+        "lang": ["en"] * len(texts),
+        "source": ["s"] * len(texts),
+        "n_chars": [len(t or "") for t in texts],
+    })
+    sf = tmp_path / "sf_docs"
+    sf.mkdir(exist_ok=True)
+    spark.createDataFrame(docs).coalesce(1).write.mode("overwrite").parquet(
+        str(sf / "documents.parquet")
+    )
+    return str(sf)
+
+
+def test_prefix_filter_exact_threshold_pair(spark, tmp_path):
+    """Two docs engineered to sit exactly AT Jaccard 0.6 (3 shared of 5
+    union shingles: 8*3 == 3*(4+4)) must be emitted — the >= boundary —
+    while a clearly-below pair must not."""
+    # doc1: tokens a b c d e f -> shingles {abc,bcd,cde,def} (4)
+    # doc2: tokens a b c d e g -> shingles {abc,bcd,cde,deg} (4)
+    # inter=3, union=5, J=0.6 exactly
+    d1 = "a b c d e f"
+    d2 = "a b c d e g"
+    d3 = "x y z w q r"
+    sf = _write_docs(spark, tmp_path, [d1, d2, d3])
+    pairs = {(r["doc_a"], r["doc_b"]): r for r in
+             QUERIES["jaccard_prefix_filter_pairs"](spark, sf).collect()}
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)]["n_common"] == 3
+    assert pairs[(1, 2)]["n_union"] == 5
+    assert len(pairs) == 1
+
+
+def test_prefix_filter_identical_and_degenerate_docs(spark, tmp_path):
+    """Identical docs pair up (J=1); empty/short/NULL docs neither pair
+    nor crash."""
+    t = "spark makes joins easy enough today"
+    sf = _write_docs(spark, tmp_path, [t, t, "", "one two", None])
+    pairs = QUERIES["jaccard_prefix_filter_pairs"](spark, sf).collect()
+    assert len(pairs) == 1
+    [p] = pairs
+    assert (p["doc_a"], p["doc_b"]) == (1, 2)
+    assert p["n_common"] == p["n_union"]
+
+
+def test_user_day_streaks_gaps(spark, tmp_path):
+    """User active on days 1,2,3, 5, 10,11 -> longest 3, n_streaks 3."""
+    days = [1, 2, 3, 5, 10, 11]
+    sf = _write_events(spark, tmp_path, [
+        (i, dt.datetime(2024, 1, d, 9, 0, 0), 1, "click", 1.0, "{}")
+        for i, d in enumerate(days)
+    ])
+    [r] = QUERIES["events_user_day_streaks"](spark, sf).collect()
+    assert r["longest_streak"] == 3
+    assert r["n_streaks"] == 3
+    assert r["first_active_day"] == dt.datetime(2024, 1, 1)
+
+
+def test_jaro_winkler_matches_duckdb_fuzz():
+    """The pandas-UDF kernel reproduces DuckDB's jaro_winkler_similarity
+    bit-for-bit over random strings (including empty/equal/prefix-heavy
+    shapes) — the property the part_name_jw_pairs oracle relies on."""
+    import random
+
+    import duckdb
+
+    from dynamic_etl_pipeline_spark.functions.strsim import jaro_winkler
+
+    rng = random.Random(42)
+    alpha = "abcdef "
+    cases = [("", ""), ("", "a"), ("abc", "abc"), ("a" * 30, "a" * 29 + "b")]
+    for _ in range(500):
+        n1, n2 = rng.randint(0, 12), rng.randint(0, 12)
+        s1 = "".join(rng.choice(alpha) for _ in range(n1))
+        s2 = "".join(rng.choice(alpha) for _ in range(n2))
+        if rng.random() < 0.3 and s1:
+            # near-duplicates: perturb one char
+            li = list(s1)
+            li[rng.randrange(len(li))] = rng.choice(alpha)
+            s2 = "".join(li)
+        cases.append((s1, s2))
+    con = duckdb.connect()
+    for s1, s2 in cases:
+        want = con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [s1, s2]
+        ).fetchone()[0]
+        got = jaro_winkler(s1, s2)
+        assert got == want, (s1, s2, got, want)
