@@ -389,3 +389,24 @@ def test_minhash_collapse_fast_path_no_expansion_joins(spark):
     )
     df = minhash_lsh_pairs(docs, "doc_id", "text", udf_partitions=4)
     assert not has_operator(df, "Union"), formatted_plan(df)
+
+
+def test_round3_new_joins_stay_equi(spark, sf_dir):
+    """The round-3 additions must never degenerate to BNLJ/cartesian:
+    the decay band self-join has an equi user_id key (rn band is a
+    residual), the PPJoin stages are all shingle/doc-keyed equi joins,
+    and the JW blocked join is keyed on (p_brand, p_size)."""
+    for name in ("events_decay_ewma", "jaccard_prefix_filter_pairs",
+                 "part_name_jw_pairs"):
+        df = QUERIES[name](spark, sf_dir)
+        assert not has_operator(df, "BroadcastNestedLoopJoin"), name
+        assert not has_operator(df, "CartesianProduct"), name
+
+
+def test_day_streaks_single_user_shuffle(spark, sf_dir):
+    """Gaps-and-islands runs off one window exchange on user_id; the
+    whole query is JVM-side (no Python eval anywhere)."""
+    df = QUERIES["events_user_day_streaks"](spark, sf_dir)
+    assert python_eval_count(df) == 0
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
