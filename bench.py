@@ -62,6 +62,8 @@ HEADLINE = [
     "doc_ngram_containment_pairs",  # asymmetric containment join (round 3)
     "events_ohlc_buckets",      # OHLC resample, 2-exchange window+agg (round 3)
     "dedup_keep_best_exact",    # jaccard edges -> components -> keep verdict (round 3)
+    "jaccard_prefix_filter_pairs",  # PPJoin prefix-filtered similarity join (round 3)
+    "events_decay_ewma",        # banded decay self-join, integer kernel (round 3)
 ]
 
 

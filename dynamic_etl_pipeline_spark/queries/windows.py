@@ -256,3 +256,44 @@ def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last(val, ignorenulls=True).over(prev).alias("prev_good_value"),
         F.nth_value(val, 3, ignoreNulls=True).over(full).alias("third_good_value"),
     )
+
+
+@query("window_exclude_current", oracle="""
+SELECT event_id,
+       sum(CAST(round(value * 100) AS BIGINT)) OVER (
+         PARTITION BY event_type ORDER BY ts, event_id
+         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+         EXCLUDE CURRENT ROW) AS neighbor_cents
+FROM events
+""")
+def window_exclude_current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame EXCLUDE CURRENT ROW, which Spark's window syntax lacks,
+    emulated as (full-frame sum) - (current row's value) — exact
+    because the aggregate is the cent-quantized BIGINT value, so the
+    subtraction is integer arithmetic with no float re-association.
+    The oracle uses DuckDB's native EXCLUDE CURRENT ROW, so this
+    verifies the emulation against a real implementation of the
+    clause, not against itself. One window exchange on event_type.
+
+    3VL care (the fixture can't exercise it; tests/test_timeseries.py
+    does): SUM over an excluded-to-empty or all-NULL neighbor set is
+    NULL, not 0 — so the emulation gates on the count of non-NULL
+    NEIGHBOR values and subtracts coalesce(current, 0) so a NULL
+    current row doesn't poison the difference."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.expr("cast(round(value * 100) as bigint)")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, 3)
+    )
+    n_neighbors = F.count(cents).over(w) - F.when(
+        cents.isNotNull(), F.lit(1)
+    ).otherwise(F.lit(0))
+    return ev.select(
+        "event_id",
+        F.when(
+            n_neighbors > 0,
+            F.sum(cents).over(w) - F.coalesce(cents, F.lit(0)),
+        ).alias("neighbor_cents"),
+    )

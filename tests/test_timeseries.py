@@ -193,3 +193,38 @@ def test_jaro_winkler_matches_duckdb_fuzz():
         ).fetchone()[0]
         got = jaro_winkler(s1, s2)
         assert got == want, (s1, s2, got, want)
+
+
+def test_window_exclude_current_nulls_and_singletons(spark, tmp_path):
+    """EXCLUDE CURRENT ROW emulation 3VL: a single-row partition has an
+    empty neighbor frame -> NULL (not 0); a NULL current row still sums
+    its neighbors; all-NULL neighbors -> NULL. Verified against DuckDB's
+    native EXCLUDE CURRENT ROW on the same frame."""
+    import duckdb
+
+    rows = [
+        # type 'solo': single row -> NULL
+        (1, T0, 1, "solo", 5.0, "{}"),
+        # type 'mix': NULL current rows among non-null neighbors
+        (2, T0, 1, "mix", None, "{}"),
+        (3, T0 + dt.timedelta(minutes=1), 1, "mix", 7.0, "{}"),
+        (4, T0 + dt.timedelta(minutes=2), 1, "mix", None, "{}"),
+        # type 'allnull': every value NULL -> NULL everywhere
+        (5, T0, 1, "allnull", None, "{}"),
+        (6, T0 + dt.timedelta(minutes=1), 1, "allnull", None, "{}"),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {r["event_id"]: r["neighbor_cents"] for r in
+           QUERIES["window_exclude_current"](spark, sf).collect()}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{sf}/events.parquet/*.parquet')"
+    )
+    from dynamic_etl_pipeline_spark.queries import ORACLES
+
+    want = {int(r[0]): (None if r[1] is None else int(r[1]))
+            for r in con.execute(ORACLES["window_exclude_current"]).fetchall()}
+    assert got == want
+    assert got[1] is None and got[5] is None and got[6] is None
+    assert got[2] == 700 and got[4] == 700
