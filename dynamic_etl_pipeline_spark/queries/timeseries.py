@@ -246,3 +246,172 @@ def events_user_day_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("int").alias("n_streaks"),
         F.min("streak_start").cast("timestamp_ntz").alias("first_active_day"),
     )
+
+
+@query("events_equidepth_hist", oracle="""
+WITH r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_type,
+       CAST(1 + ((rn - 1) * 4) // n AS INT) AS bucket,
+       count(*) AS n_rows,
+       min(value) AS lo,
+       max(value) AS hi
+FROM r
+GROUP BY 1, 2
+""")
+def events_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (4 quartile buckets per event type): bucket
+    assignment is pure integer arithmetic over the rank under a total
+    order — ``1 + (rn-1)*B div n`` — so bucket membership, counts and
+    min/max edges are engine-exact with no percentile interpolation
+    (the equi-WIDTH sibling is ``events_value_histogram``). One window
+    exchange + one aggregate; this is also how an optimizer's
+    equi-depth column statistics are built at scale."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type", "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    return (
+        r.groupBy(
+            "event_type",
+            (F.lit(1) + F.expr("((rn - 1) * 4) div n")).cast("int").alias("bucket"),
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )
+
+
+@query("events_ols_trend", oracle="""
+WITH base AS (
+  SELECT event_type,
+         CAST(datediff('second', (SELECT min(ts) FROM events), ts) AS BIGINT) AS x,
+         CAST(round(value * 100) AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL
+), stats AS (
+  SELECT event_type,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx,
+         CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(x * x) AS HUGEINT) AS sxx,
+         CAST(sum(x * y) AS HUGEINT) AS sxy
+  FROM base GROUP BY 1
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_points,
+       CAST(sx AS BIGINT) AS sum_x,
+       CAST(sy AS BIGINT) AS sum_y,
+       CAST(sxx AS VARCHAR) AS sum_xx,
+       CAST(sxy AS VARCHAR) AS sum_xy,
+       CAST(n * sxy - sx * sy AS VARCHAR) AS slope_num,
+       CAST(n * sxx - sx * sx AS VARCHAR) AS slope_den
+FROM stats
+""")
+def events_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares trend (slope + intercept) from sufficient
+    statistics — the distributed-OLS pattern: ONE aggregation pass
+    collects (n, Σx, Σy, Σx², Σxy) per group, the closed form combines
+    them; no iteration, no driver data movement.
+
+    Exactness: x = whole seconds since the global min timestamp
+    (boundary-count datediff == unix-floor difference on both engines),
+    y = cent-quantized value; the sufficient statistics are summed as
+    DECIMAL(38,0) — exact integers that cannot overflow at any
+    realistic scale (BIGINT Σx² would overflow near 1e19) — and the
+    slope is returned as an EXACT RATIONAL (slope_num/slope_den)
+    alongside the raw sufficient statistics; the intercept is
+    derivable as (sum_y - slope*sum_x)/n. Two cross-engine walls shape
+    this output: (1) casting ~1e20 integers to double diverges by 1
+    ulp (Spark BigDecimal.doubleValue is correctly rounded, DuckDB's
+    int128 path is not — observed at sf0.1), so no float columns;
+    (2) DuckDB decimal arithmetic promotes to DOUBLE (or range-errors)
+    when STATIC result precisions grow, so the oracle does all
+    combination arithmetic in HUGEINT (exact int128); and (3) wide
+    DECIMAL results land in pandas as float64 anyway, re-importing
+    wall (1) — so every value that can exceed 2^53 ships as a STRING
+    of digits (exact at any scale); sum_x/sum_y stay BIGINT (bounded
+    far below 2^53)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    t0 = ev.agg(F.min("ts").alias("t0"))
+    base = ev.crossJoin(F.broadcast(t0)).select(
+        "event_type",
+        (F.unix_timestamp("ts") - F.unix_timestamp("t0")).alias("x"),
+        F.expr("cast(round(value * 100) as bigint)").alias("y"),
+    )
+    dec = lambda c: F.sum(c.cast("decimal(30,0)"))  # noqa: E731
+    stats = base.groupBy("event_type").agg(
+        F.count("*").cast("decimal(10,0)").alias("n"),
+        dec(F.col("x")).alias("sx"),
+        dec(F.col("y")).alias("sy"),
+        dec(F.col("x") * F.col("x")).alias("sxx"),
+        dec(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    # decimal(10) * decimal(38-capped sums) stays inside Spark's 38-digit
+    # cap for the true value bounds documented above
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return stats.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_points"),
+        F.col("sx").cast("bigint").alias("sum_x"),
+        F.col("sy").cast("bigint").alias("sum_y"),
+        F.col("sxx").cast("decimal(30,0)").cast("string").alias("sum_xx"),
+        F.col("sxy").cast("decimal(30,0)").cast("string").alias("sum_xy"),
+        num.cast("decimal(38,0)").cast("string").alias("slope_num"),
+        den.cast("decimal(38,0)").cast("string").alias("slope_den"),
+    )
+
+
+@query("events_mode_value_per_type", oracle="""
+WITH counted AS (
+  SELECT event_type, CAST(round(value) AS BIGINT) AS bucket,
+         count(*) AS cnt
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT event_type, bucket, cnt,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY cnt DESC, bucket ASC) AS rk
+  FROM counted
+)
+SELECT event_type, bucket AS mode_bucket, cnt AS mode_count
+FROM ranked WHERE rk = 1
+""")
+def events_mode_value_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact MODE per group with a deterministic tie-break (highest
+    count, then smallest bucket) — engines disagree on which mode wins
+    a tie unless the order is total, so the tie-break is part of the
+    operator contract. Two shuffles: count by (group, value-bucket),
+    then a top-1 window per group over the much smaller counted frame.
+    (round(value) half-up vs half-even never ties here: 2-decimal
+    values land exactly on .5 only for .50, where BOTH engines round
+    away from zero on positive input — DuckDB round() is half-away,
+    not banker's.)"""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    counted = (
+        ev.groupBy(
+            "event_type",
+            F.expr("cast(round(value) as bigint)").alias("bucket"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("cnt"), F.asc("bucket"))
+    return (
+        counted.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type", F.col("bucket").alias("mode_bucket"),
+            F.col("cnt").alias("mode_count"),
+        )
+    )

@@ -228,3 +228,48 @@ def test_window_exclude_current_nulls_and_singletons(spark, tmp_path):
     assert got == want
     assert got[1] is None and got[5] is None and got[6] is None
     assert got[2] == 700 and got[4] == 700
+
+
+def test_ols_trend_perfect_line(spark, tmp_path):
+    """y = 2.00 + 0.50*t_minutes (cents: 200 + 50*idx per 60s step):
+    slope_num/slope_den must reduce to 50/60 cents per second and the
+    intercept (sum_y - slope*sum_x)/n to 200 cents."""
+    from fractions import Fraction
+
+    sf = _write_events(spark, tmp_path, [
+        (i, T0 + dt.timedelta(minutes=i), 1, "click", 2.0 + 0.5 * i, "{}")
+        for i in range(10)
+    ])
+    [r] = QUERIES["events_ols_trend"](spark, sf).collect()
+    slope = Fraction(int(r["slope_num"]), int(r["slope_den"]))
+    assert slope == Fraction(50, 60)
+    intercept = (Fraction(r["sum_y"]) - slope * Fraction(r["sum_x"])) / r["n_points"]
+    assert intercept == 200
+    assert r["n_points"] == 10
+
+
+def test_mode_tie_break_smallest_bucket(spark, tmp_path):
+    """Two buckets tie on count -> the smaller bucket wins (the
+    deterministic contract both engines follow)."""
+    vals = [3.0, 3.2, 7.0, 7.4]  # buckets 3,3,7,7 -> tie, expect 3
+    sf = _write_events(spark, tmp_path, [
+        (i, T0 + dt.timedelta(minutes=i), 1, "click", v, "{}")
+        for i, v in enumerate(vals)
+    ])
+    [r] = QUERIES["events_mode_value_per_type"](spark, sf).collect()
+    assert r["mode_bucket"] == 3 and r["mode_count"] == 2
+
+
+def test_equidepth_hist_quartiles(spark, tmp_path):
+    """8 rows -> 4 buckets of exactly 2; edges are the order statistics."""
+    vals = [float(v) for v in [1, 2, 3, 4, 5, 6, 7, 8]]
+    sf = _write_events(spark, tmp_path, [
+        (i, T0 + dt.timedelta(minutes=i), 1, "click", v, "{}")
+        for i, v in enumerate(vals)
+    ])
+    rows = {r["bucket"]: r for r in
+            QUERIES["events_equidepth_hist"](spark, sf).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert all(r["n_rows"] == 2 for r in rows.values())
+    assert rows[1]["lo"] == 1.0 and rows[1]["hi"] == 2.0
+    assert rows[4]["lo"] == 7.0 and rows[4]["hi"] == 8.0
