@@ -34,9 +34,19 @@ _BOOST_THRESHOLD = 0.7
 
 
 def jaro_winkler(s1: str, s2: str) -> float:
-    """Pure-Python kernel (importable for tests and row-wise use)."""
+    """Pure-Python kernel (importable for tests and row-wise use).
+
+    Operates on UTF-8 BYTES, not code points — DuckDB's implementation
+    does, and on multi-byte text the two disagree (e.g. 'café'/'cafe'
+    is 0.848 over bytes, 0.883 over code points). Byte-level matching
+    keeps the cross-engine parity contract for any input; for ASCII
+    the two are identical anyway."""
     if s1 is None or s2 is None:
         return 0.0
+    if isinstance(s1, str):
+        s1 = s1.encode("utf-8")
+    if isinstance(s2, str):
+        s2 = s2.encode("utf-8")
     l1, l2 = len(s1), len(s2)
     if l1 == 0 or l2 == 0:
         return 0.0

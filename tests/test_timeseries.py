@@ -174,7 +174,7 @@ def test_jaro_winkler_matches_duckdb_fuzz():
     from dynamic_etl_pipeline_spark.functions.strsim import jaro_winkler
 
     rng = random.Random(42)
-    alpha = "abcdef "
+    alpha = "abcdef \u00e9\u00f6\u65e5"  # incl. multi-byte: byte-level matching
     cases = [("", ""), ("", "a"), ("abc", "abc"), ("a" * 30, "a" * 29 + "b")]
     for _ in range(500):
         n1, n2 = rng.randint(0, 12), rng.randint(0, 12)
