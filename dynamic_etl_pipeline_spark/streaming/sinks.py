@@ -687,3 +687,153 @@ def maintain_quality_split(stream_df, store_dir: str, checkpoint: str,
         return spark.read.parquet(*dirs)
 
     return _read("good"), _read("bad")
+
+
+def apply_decay_features_batch(batch_df, batch_id: int, store_dir: str,
+                               depth: int = 19) -> None:
+    """One micro-batch of the incremental exponential-decay feature
+    (the foreachBatch body of maintain_decay_features; the streaming
+    twin of queries/timeseries.py::events_decay_ewma and held to the
+    same batch-twin contract: drained output == the one-shot batch
+    query over the unioned, arrival-ordered events).
+
+    State is a per-user TAIL: the last ``depth`` (rn, cents) rows under
+    the cumulative per-user arrival order. Per batch: (1) new rows rank
+    on from the stored max rn; (2) their decayed sums band-join against
+    tail + batch (each row meets <= depth+1 partners — identical
+    integer kernel to the batch query: cents * 2^(depth-k), one final
+    division); (3) features land batch-addressed (replay = overwrite,
+    exactly-once under at-least-once delivery); (4) a full tail
+    snapshot is written for THIS batch id, and a replayed batch reads
+    the snapshot of the latest EARLIER batch, so recomputation is
+    deterministic.
+
+    Scale note: the tail snapshot is O(users * depth) per batch — the
+    right shape while user cardinality is storage-cheap (it is: 20
+    BIGINTs per user). Beyond that, the same per-key bounded-buffer
+    state moves into transformWithState/RocksDB (streaming/stateful.py)
+    with this function unchanged as the backfill path.
+    """
+    from pathlib import Path
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    spark = batch_df.sparkSession
+    store = Path(store_dir)
+    feat_dir = store / "features"
+    tail_dir = store / "tail"
+
+    def _bid(d):
+        return int(d.name.split("-", 1)[1])
+
+    prior = [
+        d for d in sorted(tail_dir.glob("batch-*"), key=_bid)
+        if _bid(d) < batch_id and any(d.glob("*.parquet"))
+    ]
+    cents = F.expr("cast(round(value * 100) as bigint)")
+    b = batch_df.select(
+        "user_id", "event_id", "ts", cents.alias("cents")
+    ).localCheckpoint(eager=True)
+    if prior:
+        tail = spark.read.parquet(str(prior[-1]))
+    else:
+        tail = spark.createDataFrame(
+            [], "user_id long, rn long, cents long, event_id long"
+        )
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base_rn = tail.groupBy("user_id").agg(F.max("rn").alias("rn0"))
+    ranked = (
+        b.withColumn("brn", F.row_number().over(w))
+        .join(F.broadcast(base_rn), "user_id", "left")
+        .select(
+            "user_id", "event_id", "cents",
+            (F.col("brn") + F.coalesce(F.col("rn0"), F.lit(0))).alias("rn"),
+        )
+    )
+    hist = tail.select("user_id", "rn", "cents").unionByName(
+        ranked.select("user_id", "rn", "cents")
+    )
+    cur = ranked.select(
+        F.col("user_id").alias("u"), "event_id", F.col("rn").alias("crn")
+    )
+    prev = hist.select(
+        F.col("user_id").alias("pu"), F.col("cents").alias("pc"),
+        F.col("rn").alias("prn"),
+    )
+    scaled = F.col("pc") * F.expr(
+        f"shiftleft(1L, {depth} - cast(crn - prn as int))"
+    )
+    denom = float(100 * (1 << depth))
+    feats = (
+        cur.join(
+            prev,
+            (F.col("u") == F.col("pu"))
+            & (F.col("prn") >= F.col("crn") - depth)
+            & (F.col("prn") <= F.col("crn")),
+        )
+        .groupBy(F.col("u").alias("user_id"), "event_id")
+        .agg(
+            F.count("*").cast("int").alias("n_terms"),
+            (F.sum(scaled).cast("double") / F.lit(denom)).alias("decayed_sum"),
+        )
+    )
+    feats.write.mode("overwrite").parquet(str(feat_dir / f"batch-{batch_id}"))
+
+    keep = Window.partitionBy("user_id").orderBy(F.desc("rn"))
+    new_tail = (
+        hist.join(
+            ranked.select("user_id", "rn", "event_id"), ["user_id", "rn"],
+            "left",
+        )
+        .withColumn("_k", F.row_number().over(keep))
+        .filter(F.col("_k") <= depth)
+        .select("user_id", "rn", "cents",
+                F.coalesce("event_id", F.lit(-1)).alias("event_id"))
+    )
+    new_tail.write.mode("overwrite").parquet(str(tail_dir / f"batch-{batch_id}"))
+
+
+def maintain_decay_features(stream_df, store_dir: str, checkpoint: str,
+                            depth: int = 19, timeout_s: int = 300):
+    """Streaming decay-feature maintenance: drain the event stream with
+    availableNow, computing each arriving event's exponential-decay sum
+    incrementally against per-user tail state. Returns the accumulated
+    (user_id, event_id, n_terms, decayed_sum) frame."""
+    from pathlib import Path
+
+    spark = stream_df.sparkSession
+
+    def _body(batch_df, batch_id):
+        apply_decay_features_batch(batch_df, batch_id, store_dir, depth=depth)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_body)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_s):
+            raise TimeoutError(
+                f"decay-feature drain did not finish within {timeout_s}s"
+            )
+    finally:
+        q.stop()
+    feat_dirs = [
+        str(d) for d in sorted((Path(store_dir) / "features").glob("batch-*"))
+        if any(d.glob("*.parquet"))
+    ]
+    if not feat_dirs:
+        from pyspark.sql import types as T
+
+        return spark.createDataFrame(
+            [], T.StructType([
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_id", T.LongType()),
+                T.StructField("n_terms", T.IntegerType()),
+                T.StructField("decayed_sum", T.DoubleType()),
+            ])
+        )
+    return spark.read.parquet(*feat_dirs)

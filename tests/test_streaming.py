@@ -485,3 +485,112 @@ def test_dedup_index_equals_batch_lsh_twin(spark, tmp_path):
     }
     assert s_pairs == batch_pairs
     assert s_pairs, "expected the near-dup family to pair"
+
+
+def test_decay_features_equals_batch_twin(spark, sf_dir, tmp_path):
+    """Streaming-twin contract for the incremental decay feature: the
+    fixture events drained in 4 arrival-ordered chunks must reproduce
+    the one-shot events_decay_ewma output EXACTLY (same integer kernel,
+    same band) for every event."""
+    from dynamic_etl_pipeline_spark.catalog import load_table
+    from dynamic_etl_pipeline_spark.queries import QUERIES
+    from dynamic_etl_pipeline_spark.streaming.sinks import (
+        apply_decay_features_batch,
+    )
+
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.count()
+    w = Window.partitionBy().orderBy("ts", "event_id")
+    ordered = ev.withColumn("_g", ((F.row_number().over(w) - 1) * 4 / n).cast("int"))
+
+    store = str(tmp_path / "decay_store")
+    for b in range(4):
+        apply_decay_features_batch(
+            ordered.filter(F.col("_g") == b).drop("_g"), b, store)
+
+    streamed = spark.read.parquet(f"{store}/features/*")
+    batch = QUERIES["events_decay_ewma"](spark, sf_dir)
+    got = {(r["user_id"], r["event_id"]): (r["n_terms"], r["decayed_sum"])
+           for r in streamed.collect()}
+    want = {(r["user_id"], r["event_id"]): (r["n_terms"], r["decayed_sum"])
+            for r in batch.collect()}
+    assert got == want  # bit-exact, every event
+
+
+def test_decay_features_replay_is_idempotent(spark, tmp_path):
+    """Re-applying a batch with the same batch id overwrites its own
+    output and recomputes from the PRIOR batch's tail snapshot — the
+    drained result is unchanged."""
+    import datetime as dt
+
+    from dynamic_etl_pipeline_spark.streaming.sinks import (
+        apply_decay_features_batch,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+    rows = [(i, t0 + dt.timedelta(minutes=i), 1, "click", float(i + 1), "{}")
+            for i in range(8)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    store = str(tmp_path / "replay_store")
+    apply_decay_features_batch(df.filter(F.col("event_id") < 4), 0, store)
+    apply_decay_features_batch(df.filter(F.col("event_id") >= 4), 1, store)
+    first = sorted(
+        (r["event_id"], r["n_terms"], r["decayed_sum"])
+        for r in spark.read.parquet(f"{store}/features/*").collect()
+    )
+    # replay batch 1 (at-least-once delivery)
+    apply_decay_features_batch(df.filter(F.col("event_id") >= 4), 1, store)
+    second = sorted(
+        (r["event_id"], r["n_terms"], r["decayed_sum"])
+        for r in spark.read.parquet(f"{store}/features/*").collect()
+    )
+    assert first == second
+    assert len(first) == 8
+    # cross-batch banding: event 4 decays over events 0-3 too
+    by_id = {e: (nt, ds) for e, nt, ds in first}
+    assert by_id[4][0] == 5  # 4 prior + itself
+
+
+def test_decay_features_streaming_drain(spark, tmp_path):
+    """End-to-end availableNow drain through a real file stream."""
+    import datetime as dt
+    import os
+    import shutil
+    import time as _t
+
+    from dynamic_etl_pipeline_spark.streaming.sinks import (
+        maintain_decay_features,
+    )
+    from dynamic_etl_pipeline_spark.streaming.source import stream_parquet_dir
+
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    for b in range(2):
+        rows = [(b * 3 + i, t0 + dt.timedelta(minutes=b * 3 + i), 7,
+                 "click", 8.0, "{}") for i in range(3)]
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite").parquet(str(feed / f"d{b}"))
+    for i, d in enumerate(sorted(feed.glob("d*"))):
+        part = next(d.glob("part-*.parquet"))
+        dest = feed / f"{i:03d}.parquet"
+        shutil.move(str(part), dest)
+        os.utime(dest, (_t.time() + i, _t.time() + i))
+        shutil.rmtree(d)
+
+    stream = stream_parquet_dir(
+        spark, str(feed),
+        spark.createDataFrame([], schema).schema, max_files_per_trigger=1)
+    feats = maintain_decay_features(
+        stream, str(tmp_path / "store"), str(tmp_path / "ckpt"))
+    got = {r["event_id"]: r["decayed_sum"] for r in feats.collect()}
+    assert len(got) == 6
+    # geometric series of 8.0 halvings: event 5 sees all six
+    assert got[0] == 8.0
+    assert got[5] == sum(8.0 / (1 << k) for k in range(6))
