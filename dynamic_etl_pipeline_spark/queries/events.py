@@ -400,3 +400,107 @@ def events_ohlc_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("close"),
         )
     )
+
+
+@query("events_session_paths", oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sessions AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_seq
+  FROM flagged
+), numbered AS (
+  SELECT user_id, event_type, session_seq,
+         row_number() OVER (PARTITION BY user_id, session_seq
+                            ORDER BY ts, event_id) AS rn
+  FROM sessions
+), paths AS (
+  SELECT user_id, session_seq,
+         string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM numbered WHERE rn <= 3
+  GROUP BY 1, 2
+)
+SELECT path, count(*) AS n_sessions
+FROM paths
+GROUP BY 1
+""")
+def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-of-session path analysis: the first three event types of
+    every 30-minute-gap session, joined into an ordered 'a>b>c' path,
+    counted across the corpus — the "how do sessions start" funnel
+    primitive. Reuses the lag->flag->cumulative-sum sessionizer
+    (events_sessionize); the path join is an ordered aggregation made
+    deterministic by sorting (rn, event_type) structs — collect_list
+    alone has no ordering contract under parallel merge. Shuffles:
+    one user window + one path count (path cardinality is tiny)."""
+    ev = load_table(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts") > F.lag("ts").over(w_order) + F.expr("INTERVAL 30 MINUTES"),
+            1,
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_seq", F.sum("new_session").over(w_run)
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+        ),
+    )
+    paths = (
+        numbered.filter(F.col("rn") <= 3)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+            ).alias("path")
+        )
+    )
+    return paths.groupBy("path").agg(F.count("*").alias("n_sessions"))
+
+
+@query("events_benford_profile", oracle="""
+SELECT event_type,
+       CAST(substr(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR), 1, 1)
+            AS INT) AS first_digit,
+       count(*) AS n
+FROM events
+WHERE value IS NOT NULL AND round(value * 100) >= 1
+GROUP BY 1, 2
+""")
+def events_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit profile per event type — the fraud/anomaly
+    screen over numeric feeds. The digit is extracted from the STRING
+    form of the cent-quantized integer (no log10/pow float path, no
+    locale), so the whole query is integer/string-exact. Map-side
+    projection + one low-cardinality aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.expr("cast(round(value * 100) as bigint)")
+    return (
+        ev.filter(F.col("value").isNotNull() & (cents >= 1))
+        .groupBy(
+            "event_type",
+            F.substring(cents.cast("string"), 1, 1).cast("int")
+            .alias("first_digit"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
