@@ -474,3 +474,72 @@ def test_random_date_exprs_agree(spark, duck, seed):
         body_t.format(u=unit, n=shift, f=d_field, tab="orders")
     ).fetchone()
     assert (s["nd"], int(s["fsum"])) == (d[0], int(d[1])), (unit, field, shift)
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_random_rank_bucket_specs_agree(spark, duck, seed):
+    """Random order-statistic bucketing (the events_equidepth_hist /
+    winsorize class): random bucket count B and random rank points over
+    a random partition key — bucket counts and rank-selected cutoff
+    values must agree exactly (integer rank arithmetic, no
+    interpolation)."""
+    rng = random.Random(7000 + seed)
+    B = rng.randint(2, 8)
+    part = rng.choice(["o_orderstatus", "o_orderpriority", "o_custkey % 5"])
+    p = rng.choice([0.01, 0.1, 0.25, 0.5, 0.9, 0.99])
+    body = (
+        "WITH r AS ("
+        "  SELECT {p} AS pk, o_orderkey, o_totalprice,"
+        "         row_number() OVER (PARTITION BY {p}"
+        "            ORDER BY round(o_totalprice, 4), o_orderkey) AS rn,"
+        "         count(*) OVER (PARTITION BY {p}) AS n"
+        "  FROM {t})"
+        "SELECT pk, CAST(1 + (((rn - 1) * {B}) / n) AS INT) AS bucket,"
+        "       count(*) AS cnt,"
+        "       max(CASE WHEN rn = GREATEST(CAST(1 AS BIGINT),"
+        "             CAST(ceil({q} * n) AS BIGINT)) THEN round(o_totalprice, 4)"
+        "           END) AS cut"
+        " FROM r GROUP BY 1, 2"
+    ).replace("{B}", str(B)).replace("{p}", part).replace("{q}", str(p))
+    # integer division spelling differs: Spark DIV, DuckDB //
+    s_rows = {
+        (r[0], r[1], r[2], r[3])
+        for r in spark.sql(
+            body.format(t="orders_diff").replace(f"* {B}) / n", f"* {B}) DIV n")
+        ).collect()
+    }
+    d_rows = {
+        (r[0], r[1], r[2], r[3])
+        for r in duck.execute(
+            body.format(t="orders").replace(f"* {B}) / n", f"* {B}) // n")
+        ).fetchall()
+    }
+    assert s_rows == d_rows, (B, part, p)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_session_gap_specs_agree(spark, duck, seed):
+    """Random sessionization gaps (1 min .. 3 days) over random keys:
+    session counts and max session length must agree — the lag->flag->
+    cumsum rewrite is gap-invariant."""
+    rng = random.Random(8000 + seed)
+    gap = rng.choice([1, 5, 30, 120, 720, 1440, 4320])
+    part = rng.choice(["o_custkey % 50", "o_custkey % 7"])
+    body = (
+        "WITH flagged AS ("
+        "  SELECT {p} AS pk, o_orderdate,"
+        "    CASE WHEN o_orderdate - lag(o_orderdate) OVER ("
+        "      PARTITION BY {p} ORDER BY o_orderdate, o_orderkey)"
+        f"      > INTERVAL '{{g}}' MINUTE THEN 1 ELSE 0 END AS ns"
+        "  FROM {t}), numbered AS ("
+        "  SELECT pk, sum(ns) OVER (PARTITION BY pk ORDER BY o_orderdate"
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq"
+        "  FROM flagged)"
+        "SELECT pk, count(DISTINCT seq) AS n_sessions,"
+        "       max(cnt) AS longest FROM ("
+        "  SELECT pk, seq, count(*) AS cnt FROM numbered GROUP BY 1, 2)"
+        " GROUP BY 1"
+    ).replace("{p}", part).replace("{g}", str(gap))
+    s_rows = {tuple(r) for r in spark.sql(body.format(t="orders_diff")).collect()}
+    d_rows = {tuple(r) for r in duck.execute(body.format(t="orders")).fetchall()}
+    assert s_rows == d_rows, (gap, part)
