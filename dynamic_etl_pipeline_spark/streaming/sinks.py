@@ -837,3 +837,107 @@ def maintain_decay_features(stream_df, store_dir: str, checkpoint: str,
             ])
         )
     return spark.read.parquet(*feat_dirs)
+
+
+def maintain_ols_trend(stream_df, store_dir: str, checkpoint: str,
+                       anchor_ts: str, timeout_s: int = 300):
+    """Streaming per-group OLS maintenance — the payoff of expressing
+    regression as SUFFICIENT STATISTICS (queries/timeseries.py::
+    events_ols_trend): (n, Σx, Σy, Σx², Σxy) are associative sums, so
+    the incremental merge is the SAME union->groupBy->sum shape as
+    maintain_incremental_rollup, cost proportional to the group
+    cardinality, never to accumulated history. Exactly-once via the
+    same atomic-pointer commit.
+
+    ``anchor_ts`` fixes the x origin (a stream can't know a global min
+    up front). The slope rational is mathematically anchor-INVARIANT
+    (n*Σxy - ΣxΣy and n*Σx² - (Σx)² are shift-invariant), so any
+    anchor yields the batch query's slope; matching the batch twin's
+    anchor also reproduces the raw sums bit-for-bit (pinned in tests).
+
+    Returns (event_type, n_points, sum_x, sum_y, sum_xx, sum_xy,
+    slope_num, slope_den) after an availableNow drain — same schema and
+    exact digit-string transport as the batch query.
+    """
+    import os
+    import shutil
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    spark = stream_df.sparkSession
+    store = Path(store_dir)
+    pointer = store / "CURRENT"
+
+    def partials(df):
+        base = df.filter(F.col("value").isNotNull()).select(
+            "event_type",
+            (F.unix_timestamp("ts")
+             - F.unix_timestamp(F.lit(anchor_ts).cast("timestamp"))).alias("x"),
+            F.expr("cast(round(value * 100) as bigint)").alias("y"),
+        )
+        dec = lambda c: F.sum(c.cast("decimal(38,0)"))  # noqa: E731
+        return base.groupBy("event_type").agg(
+            F.count("*").cast("decimal(38,0)").alias("n"),
+            dec(F.col("x")).alias("sx"),
+            dec(F.col("y")).alias("sy"),
+            dec(F.col("x") * F.col("x")).alias("sxx"),
+            dec(F.col("x") * F.col("y")).alias("sxy"),
+        )
+
+    def current_version():
+        return int(pointer.read_text()) if pointer.exists() else None
+
+    def merge_batch(batch_df, batch_id: int) -> None:
+        last = current_version()
+        if last is not None and last >= batch_id:
+            return  # replayed batch: already committed
+        new = partials(batch_df)
+        if last is not None:
+            new = (
+                spark.read.parquet(str(store / f"v-{last}"))
+                .unionByName(new)
+                .groupBy("event_type")
+                .agg(*[
+                    F.sum(c).cast("decimal(38,0)").alias(c)
+                    for c in ("n", "sx", "sy", "sxx", "sxy")
+                ])
+            )
+        vdir = store / f"v-{batch_id}"
+        new.write.mode("overwrite").parquet(str(vdir))
+        tmp = store / f"_CURRENT.tmp-{batch_id}"
+        tmp.write_text(str(batch_id))
+        os.replace(tmp, pointer)
+        if last is not None:
+            shutil.rmtree(store / f"v-{last}", ignore_errors=True)
+
+    q = (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_s):
+            raise TimeoutError(
+                f"OLS drain did not finish within {timeout_s}s"
+            )
+    finally:
+        q.stop()
+    stats = spark.read.parquet(str(store / f"v-{current_version()}"))
+    # cast to decimal(10,0) so n * sxy stays inside Spark's 38-digit cap
+    # (same finisher as the batch query)
+    n10 = F.col("n").cast("decimal(10,0)")
+    num = n10 * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = n10 * F.col("sxx") - F.col("sx") * F.col("sx")
+    return stats.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_points"),
+        F.col("sx").cast("bigint").alias("sum_x"),
+        F.col("sy").cast("bigint").alias("sum_y"),
+        F.col("sxx").cast("decimal(30,0)").cast("string").alias("sum_xx"),
+        F.col("sxy").cast("decimal(30,0)").cast("string").alias("sum_xy"),
+        num.cast("decimal(38,0)").cast("string").alias("slope_num"),
+        den.cast("decimal(38,0)").cast("string").alias("slope_den"),
+    )

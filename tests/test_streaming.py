@@ -594,3 +594,59 @@ def test_decay_features_streaming_drain(spark, tmp_path):
     # geometric series of 8.0 halvings: event 5 sees all six
     assert got[0] == 8.0
     assert got[5] == sum(8.0 / (1 << k) for k in range(6))
+
+
+def test_ols_trend_streaming_twin_and_anchor_invariance(spark, sf_dir, tmp_path):
+    """Incremental OLS == batch events_ols_trend when the anchor matches
+    the batch query's global-min origin (every column bit-for-bit); with
+    a DIFFERENT anchor the raw sums change but the slope rationals are
+    invariant — the shift-invariance that makes a streaming OLS with a
+    fixed anchor correct at all."""
+    import os
+    import shutil
+    import time as _t
+
+    from fractions import Fraction
+
+    from dynamic_etl_pipeline_spark.catalog import load_table
+    from dynamic_etl_pipeline_spark.queries import QUERIES
+    from dynamic_etl_pipeline_spark.streaming.sinks import maintain_ols_trend
+    from dynamic_etl_pipeline_spark.streaming.source import stream_parquet_dir
+
+    ev = load_table(spark, sf_dir, "events")
+    anchor = str(ev.agg(F.min("ts")).collect()[0][0])
+    schema = ev.schema
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    parts = ev.withColumn("_g", (F.col("event_id") % 3).cast("int"))
+    for b in range(3):
+        parts.filter(F.col("_g") == b).drop("_g").coalesce(1).write.mode(
+            "overwrite").parquet(str(feed / f"d{b}"))
+    for i, d in enumerate(sorted(feed.glob("d*"))):
+        part = next(d.glob("part-*.parquet"))
+        dest = feed / f"{i:03d}.parquet"
+        shutil.move(str(part), dest)
+        os.utime(dest, (_t.time() + i, _t.time() + i))
+        shutil.rmtree(d)
+
+    stream = stream_parquet_dir(spark, str(feed), schema,
+                                max_files_per_trigger=1)
+    got = maintain_ols_trend(
+        stream, str(tmp_path / "store"), str(tmp_path / "ckpt"), anchor)
+    want = QUERIES["events_ols_trend"](spark, sf_dir)
+    g = {r["event_type"]: tuple(r) for r in got.collect()}
+    w = {r["event_type"]: tuple(r) for r in want.collect()}
+    assert g == w  # bit-for-bit twin, including digit-string columns
+
+    # different anchor: sums differ, slope rationals identical
+    stream2 = stream_parquet_dir(spark, str(feed), schema,
+                                 max_files_per_trigger=1)
+    shifted = maintain_ols_trend(
+        stream2, str(tmp_path / "store2"), str(tmp_path / "ckpt2"),
+        "2023-12-25 00:00:00")
+    for r in shifted.collect():
+        base = w[r["event_type"]]
+        assert r["sum_x"] != base[2]  # anchor moved the sums
+        assert Fraction(int(r["slope_num"]), int(r["slope_den"])) == \
+               Fraction(int(base[6]), int(base[7]))
