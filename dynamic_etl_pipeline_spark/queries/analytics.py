@@ -1365,3 +1365,46 @@ def part_name_jw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jw") >= 0.88)
         .select("key_a", "key_b", "jw")
     )
+
+
+@query("part_pareto_frontier", oracle="""
+WITH ranked AS (
+  SELECT p_partkey, p_retailprice, p_size,
+         max(p_size) OVER (
+           ORDER BY round(p_retailprice, 4) ASC, p_partkey ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_size_so_far
+  FROM part
+)
+SELECT p_partkey, p_retailprice, p_size
+FROM ranked
+WHERE best_size_so_far IS NULL OR p_size > best_size_so_far
+""")
+def part_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) over (minimize price, maximize size):
+    a part is non-dominated iff no part is both cheaper-or-equal and
+    bigger. The naive formulation is a quadratic dominance anti-join;
+    the 2-D skyline REWRITES to one running-max window over the
+    price-sorted stream — keep a row iff its size beats every earlier
+    (cheaper) row's max size. Tie policy is part of the contract: equal
+    prices order by p_partkey, so among equal-price parts only a
+    strictly increasing size chain survives — identical on both
+    engines because the window order is total.
+
+    Scale note: a global-ordered window — justified here the same way
+    RFM's ntile is: the skyline input is the PART dimension (bounded,
+    dimension-sized), not a fact table. For fact-scale skylines the
+    documented rewrite is per-bucket local skylines on price ranges +
+    a skyline-of-skylines merge (same output, no total order)."""
+    p = load_table(spark, sf_dir, "part")
+    w = (
+        Window.orderBy(F.round("p_retailprice", 4).asc(), F.col("p_partkey").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = p.select(
+        "p_partkey", "p_retailprice", "p_size",
+        F.max("p_size").over(w).alias("best_size_so_far"),
+    )
+    return ranked.filter(
+        F.col("best_size_so_far").isNull()
+        | (F.col("p_size") > F.col("best_size_so_far"))
+    ).select("p_partkey", "p_retailprice", "p_size")

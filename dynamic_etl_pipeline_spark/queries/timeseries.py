@@ -415,3 +415,56 @@ def events_mode_value_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").alias("mode_count"),
         )
     )
+
+
+@query("events_quantile_normalize", oracle="""
+WITH per_type AS (
+  SELECT event_id, event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE value IS NOT NULL
+), gvals AS (
+  SELECT value AS gval,
+         row_number() OVER (ORDER BY value, event_id) AS grn
+  FROM events WHERE value IS NOT NULL
+), gtot AS (SELECT count(*) AS gn FROM gvals)
+SELECT p.event_id, p.value,
+       g.gval AS norm_value
+FROM per_type p
+CROSS JOIN gtot
+JOIN gvals g
+  ON g.grn = (p.rn * gn + p.n - 1) // p.n
+""")
+def events_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization across groups: each value maps to the
+    GLOBAL value at its within-group relative rank (index
+    ceil(rn*gn/n), all-integer arithmetic) — the rank-based feature
+    normalization that makes per-source distributions comparable
+    without fitting any parametric transform. No interpolation, no
+    floats in the mapping, so cross-engine exact.
+
+    Scale note: the exact form needs one global-order window over the
+    value column (rank assignment). The documented at-scale swap is the
+    broadcast equi-depth quantile table (events_equidepth_hist) as the
+    mapping target — same contract, resolution traded for no total
+    order."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    wt = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    per_type = ev.select(
+        "event_id", "value",
+        F.row_number().over(wt).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    glob = ev.select(
+        F.col("value").alias("gval"),
+        F.row_number().over(Window.orderBy("value", "event_id")).alias("grn"),
+    )
+    gn = ev.agg(F.count("*").alias("gn"))
+    return (
+        per_type.crossJoin(F.broadcast(gn))
+        .withColumn("_idx", F.expr("(rn * gn + n - 1) div n"))
+        .join(glob, F.col("_idx") == F.col("grn"))
+        .select("event_id", "value", F.col("gval").alias("norm_value"))
+    )

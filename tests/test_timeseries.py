@@ -273,3 +273,49 @@ def test_equidepth_hist_quartiles(spark, tmp_path):
     assert all(r["n_rows"] == 2 for r in rows.values())
     assert rows[1]["lo"] == 1.0 and rows[1]["hi"] == 2.0
     assert rows[4]["lo"] == 7.0 and rows[4]["hi"] == 8.0
+
+
+def test_pareto_frontier_semantics(spark, tmp_path):
+    """Hand-built 2D skyline: only non-dominated (cheap, big) points
+    survive; a point dominated on both axes is dropped even when it is
+    the unique holder of one value."""
+    import pandas as pd
+
+    parts = pd.DataFrame({
+        "p_partkey": [1, 2, 3, 4, 5],
+        "p_name": ["a", "b", "c", "d", "e"],
+        "p_brand": ["B"] * 5,
+        "p_type": ["T"] * 5,
+        # (price, size): 1:(10,5) 2:(20,9) 3:(15,5) 4:(30,9) 5:(12,7)
+        "p_size": [5, 9, 5, 9, 7],
+        "p_retailprice": [10.0, 20.0, 15.0, 30.0, 12.0],
+    })
+    sf = tmp_path / "sf_parts"
+    sf.mkdir()
+    spark.createDataFrame(parts).coalesce(1).write.mode("overwrite").parquet(
+        str(sf / "part.parquet")
+    )
+    keys = {r["p_partkey"] for r in
+            QUERIES["part_pareto_frontier"](spark, str(sf)).collect()}
+    # 3 dominated by 1 (cheaper, same size); 4 dominated by 2
+    assert keys == {1, 2, 5}
+
+
+def test_quantile_normalize_two_sources(spark, tmp_path):
+    """Two types with disjoint ranges map onto the same global ladder:
+    each type's max maps to the global max, and a type's median lands at
+    its relative rank in the global ordering."""
+    vals_a = [1.0, 2.0, 3.0, 4.0]       # low-range source
+    vals_b = [101.0, 102.0, 103.0, 104.0]  # high-range source
+    rows = [(i, T0 + dt.timedelta(minutes=i), 1, "a", v, "{}")
+            for i, v in enumerate(vals_a)]
+    rows += [(10 + i, T0 + dt.timedelta(minutes=i), 2, "b", v, "{}")
+             for i, v in enumerate(vals_b)]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {r["event_id"]: r["norm_value"] for r in
+           QUERIES["events_quantile_normalize"](spark, sf).collect()}
+    # global sorted ladder: 1,2,3,4,101,102,103,104 (gn=8); per-type n=4
+    # idx = ceil(rn*8/4) = 2,4,6,8 for both types
+    assert got[0] == 2.0 and got[1] == 4.0
+    assert got[2] == 102.0 and got[3] == 104.0
+    assert got[10] == 2.0 and got[13] == 104.0
