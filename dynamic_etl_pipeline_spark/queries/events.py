@@ -504,3 +504,83 @@ def events_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n"))
     )
+
+
+@query("events_max_concurrent_sessions", oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_seq
+  FROM flagged
+), sessions AS (
+  SELECT user_id, session_seq, min(ts) AS s, max(ts) AS e
+  FROM numbered GROUP BY 1, 2
+), boundaries AS (
+  SELECT s AS t, 1 AS delta, user_id, session_seq FROM sessions
+  UNION ALL
+  SELECT e AS t, -1 AS delta, user_id, session_seq FROM sessions
+), swept AS (
+  SELECT CAST(date_trunc('day', t) AS TIMESTAMP) AS day,
+         sum(delta) OVER (ORDER BY t, delta DESC, user_id, session_seq
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS concurrent
+  FROM boundaries
+)
+SELECT day, CAST(max(concurrent) AS INT) AS peak_concurrent
+FROM swept
+GROUP BY 1
+""")
+def events_max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day by SWEEP LINE: sessions become
+    +1/-1 boundary events, a running sum over the time-ordered
+    boundary stream is the concurrency curve, and the per-day max is
+    the peak. The boundary order is total (t, starts-before-ends at
+    the same instant via delta DESC, then session identity), so both
+    engines sweep identically — a zero-duration session still counts.
+
+    Scale note: the sweep window is global-ordered but runs over the
+    BOUNDARY stream (2 rows per session, orders of magnitude smaller
+    than events); the at-scale rewrite is per-day partitioned sweeps
+    seeded with the carried-in concurrency from a per-day open-session
+    count (documented, not needed at session cardinality)."""
+    ev = load_table(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts") > F.lag("ts").over(w_order) + F.expr("INTERVAL 30 MINUTES"),
+            1,
+        ).otherwise(0),
+    )
+    sessions = (
+        flagged.withColumn("session_seq", F.sum("new_session").over(w_run))
+        .groupBy("user_id", "session_seq")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    starts = sessions.select(
+        F.col("s").alias("t"), F.lit(1).alias("delta"), "user_id", "session_seq"
+    )
+    ends = sessions.select(
+        F.col("e").alias("t"), F.lit(-1).alias("delta"), "user_id", "session_seq"
+    )
+    sweep = Window.orderBy(
+        "t", F.desc("delta"), "user_id", "session_seq"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    swept = starts.unionByName(ends).select(
+        F.date_trunc("day", F.col("t")).cast("timestamp_ntz").alias("day"),
+        F.sum("delta").over(sweep).alias("concurrent"),
+    )
+    return swept.groupBy("day").agg(
+        F.max("concurrent").cast("int").alias("peak_concurrent")
+    )
