@@ -319,3 +319,52 @@ def test_quantile_normalize_two_sources(spark, tmp_path):
     assert got[0] == 2.0 and got[1] == 4.0
     assert got[2] == 102.0 and got[3] == 104.0
     assert got[10] == 2.0 and got[13] == 104.0
+
+
+def test_session_paths_null_event_type_and_singletons(spark, tmp_path):
+    """NULL event_type elements drop out of the path join on BOTH
+    engines (concat_ws and string_agg both skip NULLs) and a
+    single-event session yields a 1-step path."""
+    rows = [
+        (1, T0, 1, "a", 1.0, "{}"),
+        (2, T0 + dt.timedelta(minutes=1), 1, None, 1.0, "{}"),
+        (3, T0 + dt.timedelta(minutes=2), 1, "b", 1.0, "{}"),
+        # user 2: one lone event, new session far away
+        (4, T0, 2, "z", 1.0, "{}"),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {r["path"]: r["n_sessions"] for r in
+           QUERIES["events_session_paths"](spark, sf).collect()}
+    assert got == {"a>b": 1, "z": 1}
+
+
+def test_max_concurrent_sessions_overlap(spark, tmp_path):
+    """Three users with overlapping sessions: peak concurrency is 3 at
+    the overlap, and a zero-duration (single-event) session still
+    registers."""
+    rows = [
+        # user 1: 09:00-09:10
+        (1, T0, 1, "a", 1.0, "{}"),
+        (2, T0 + dt.timedelta(minutes=10), 1, "a", 1.0, "{}"),
+        # user 2: 09:05-09:15
+        (3, T0 + dt.timedelta(minutes=5), 2, "a", 1.0, "{}"),
+        (4, T0 + dt.timedelta(minutes=15), 2, "a", 1.0, "{}"),
+        # user 3: single event at 09:07 (zero-duration session)
+        (5, T0 + dt.timedelta(minutes=7), 3, "a", 1.0, "{}"),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    [r] = QUERIES["events_max_concurrent_sessions"](spark, sf).collect()
+    assert r["peak_concurrent"] == 3
+
+
+def test_benford_excludes_nonpositive(spark, tmp_path):
+    """Zero, negative, and NULL values are excluded; digits come from
+    cent-quantized integers (0.05 -> cents 5 -> digit 5)."""
+    vals = [0.0, -12.3, None, 0.05, 123.45, 9.99]
+    sf = _write_events(spark, tmp_path, [
+        (i, T0 + dt.timedelta(minutes=i), 1, "click", v, "{}")
+        for i, v in enumerate(vals)
+    ])
+    got = {r["first_digit"]: r["n"] for r in
+           QUERIES["events_benford_profile"](spark, sf).collect()}
+    assert got == {5: 1, 1: 1, 9: 1}
