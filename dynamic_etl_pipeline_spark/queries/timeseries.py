@@ -428,13 +428,13 @@ WITH per_type AS (
   SELECT value AS gval,
          row_number() OVER (ORDER BY value, event_id) AS grn
   FROM events WHERE value IS NOT NULL
-), gtot AS (SELECT count(*) AS gn FROM gvals)
-SELECT p.event_id, p.value,
-       g.gval AS norm_value
-FROM per_type p
-CROSS JOIN gtot
-JOIN gvals g
-  ON g.grn = (p.rn * gn + p.n - 1) // p.n
+), gtot AS (SELECT count(*) AS gn FROM gvals
+), mapped AS (
+  SELECT p.event_id, p.value, (p.rn * gn + p.n - 1) // p.n AS idx
+  FROM per_type p CROSS JOIN gtot
+)
+SELECT m.event_id, m.value, g.gval AS norm_value
+FROM mapped m JOIN gvals g ON g.grn = m.idx
 """)
 def events_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile normalization across groups: each value maps to the
