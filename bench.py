@@ -64,6 +64,8 @@ HEADLINE = [
     "dedup_keep_best_exact",    # jaccard edges -> components -> keep verdict (round 3)
     "jaccard_prefix_filter_pairs",  # PPJoin prefix-filtered similarity join (round 3)
     "events_decay_ewma",        # banded decay self-join, integer kernel (round 3)
+    "events_ols_trend",         # one-pass sufficient-statistic OLS (round 3)
+    "events_quantile_normalize",  # rank mapping onto the global ladder (round 3)
 ]
 
 

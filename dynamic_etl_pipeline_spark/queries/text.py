@@ -997,11 +997,12 @@ def dedup_keep_best_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("jaccard_prefix_filter_pairs", oracle="""
 WITH tk AS (
   SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-  WHERE len(string_split(text, ' ')) >= 3
+  WHERE len(string_split(text, ' ')) >= 5
 ), shingled AS (
   SELECT doc_id, unnest(list_distinct(list_transform(
-           range(1, len(toks) - 1),
-           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+           range(1, len(toks) - 3),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS shingle
   FROM tk
 ), counts AS (
   SELECT doc_id, count(*) AS n_sh FROM shingled GROUP BY doc_id
@@ -1019,7 +1020,7 @@ JOIN counts cb ON cb.doc_id = doc_b
 WHERE 8 * n_common >= 3 * (ca.n_sh + cb.n_sh)
 """)
 def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All document pairs with 3-gram-shingle Jaccard >= 0.6, found by
+    """All document pairs with word-5-gram-shingle Jaccard >= 0.6, found by
     PREFIX FILTERING (PPJoin, Xiao et al. 2008) instead of a full
     inverted-index join.
 
@@ -1047,31 +1048,41 @@ def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t_num, t_den = 3, 5  # tau = 0.6 = t_num/t_den
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
-    base = spread(d).select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 3)
-    shingled = base.select(
+    base = spread(d).select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 5)
+    # doc-level shingle ARRAYS are the primary representation: the
+    # exploded (doc, shingle) form exists only where an inverted index
+    # is genuinely needed (df counts, prefix candidate join);
+    # verification works on the arrays, so the full shingle frame is
+    # never shuffled for it (the round-3 5.7s -> ~3s rework)
+    arrs = base.select(
         "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("toks") - 2),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at(F.col("toks"), i),
-                        F.element_at(F.col("toks"), i + 1),
-                        F.element_at(F.col("toks"), i + 2),
-                    ),
-                )
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 4),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("toks"), i),
+                    F.element_at(F.col("toks"), i + 1),
+                    F.element_at(F.col("toks"), i + 2),
+                    F.element_at(F.col("toks"), i + 3),
+                    F.element_at(F.col("toks"), i + 4),
+                ),
             )
-        ).alias("shingle"),
-    )
-    counts = shingled.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+        ).alias("shingles"),
+    ).localCheckpoint(eager=True)
+    shingled = arrs.select("doc_id", F.explode("shingles").alias("shingle"))
+    counts = arrs.select("doc_id", F.size("shingles").alias("n_sh"))
     df_tbl = shingled.groupBy("shingle").agg(F.count("*").alias("df"))
     # Per-doc prefix: the p rarest shingles under the global (df, shingle)
     # order; p = n - ceil(tau*n) + 1, with ceil(tau*n) = ceil(n*t_num/t_den)
     # computed in integers: -floordiv(-n*t_num, t_den).
+    # df table is vocabulary-sized: broadcast it (SCALING.md documents
+    # the ~100M-term bound where this hint comes off), so the prefix
+    # pipeline costs ONE shuffle of the exploded frame (the per-doc
+    # window) instead of three
     ranked = (
-        shingled.join(df_tbl, "shingle")
-        .join(counts, "doc_id")
+        shingled.join(F.broadcast(df_tbl), "shingle")
+        .join(F.broadcast(counts), "doc_id")
         .withColumn(
             "rn",
             F.row_number().over(
@@ -1094,20 +1105,20 @@ def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sa = shingled.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = shingled.select(F.col("doc_id").alias("doc_b"), "shingle")
+    aa = arrs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("_sa"))
+    ab = arrs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("_sb"))
     inter = (
-        cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
+        cand.join(aa, "doc_a")
+        .join(ab, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.size(F.array_intersect("_sa", "_sb")).cast("bigint")
+            .alias("n_common"),
+            F.size("_sa").alias("_na"), F.size("_sb").alias("_nb"),
+        )
     )
-    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("_na"))
-    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("_nb"))
     return (
-        inter.join(ca, "doc_a")
-        .join(cb, "doc_b")
-        .filter(
+        inter.filter(
             (t_den + t_num) * F.col("n_common")
             >= t_num * (F.col("_na") + F.col("_nb"))
         )

@@ -121,14 +121,13 @@ def _write_docs(spark, tmp_path, texts):
 
 def test_prefix_filter_exact_threshold_pair(spark, tmp_path):
     """Two docs engineered to sit exactly AT Jaccard 0.6 (3 shared of 5
-    union shingles: 8*3 == 3*(4+4)) must be emitted — the >= boundary —
-    while a clearly-below pair must not."""
-    # doc1: tokens a b c d e f -> shingles {abc,bcd,cde,def} (4)
-    # doc2: tokens a b c d e g -> shingles {abc,bcd,cde,deg} (4)
-    # inter=3, union=5, J=0.6 exactly
-    d1 = "a b c d e f"
-    d2 = "a b c d e g"
-    d3 = "x y z w q r"
+    union 5-gram shingles: 8*3 == 3*(4+4)) must be emitted — the >=
+    boundary — while a clearly-below pair must not."""
+    # doc1: 8 tokens -> shingles {abcde,bcdef,cdefg,defgh} (4)
+    # doc2: same first 7 tokens, last differs -> inter=3, union=5, J=0.6
+    d1 = "a b c d e f g h"
+    d2 = "a b c d e f g x"
+    d3 = "q r s t u v w y"
     sf = _write_docs(spark, tmp_path, [d1, d2, d3])
     pairs = {(r["doc_a"], r["doc_b"]): r for r in
              QUERIES["jaccard_prefix_filter_pairs"](spark, sf).collect()}
