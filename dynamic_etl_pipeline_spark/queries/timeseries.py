@@ -468,3 +468,66 @@ def events_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(glob, F.col("_idx") == F.col("grn"))
         .select("event_id", "value", F.col("gval").alias("norm_value"))
     )
+
+
+@query("events_autocorr_lag1", oracle="""
+WITH r AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS y,
+         lag(CAST(round(value * 100) AS BIGINT)) OVER (
+           PARTITION BY event_type, user_id ORDER BY ts, event_id) AS yl
+  FROM events WHERE value IS NOT NULL
+), pairs AS (
+  SELECT event_type, y, yl FROM r WHERE yl IS NOT NULL
+), stats AS (
+  SELECT event_type,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(yl) AS HUGEINT) AS sl,
+         CAST(sum(y * y) AS HUGEINT) AS syy,
+         CAST(sum(yl * yl) AS HUGEINT) AS sll,
+         CAST(sum(y * yl) AS HUGEINT) AS syl
+  FROM pairs GROUP BY 1
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_pairs,
+       CAST(n * syl - sy * sl AS VARCHAR) AS cov_num,
+       CAST(n * syy - sy * sy AS VARCHAR) AS var_y_num,
+       CAST(n * sll - sl * sl AS VARCHAR) AS var_lag_num
+FROM stats
+""")
+def events_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the per-user value sequence, per event
+    type, as EXACT integer sufficient statistics: Pearson r between
+    (y_t, y_{t-1}) is cov_num / sqrt(var_y_num * var_lag_num) — the
+    three combined statistics are returned as digit strings (the same
+    >2^53 transport rule as events_ols_trend) and the single sqrt/
+    division is left to the caller. One user-window pass for the lag,
+    one hash aggregate; nothing iterates and nothing interpolates.
+    The serial-correlation screen for "is this feed i.i.d. or sticky"
+    on behavioral values."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cents = F.expr("cast(round(value * 100) as bigint)")
+    w = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    r = ev.select(
+        "event_type", cents.alias("y"), F.lag(cents).over(w).alias("yl")
+    ).filter(F.col("yl").isNotNull())
+    dec = lambda c: F.sum(c.cast("decimal(30,0)"))  # noqa: E731
+    stats = r.groupBy("event_type").agg(
+        F.count("*").cast("decimal(10,0)").alias("n"),
+        dec(F.col("y")).alias("sy"),
+        dec(F.col("yl")).alias("sl"),
+        dec(F.col("y") * F.col("y")).alias("syy"),
+        dec(F.col("yl") * F.col("yl")).alias("sll"),
+        dec(F.col("y") * F.col("yl")).alias("syl"),
+    )
+    return stats.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_pairs"),
+        (F.col("n") * F.col("syl") - F.col("sy") * F.col("sl"))
+        .cast("decimal(38,0)").cast("string").alias("cov_num"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .cast("decimal(38,0)").cast("string").alias("var_y_num"),
+        (F.col("n") * F.col("sll") - F.col("sl") * F.col("sl"))
+        .cast("decimal(38,0)").cast("string").alias("var_lag_num"),
+    )

@@ -367,3 +367,24 @@ def test_benford_excludes_nonpositive(spark, tmp_path):
     got = {r["first_digit"]: r["n"] for r in
            QUERIES["events_benford_profile"](spark, sf).collect()}
     assert got == {5: 1, 1: 1, 9: 1}
+
+
+def test_autocorr_lag1_perfect_and_none(spark, tmp_path):
+    """A strictly increasing sequence has lag-1 Pearson r == 1 exactly
+    (cov^2 == var_y * var_lag); a constant sequence has zero variance
+    numerators."""
+    from fractions import Fraction
+
+    rows = [(i, T0 + dt.timedelta(minutes=i), 1, "inc", float(i + 1), "{}")
+            for i in range(6)]
+    rows += [(10 + i, T0 + dt.timedelta(minutes=i), 1, "flat", 5.0, "{}")
+             for i in range(4)]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {r["event_type"]: r for r in
+           QUERIES["events_autocorr_lag1"](spark, sf).collect()}
+    inc = got["inc"]
+    cov, vy, vl = (int(inc["cov_num"]), int(inc["var_y_num"]),
+                   int(inc["var_lag_num"]))
+    assert Fraction(cov * cov, vy * vl) == 1 and cov > 0
+    flat = got["flat"]
+    assert int(flat["var_y_num"]) == 0 and int(flat["cov_num"]) == 0
