@@ -650,3 +650,28 @@ def test_ols_trend_streaming_twin_and_anchor_invariance(spark, sf_dir, tmp_path)
         assert r["sum_x"] != base[2]  # anchor moved the sums
         assert Fraction(int(r["slope_num"]), int(r["slope_den"])) == \
                Fraction(int(base[6]), int(base[7]))
+
+
+def test_decay_features_empty_batch_is_noop(spark, tmp_path):
+    """An empty micro-batch (availableNow can deliver one) must neither
+    crash nor disturb state: features and tails are unchanged for
+    subsequent batches."""
+    import datetime as dt
+
+    from dynamic_etl_pipeline_spark.streaming.sinks import (
+        apply_decay_features_batch,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    df = spark.createDataFrame(
+        [(1, t0, 1, "click", 4.0, "{}"),
+         (2, t0 + dt.timedelta(minutes=1), 1, "click", 4.0, "{}")], schema)
+    store = str(tmp_path / "empty_store")
+    apply_decay_features_batch(df.filter(F.col("event_id") == 1), 0, store)
+    apply_decay_features_batch(df.limit(0), 1, store)          # empty batch
+    apply_decay_features_batch(df.filter(F.col("event_id") == 2), 2, store)
+    got = {r["event_id"]: r["decayed_sum"] for r in
+           spark.read.parquet(f"{store}/features/*").collect()}
+    assert got == {1: 4.0, 2: 6.0}  # event 2 decays over event 1 across the gap
