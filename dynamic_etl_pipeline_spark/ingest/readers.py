@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .encoding import decode_bytes
+from ..materialize import materialize
 
 BINARY_SCHEMA_HINT = "path string, content binary"
 
@@ -319,7 +320,7 @@ def read_any(spark: SparkSession, path: str, format: str | None = None,
         ) from exc
     if on_error == "record":
         try:
-            return reader(spark, path, **kwargs).localCheckpoint(eager=True)
+            return reader(spark, path, **kwargs).transform(materialize)
         except Exception as exc:  # noqa: BLE001 - fallback is the contract
             return spark.createDataFrame(
                 [("", str(exc)[:500])],

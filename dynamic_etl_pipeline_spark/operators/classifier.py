@@ -31,6 +31,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..materialize import materialize
+
 
 def hashed_features(df: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text", dim: int = 256,
@@ -112,9 +114,9 @@ def train_logreg(feats: DataFrame, labels: DataFrame,
         .unionByName(lab.select(
             F.col(id_col), F.lit(dim).alias("bucket"), F.lit(1.0).alias("val")
         ))
-        .localCheckpoint(eager=True)  # re-read every iteration
+        .transform(materialize)  # re-read every iteration
     )
-    lab = lab.localCheckpoint(eager=True)
+    lab = lab.transform(materialize)
     n = lab.count()
     if n == 0:
         raise ValueError("train_logreg: empty training set")

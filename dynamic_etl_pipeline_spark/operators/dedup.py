@@ -34,6 +34,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
 
+from ..materialize import materialize
+
 logger = logging.getLogger(__name__)
 
 # Mersenne prime 2^61-1: permutation arithmetic stays in signed-64 range
@@ -345,7 +347,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     # twice (at cluster scale: persist signatures, join the stored table).
     sigs = minhash_signatures(
         df, id_col, text_col, num_perm, shingle_n, seed, udf_partitions
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
 
     if collapse_identical:
         # One representative (min id) per distinct signature VALUE.
@@ -354,7 +356,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
         reps = (
             sigs.groupBy("sig")
             .agg(F.min(id_col).alias(id_col), F.count("*").alias("_gn"))
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         # Fast path: a corpus with no exact-dup signatures (the common
         # case after an upstream exact dedup) needs no reconstruction —
@@ -377,7 +379,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     band_entries = band_postings(band_src, id_col, bands, r)
     if max_postings_per_band is not None:
         band_entries = _cap_postings(
-            band_entries.localCheckpoint(eager=True), max_postings_per_band
+            band_entries.transform(materialize), max_postings_per_band
         )
     left = band_entries.select(F.col("_id").alias("id_a"), "band_id", "band_hash")
     right = band_entries.select(F.col("_id").alias("id_b"), "band_id", "band_hash")
@@ -481,13 +483,13 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
     fp = (
         df.select(F.col(id_col).alias("_id"), simhash64(text_col).alias("fp"))
         .filter(F.col("fp").isNotNull())  # null/empty text has no fingerprint
-        .localCheckpoint(eager=True)  # fingerprint once, not once per join side
+        .transform(materialize)  # fingerprint once, not once per join side
     )
     if collapse_identical:
         reps = (
             fp.groupBy("fp")
             .agg(F.min("_id").alias("_id"), F.count("*").alias("_gn"))
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         # fast path: no duplicate fingerprints -> no reconstruction
         # needed (see minhash_lsh_pairs)
@@ -507,7 +509,7 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
     )
     if max_postings_per_chunk is not None:
         chunks = _cap_postings(
-            chunks.localCheckpoint(eager=True), max_postings_per_chunk,
+            chunks.transform(materialize), max_postings_per_chunk,
             keys=("chunk_id", "chunk_val"),
         )
     a = chunks.select(F.col("_id").alias("id_a"), F.col("fp").alias("fp_a"),
@@ -563,7 +565,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         # materialize once: every iteration joins edges twice, and without
         # this the full upstream plan (e.g. the LSH pipeline) re-executes
         # per round
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     labels = (
         edges.select(F.col("src").alias("id"))
@@ -591,7 +593,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
             .filter(F.col("u.component") != F.col("l.component"))
             .limit(1).count()
         )
-        labels = updated.localCheckpoint(eager=True)  # truncate lineage per round
+        labels = updated.transform(materialize)  # truncate lineage per round
         if changed == 0:
             break
     return labels

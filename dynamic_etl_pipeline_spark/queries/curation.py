@@ -17,7 +17,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..materialize import materialize
 from ..catalog import load_table
+from ..operators.shingles import drop_stop_shingles, word_ngram_postings
 from ._helpers import spread
 from .registry import query
 
@@ -512,37 +514,19 @@ def doc_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same inverted-index shape as ngram_jaccard_pairs (shingle-keyed
     self-join, never a doc cross join); the division is by the LEFT
-    doc's shingle count only. Hot-shingle skew carries the same
-    argument as the boilerplate pass: the pair aggregate keys on
-    (doc_a, doc_b) — spread by construction — and a stop-shingle cap
-    (drop shingles in > P% of docs, they carry no dedup signal)
-    bounds the worst case at corpus scale.
+    doc's shingle count only. Hot-shingle skew is bounded by the
+    stop-shingle cap (operators/shingles.py::drop_stop_shingles,
+    default-on): shingles in > max(100, 5% of docs) documents carry
+    no dedup signal and are dropped from the JOIN SIDES before the
+    self-join; the per-doc counts (the containment denominator) stay
+    uncapped, so surviving pairs score exactly.
     """
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    base = (
-        spread(d).select("doc_id", toks.alias("toks"))
-        .filter(F.size("toks") >= 3)
-    )
-    shingled = base.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("toks") - 3),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at(F.col("toks"), i + 1),
-                        F.element_at(F.col("toks"), i + 2),
-                        F.element_at(F.col("toks"), i + 3),
-                    ),
-                )
-            )
-        ).alias("shingle"),
-    ).localCheckpoint(eager=True)  # three consumers, one explode
+    shingled = word_ngram_postings(spread(d), 3).transform(materialize)
     counts = shingled.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = shingled.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = shingled.select(F.col("doc_id").alias("doc_b"), "shingle")
+    capped = drop_stop_shingles(shingled, label="doc_ngram_containment_pairs")
+    a = capped.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = capped.select(F.col("doc_id").alias("doc_b"), "shingle")
     pairs = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") != F.col("doc_b"))

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..materialize import materialize
 from ..catalog import load_table
 from ..operators.asof import asof_join
 from ..operators.dedup import connected_components, minhash_lsh_pairs, simhash_pairs
@@ -274,7 +275,7 @@ def multimodal_feature_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("text"),
         ).cast("binary").alias("payload"),
     )
-    feats = extract_features(media).localCheckpoint(eager=True)
+    feats = extract_features(media).transform(materialize)
     probes = feats.filter(F.col("media_id") < 3).select(
         F.col("media_id").alias("query_id"), F.col("feature")
     )

@@ -17,7 +17,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..materialize import materialize
 from ..catalog import load_table
+from ..operators.shingles import drop_stop_shingles, word_ngram_postings
 from ._helpers import davg, spread
 from .registry import query
 
@@ -296,37 +298,23 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage of the MinHash-LSH pipeline in operators/dedup.py, and is the
     scale-correct shape on its own (shuffle keyed by shingle, uniform).
     Jaccard is an int/int division — bit-deterministic, no rounding.
+
+    The per-doc shingle COUNTS come from the UNCAPPED postings (they
+    define the Jaccard denominator); only the join sides go through
+    ``drop_stop_shingles``, so a capped pair's jaccard is a lower
+    bound of the exact value (capped pairs ⊆ exact pairs — the fuzz
+    property in tests/test_differential.py).
     """
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    # the Filter between the two projections is a CollapseProject
-    # barrier: `toks` stays materialized, so the element_at accesses in
-    # the gram lambda hit a column attribute, not a re-evaluated split
-    base = spread(d).select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 3)
-    shingled = base.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("toks") - 3),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at(F.col("toks"), i + 1),
-                        F.element_at(F.col("toks"), i + 2),
-                        F.element_at(F.col("toks"), i + 3),
-                    ),
-                )
-            )
-        ).alias("shingle"),
-    )
     # Three consumers (both join sides + counts) would each recompute
     # the shingle explode; materialize it once (measured 1.5x at sf0.1).
     # At cluster scale: persist the shingled frame (or reuse the stored
     # signature table) instead of an executor-local checkpoint.
-    shingled = shingled.localCheckpoint(eager=True)
+    shingled = word_ngram_postings(spread(d), 3).transform(materialize)
     counts = shingled.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = shingled.alias("a")
-    b = shingled.alias("b")
+    capped = drop_stop_shingles(shingled, label="ngram_jaccard_pairs")
+    a = capped.alias("a")
+    b = capped.alias("b")
     pairs = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -941,30 +929,13 @@ def dedup_keep_best_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import connected_components
 
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    base = (
-        spread(d).select("doc_id", toks.alias("toks"))
-        .filter(F.size("toks") >= 3)
-    )
-    shingled = base.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("toks") - 3),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at(F.col("toks"), i + 1),
-                        F.element_at(F.col("toks"), i + 2),
-                        F.element_at(F.col("toks"), i + 3),
-                    ),
-                )
-            )
-        ).alias("shingle"),
-    ).localCheckpoint(eager=True)
+    shingled = word_ngram_postings(spread(d), 3).transform(materialize)
     cnt = shingled.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = shingled.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = shingled.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # stop-shingle cap on the join sides only (counts stay exact);
+    # at the 0.6 threshold a capped-out pair was boilerplate-only
+    capped = drop_stop_shingles(shingled, label="dedup_keep_best_exact")
+    a = capped.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = capped.select(F.col("doc_id").alias("doc_b"), "shingle")
     pairs = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -1069,7 +1040,7 @@ def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("shingles"),
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     shingled = arrs.select("doc_id", F.explode("shingles").alias("shingle"))
     counts = arrs.select("doc_id", F.size("shingles").alias("n_sh"))
     df_tbl = shingled.groupBy("shingle").agg(F.count("*").alias("df"))

