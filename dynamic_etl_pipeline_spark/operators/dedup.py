@@ -38,9 +38,17 @@ from ..materialize import materialize
 
 logger = logging.getLogger(__name__)
 
-# Mersenne prime 2^61-1: permutation arithmetic stays in signed-64 range
-# because shingle hashes are reduced mod 2^31-1 (max a*h + b < 2^62).
-_MERSENNE = (1 << 61) - 1
+# MinHash permutations are affine maps h(g) = (a*g + b) mod p over the
+# gram universe [0, p) with p = 2^31-1 (Mersenne prime). The modulus
+# MUST equal the universe size: with a 2^61-scale modulus over 2^31
+# inputs, a*g+b wraps at most once, so for every a < 2^30 NOTHING
+# wraps and the "permutation" preserves the natural order — the argmin
+# is the globally smallest gram for half of all draws, destroying
+# min-wise independence (caught by tests/test_dedup_fuzz.py: measured
+# agreement 0.34 on a true-Jaccard-0.82 pair). With p = 2^31-1 the
+# product a*g spans ~2^62 ≈ 2^31 * p, wrapping ~2^31 times — the
+# standard Carter-Wegman construction — and arithmetic still fits
+# signed-64 (max a*g + b < 2^62 + 2^31).
 _M31 = (1 << 31) - 1
 
 
@@ -72,9 +80,10 @@ def shingle_ngrams(col: Column | str, n: int = 3) -> Column:
 
 
 def _perm_coeffs(num_perm: int, seed: int) -> list[tuple[int, int]]:
+    # a in [1, p), b in [0, p): the Carter-Wegman family over Z_p
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, 1 << 31, size=num_perm, dtype=np.int64)
-    b = rng.integers(0, 1 << 31, size=num_perm, dtype=np.int64)
+    a = rng.integers(1, _M31, size=num_perm, dtype=np.int64)
+    b = rng.integers(0, _M31, size=num_perm, dtype=np.int64)
     return list(zip(a.tolist(), b.tolist()))
 
 
@@ -140,7 +149,7 @@ def _sig_udf(num_perm: int, seed: int, shingle_n: int):
         np.cumsum(seg[:-1], out=goffs[1:])
         mins = np.empty((len(seg), num_perm), dtype=np.int64)
         for i in range(num_perm):
-            vals = (A[i] * gvalid + B[i]) % _MERSENNE
+            vals = (A[i] * gvalid + B[i]) % _M31
             mins[:, i] = np.minimum.reduceat(vals, goffs)
         j = 0
         for row, gc in enumerate(gcounts):

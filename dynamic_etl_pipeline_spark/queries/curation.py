@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from ..materialize import materialize
 from ..catalog import load_table
 from ..operators.shingles import drop_stop_shingles, word_ngram_postings
+from ..operators.twolevel import two_level_running_sum
 from ._helpers import spread
 from .registry import query
 
@@ -455,25 +456,26 @@ def corpus_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     packing. A document is taken while the budget is not yet full
     when it starts (the last doc may overflow, standard fill rule).
 
-    Shape: one running-sum window per source. Source cardinality is
-    small (one partition per source holds the whole domain), so at
-    100 TB the per-source sort is the bottleneck — the documented
-    rewrite is the same two-level prefix sum corpus_pack_sequences
-    uses (bucket by hash(doc) within source, local cumsum, broadcast
-    per-bucket offsets); output contract is identical.
+    Shape: source cardinality is small (a per-source window holds the
+    whole domain in one task), so the running sum goes through the
+    two-level bucketed prefix sum (operators/twolevel.py) partitioned
+    by source: the bucket is -n_chars DIV 256 — monotone ascending in
+    the (n_chars DESC, doc_id) order — so per-bucket local cumsums +
+    broadcast bucket offsets reproduce the greedy fill exactly with
+    no source-sized sort in a single task.
     """
     d = spread(load_table(spark, sf_dir, "documents"))
     t = d.select(
         "doc_id", "source", "n_chars",
         F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     return (
-        t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        two_level_running_sum(
+            t, val="n_tokens",
+            order_cols=[F.desc("n_chars"), F.asc("doc_id")],
+            bucket=F.floor(-F.col("n_chars") / F.lit(256)).cast("long"),
+            out_col="cum_tokens", part_cols=["source"],
+        )
         .filter(F.col("cum_tokens") - F.col("n_tokens") < _TOKEN_BUDGET)
         .select("doc_id", "source", "n_tokens", "cum_tokens")
     )

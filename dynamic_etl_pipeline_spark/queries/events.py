@@ -461,20 +461,21 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
         ),
     )
+    arr = F.transform(
+        F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+        lambda s: s["event_type"],
+    )
+    # 3VL parity (ADVICE r3): string_agg over all-NULL input is NULL,
+    # concat_ws is '' — emit NULL when no non-null type exists so an
+    # all-NULL session lands in the same path group on both engines
+    # (partial-NULL paths already agree: both sides skip NULLs)
+    path = F.when(
+        F.size(F.filter(arr, lambda x: x.isNotNull())) == 0, F.lit(None)
+    ).otherwise(F.concat_ws(">", arr))
     paths = (
         numbered.filter(F.col("rn") <= 3)
         .groupBy("user_id", "session_seq")
-        .agg(
-            F.concat_ws(
-                ">",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("rn", "event_type"))
-                    ),
-                    lambda s: s["event_type"],
-                ),
-            ).alias("path")
-        )
+        .agg(path.alias("path"))
     )
     return paths.groupBy("path").agg(F.count("*").alias("n_sessions"))
 

@@ -343,8 +343,12 @@ def events_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     wall (1) — so every value that can exceed 2^53 ships as a STRING
     of digits (exact at any scale); sum_x/sum_y stay BIGINT (bounded
     far below 2^53)."""
-    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    t0 = ev.agg(F.min("ts").alias("t0"))
+    all_ev = load_table(spark, sf_dir, "events")
+    # anchor at the UNFILTERED min(ts) — the oracle's scalar subquery is
+    # over all events, so both sides must define t0 on the same row set
+    # even when the globally earliest event has a NULL value (ADVICE r3)
+    t0 = all_ev.agg(F.min("ts").alias("t0"))
+    ev = all_ev.filter(F.col("value").isNotNull())
     base = ev.crossJoin(F.broadcast(t0)).select(
         "event_type",
         (F.unix_timestamp("ts") - F.unix_timestamp("t0")).alias("x"),

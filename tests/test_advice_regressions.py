@@ -295,3 +295,45 @@ def test_dedup_index_bad_band_config_valueerror(spark, tmp_path):
     with pytest.raises(ValueError, match="divisible"):
         apply_dedup_index_batch(df, 0, str(tmp_path / "idx"),
                                 num_perm=64, bands=13)
+
+
+def test_session_paths_all_null_session_is_null_path(spark, tmp_path):
+    """Round-3 ADVICE: a session whose first <=3 events ALL have NULL
+    event_type must land in the NULL path group (string_agg semantics),
+    not '' (bare concat_ws) — and partial-NULL paths skip NULLs."""
+    import duckdb
+
+    from dynamic_etl_pipeline_spark.queries import ORACLES, QUERIES
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    # user A: one session, all-NULL types; user B: partial-NULL session
+    ev = ev.withColumn(
+        "event_type",
+        F.when(F.col("user_id") == 1, F.lit(None))
+        .when(
+            (F.col("user_id") == 2) & (F.col("event_id") % 2 == 0),
+            F.lit(None),
+        )
+        .otherwise(F.col("event_type")),
+    )
+    d = str(tmp_path / "sfnullpath")
+    import shutil
+
+    shutil.copytree("/root/testdata/sf0.001", d)
+    ev.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    got = {
+        r["path"]: r["n_sessions"]
+        for r in QUERIES["events_session_paths"](spark, d).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{d}/events.parquet/*.parquet')"
+    )
+    want = {
+        row[0]: row[1]
+        for row in con.execute(ORACLES["events_session_paths"]).fetchall()
+    }
+    assert None in want, "injection produced no all-NULL session"
+    assert got == want

@@ -175,7 +175,7 @@ def test_jaro_winkler_matches_duckdb_fuzz():
     rng = random.Random(42)
     alpha = "abcdef \u00e9\u00f6\u65e5"  # incl. multi-byte: byte-level matching
     cases = [("", ""), ("", "a"), ("abc", "abc"), ("a" * 30, "a" * 29 + "b")]
-    for _ in range(500):
+    for _ in range(4496):  # 4500 total with the fixed shapes (COVERAGE.md)
         n1, n2 = rng.randint(0, 12), rng.randint(0, 12)
         s1 = "".join(rng.choice(alpha) for _ in range(n1))
         s2 = "".join(rng.choice(alpha) for _ in range(n2))
