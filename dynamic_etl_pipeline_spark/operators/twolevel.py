@@ -110,6 +110,49 @@ def two_level_running_sum(df: DataFrame, val: Column | str,
     ).drop(_BUCKET, _LOCAL, _OFF)
 
 
+def two_level_running_max(df: DataFrame, val: Column | str,
+                          order_cols: Sequence[Column | str], bucket: Column,
+                          out_col: str, inclusive: bool = False,
+                          part_cols: Sequence[str] = ()) -> DataFrame:
+    """Exact ``max(val) OVER (ORDER BY order_cols ROWS BETWEEN
+    UNBOUNDED PRECEDING AND {CURRENT ROW | 1 PRECEDING})`` without a
+    single-partition window — the skyline/frontier shape. With
+    ``inclusive=False`` (the skyline default) the first row of the
+    whole order gets NULL, matching the empty exclusive frame.
+
+    Max is associative AND idempotent, so bucket decomposition is
+    exact for any dtype (no float-association caveat): out = greatest
+    of (max over all prior buckets, local running max) — Spark's
+    ``greatest`` skips NULLs, which is exactly the empty-frame
+    semantics needed at bucket starts.
+    """
+    part_cols = list(part_cols)
+    v = F.col(val) if isinstance(val, str) else val
+    b = df.withColumn(_BUCKET, bucket)
+    end = 0 if inclusive else -1
+    w_local = (
+        Window.partitionBy(*part_cols, _BUCKET).orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, end)
+    )
+    local = b.withColumn(_LOCAL, F.max(v).over(w_local))
+    per_bucket = local.groupBy(*part_cols, _BUCKET).agg(
+        F.max(v).alias("_tl_tot")
+    )
+    if part_cols:
+        w_off = Window.partitionBy(*part_cols).orderBy(_BUCKET)
+    else:
+        w_off = Window.partitionBy(
+            F.pmod(F.col(_BUCKET), F.lit(1))).orderBy(_BUCKET)
+    w_off = w_off.rowsBetween(Window.unboundedPreceding, -1)
+    off = per_bucket.select(
+        *part_cols, _BUCKET, F.max("_tl_tot").over(w_off).alias(_OFF)
+    )
+    joined = local.join(F.broadcast(off), part_cols + [_BUCKET])
+    return joined.withColumn(
+        out_col, F.greatest(F.col(_OFF), F.col(_LOCAL))
+    ).drop(_BUCKET, _LOCAL, _OFF)
+
+
 def ntile_from_rank(rank: Column, n_rows: Column, tiles: int) -> Column:
     """Reconstruct ``ntile(tiles)`` from an exact global rank and the
     partition row count — the closed form of SQL ntile's "first

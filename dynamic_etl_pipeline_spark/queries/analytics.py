@@ -27,7 +27,12 @@ from pyspark.sql import functions as F
 
 from ..materialize import materialize
 from ..catalog import load_table
-from ..operators.twolevel import ntile_from_rank, two_level_row_number
+from ..operators.twolevel import (
+    ntile_from_rank,
+    two_level_row_number,
+    two_level_running_max,
+    two_level_running_sum,
+)
 from ._helpers import dsum, ntz
 from .registry import query
 
@@ -1204,9 +1209,10 @@ WITH rev AS (
   FROM lineitem
 ), ranked AS (
   SELECT l_partkey, part_rev,
-         sum(part_rev) OVER (ORDER BY round(part_rev, 4) DESC, l_partkey
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS cum_rev
+         CAST(sum(CAST(part_rev AS DECIMAL(27,4)))
+              OVER (ORDER BY round(part_rev, 4) DESC, l_partkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DOUBLE) AS cum_rev
   FROM rev
 )
 SELECT l_partkey, round(part_rev, 4) AS part_rev,
@@ -1222,21 +1228,25 @@ def part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROUNDED revenue + partkey so both engines walk an identical
     sequence.
 
-    Scale note: the cumulative window is global-ordered over the
-    per-part frame (|parts| << |lineitem|) — acceptable when the
-    grouped domain is bounded; the row-level fact table never sees a
-    global sort."""
+    Scale shape (r4): the running total goes through the two-level
+    bucketed prefix sum (operators/twolevel.py) with floor(-rounded
+    revenue) buckets. The accumulation is EXACT DECIMAL on both sides
+    (two-level regrouping changes float association order, so a double
+    running sum could flip a threshold ulp; decimal is associative),
+    making the decomposition bit-exact. No part-dimension total order
+    in one task."""
     li = load_table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(dsum("l_extendedprice").alias("part_rev"))
     tot = li.agg(dsum("l_extendedprice").alias("total_rev"))
-    w = (
-        Window.orderBy(F.round(F.col("part_rev"), 4).desc(), F.col("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, 0)
+    cum = two_level_running_sum(
+        rev, val=F.col("part_rev").cast("decimal(27,4)"),
+        order_cols=[F.round(F.col("part_rev"), 4).desc(), F.col("l_partkey")],
+        bucket=F.floor(-F.round(F.col("part_rev"), 4)).cast("long"),
+        out_col="cum_rev",
     )
-    share = F.col("cum_rev") / F.col("total_rev")
+    share = F.col("cum_rev").cast("double") / F.col("total_rev")
     return (
-        rev.withColumn("cum_rev", F.sum("part_rev").over(w))
-        .crossJoin(F.broadcast(tot))
+        cum.crossJoin(F.broadcast(tot))
         .select(
             "l_partkey",
             F.round("part_rev", 4).alias("part_rev"),
@@ -1422,19 +1432,23 @@ def part_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     strictly increasing size chain survives — identical on both
     engines because the window order is total.
 
-    Scale note: a global-ordered window — justified here the same way
-    RFM's ntile is: the skyline input is the PART dimension (bounded,
-    dimension-sized), not a fact table. For fact-scale skylines the
-    documented rewrite is per-bucket local skylines on price ranges +
-    a skyline-of-skylines merge (same output, no total order)."""
+    Scale shape (r4): the running max runs through the two-level
+    bucketed form (operators/twolevel.py::two_level_running_max,
+    exclusive frame) with floor(price) buckets — per-bucket local
+    skylines + a one-row-per-bucket prefix max, the classic
+    skyline-of-skylines merge, exact for max by idempotence. No
+    part-dimension total order in one task."""
     p = load_table(spark, sf_dir, "part")
-    w = (
-        Window.orderBy(F.round("p_retailprice", 4).asc(), F.col("p_partkey").asc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    ranked = p.select(
-        "p_partkey", "p_retailprice", "p_size",
-        F.max("p_size").over(w).alias("best_size_so_far"),
+    ranked = two_level_running_max(
+        p.select("p_partkey", "p_retailprice", "p_size"),
+        val="p_size",
+        order_cols=[F.round("p_retailprice", 4).asc(),
+                    F.col("p_partkey").asc()],
+        # bucket on the ROUNDED value: the order key is round(price, 4),
+        # and a bucket from the raw price could split an order-key tie
+        # across buckets at an integer boundary
+        bucket=F.floor(F.round("p_retailprice", 4)).cast("long"),
+        out_col="best_size_so_far", inclusive=False,
     )
     return ranked.filter(
         F.col("best_size_so_far").isNull()

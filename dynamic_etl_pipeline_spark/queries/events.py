@@ -268,10 +268,12 @@ def events_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFr
     unsupported in Spark AND DuckDB; the scalable rewrite is the
     operator: distinct = sum of first-appearances, so reduce each user
     to their first-seen day (one groupBy on user_id), roll first-days
-    up to daily counts, and prefix-sum over the (tiny) day spine. The
+    up to daily counts, and prefix-sum over the day spine. The
     expensive step shuffles O(users) once — never a per-day distinct
-    rescan; the global-order window runs over rows = distinct days,
-    which is bounded and safe.
+    rescan; the day-spine prefix sum runs through the two-level
+    bucketed form (monthly buckets) so even a decades-long spine never
+    lands in one window task (r4; integer counts, so the
+    decomposition is trivially exact).
     """
     ev = load_table(spark, sf_dir, "events")
     firsts = (
@@ -280,14 +282,17 @@ def events_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFr
     )
     daily_new = firsts.groupBy("d").agg(F.count("*").alias("new_users"))
     days = ev.select(F.to_date("ts").alias("d")).distinct()
-    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
-    return (
+    spine = (
         days.join(daily_new, "d", "left")
         .withColumn("new_users", F.coalesce("new_users", F.lit(0)))
-        .withColumn(
-            "cumulative_users",
-            F.sum("new_users").over(w).cast("long"),
+    )
+    return (
+        two_level_running_sum(
+            spine, val="new_users", order_cols=["d"],
+            bucket=F.floor(F.unix_date("d") / F.lit(32)).cast("long"),
+            out_col="cumulative_users",
         )
+        .withColumn("cumulative_users", F.col("cumulative_users").cast("long"))
         .select(F.col("d").cast("timestamp_ntz").alias("day"), "new_users",
                 "cumulative_users")
     )

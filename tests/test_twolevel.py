@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from dynamic_etl_pipeline_spark.operators.twolevel import (
     ntile_from_rank,
     two_level_row_number,
+    two_level_running_max,
     two_level_running_sum,
 )
 from dynamic_etl_pipeline_spark.plans import formatted_plan
@@ -88,6 +89,26 @@ def test_running_sum_matches_with_negative_values(spark):
     )
 
 
+def test_running_max_exclusive_matches_window(spark):
+    # skyline shape: exclusive frame, NULL for the global first row,
+    # bucket boundaries must carry the prior buckets' max across
+    rows = [(i, (i * 37) % 50, (i * 17) % 23) for i in range(200)]
+    df = spark.createDataFrame(rows, ["k", "price", "size"])
+    serial = df.withColumn(
+        "best",
+        F.max("size").over(
+            Window.orderBy("price", "k")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        ),
+    )
+    two = two_level_running_max(
+        df, val="size", order_cols=["price", "k"],
+        bucket=F.floor(F.col("price") / 8).cast("long"),
+        out_col="best", inclusive=False,
+    )
+    assert _rows(two, "k", "best") == _rows(serial, "k", "best")
+
+
 def test_ntile_from_rank_matches_ntile(spark):
     # n=10/tiles=4 exercises the fat-tile split; n=3/tiles=4 the
     # degenerate base=0 case (every row its own tile)
@@ -119,7 +140,9 @@ def test_rewritten_queries_have_no_unpartitioned_data_window(spark, sf_dir):
     bucket). A data-sized global window shows up as a
     windowspecdefinition whose first argument is the ORDER column."""
     for name in ("events_quantile_normalize", "events_max_concurrent_sessions",
-                 "rfm_segments"):
+                 "rfm_segments", "part_abc_classification",
+                 "part_pareto_frontier", "events_cumulative_distinct_users",
+                 "corpus_token_budget_fill"):
         plan = formatted_plan(QUERIES[name](spark, sf_dir))
         for line in plan.splitlines():
             if "windowspecdefinition(" not in line:
@@ -130,4 +153,5 @@ def test_rewritten_queries_have_no_unpartitioned_data_window(spark, sf_dir):
                 "_tl_bucket" in first_arg or "pmod" in first_arg
                 or "_w" in first_arg  # projected pmod(bucket, 1) key
                 or "user_id" in first_arg or "event_type" in first_arg
+                or "source" in first_arg  # part_cols leading _tl_bucket
             ), f"{name}: unpartitioned data window: {line.strip()}"
