@@ -469,6 +469,77 @@ def streaming_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataF
         shutil.rmtree(stage, ignore_errors=True)
 
 
+@query("streaming_stream_stream_right_join", oracle="""
+SELECT p.event_id AS purchase_id, c.event_id AS click_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+RIGHT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id
+ AND c.ts >= p.ts - INTERVAL '1 hour'
+ AND c.ts < p.ts
+""")
+def streaming_stream_stream_right_join(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """RIGHT OUTER stream-stream interval join — the click-preserving
+    mirror of the LEFT variant (r4: completes the stream-stream outer
+    matrix: inner, left, right, full). Same watermark-closure
+    semantics with sides swapped: an unmatched click null-extends only
+    once the watermark proves no purchase within its forward hour can
+    still arrive; the sentinel replay forces that flush at end of
+    input. Held to the full batch RIGHT JOIN oracle.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..session import tune
+    from ..streaming.source import stream_events_dir
+
+    tune(spark)
+    stage, schema = _stage_event_sentinels(
+        spark, sf_dir,
+        lambda i, ts: [(-(2 * i), ts, -1, "click", 0.0, "{}"),
+                       (-(2 * i + 1), ts, -2, "purchase", 0.0, "{}")],
+    )
+    try:
+        events = stream_events_dir(
+            spark, str(stage), schema, max_files_per_trigger=1
+        )
+        clicks = (
+            events.filter(F.col("event_type") == "click")
+            .select(
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+                F.col("event_id").alias("click_id"),
+            )
+            .withWatermark("c_ts", "2 hours")
+        )
+        purchases = (
+            events.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+                F.col("event_id").alias("purchase_id"),
+            )
+            .withWatermark("p_ts", "2 hours")
+        )
+        joined = purchases.join(
+            clicks,
+            F.expr("""
+                c_user = p_user
+                AND c_ts >= p_ts - INTERVAL 1 HOUR
+                AND c_ts < p_ts
+            """),
+            "rightOuter",
+        ).select("purchase_id", "click_id")
+        drained = run_available_now_to_memory(joined, output_mode="append")
+        return (
+            drained.filter(F.col("click_id") >= 0)
+            .transform(materialize)
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
 @query("streaming_stream_stream_full_join", oracle="""
 SELECT p.event_id AS purchase_id, c.event_id AS click_id
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p

@@ -370,9 +370,14 @@ def test_ohlc_two_exchanges_only(spark, sf_dir):
     assert not has_operator(df, "CartesianProduct")
 
 
-def test_token_budget_fill_is_one_window_pass(spark, sf_dir):
+def test_token_budget_fill_two_level_windows(spark, sf_dir):
+    # r4: the per-source fill runs the two-level prefix sum — exactly
+    # two Window ops (bucket-local cumsum + one-row-per-bucket offsets),
+    # both with a real partition spec, and still zero Python
     df = QUERIES["corpus_token_budget_fill"](spark, sf_dir)
-    assert _op_count(df, "Window") == 1, formatted_plan(df)
+    plan = formatted_plan(df)
+    assert _op_count(df, "Window") == 2, plan
+    assert "windowspecdefinition(source" in plan, plan
     assert python_eval_count(df) == 0
 
 
