@@ -619,3 +619,22 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_WS_K)
         .select("doc_id", "weight", F.round("skey", 6).alias("sample_key"))
     )
+
+
+@query("bpe_train_merges")  # rows-only: iterative driver-loop trainer
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first 8 BPE merges over the documents corpus with the
+    distributed trainer (operators/bpe.py) — the merge-TABLE learning
+    loop, not just one pair-count step (that one is bpe_merge_pairs).
+    Corpus-sized work happens once (word-frequency reduction); each
+    iteration is vocabulary-sized with exactly one argmax row crossing
+    to the driver, so merge count scales the driver loop, not the
+    shuffle volume. Checked against a pure-Python Sennrich BPE
+    reference (exact merge sequence incl. tie-breaks and
+    leftmost-first overlap semantics) and for partition invariance in
+    tests/test_bpe.py; rows-only here because an iterative trainer is
+    not single-statement SQL."""
+    from ..operators.bpe import bpe_merges_df
+
+    d = load_table(spark, sf_dir, "documents")
+    return bpe_merges_df(spark, d.select("text"), num_merges=8)
