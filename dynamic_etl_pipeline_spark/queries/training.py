@@ -638,3 +638,60 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return bpe_merges_df(spark, d.select("text"), num_merges=8)
+
+
+@query("corpus_mixture_temperature", oracle="""
+WITH per_src AS (
+  SELECT source,
+         count(*) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), scored AS (
+  SELECT source, n_docs, n_tokens,
+         round(sqrt(CAST(n_tokens AS DOUBLE)), 6) AS w_raw
+  FROM per_src
+), tot AS (
+  SELECT CAST(sum(CAST(w_raw AS DECIMAL(27,6))) AS DOUBLE) AS w_tot
+  FROM scored
+)
+SELECT source, n_docs, n_tokens, w_raw,
+       round(w_raw / w_tot, 6) AS weight,
+       round((w_raw / w_tot) * 1000000 / n_tokens, 6) AS tokens_rate
+FROM scored CROSS JOIN tot
+""")
+def corpus_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights (T=2, i.e. w_s ∝ n_tokens^0.5
+    — the multilingual/multi-domain rebalancing rule from mT5/XLM-R:
+    upweight small sources, damp head domains). Emits per-source token
+    counts, normalized mixture weight, and the per-token sampling rate
+    for a 1M-token budget — the numbers corpus_mixture_weighted's
+    hash-gate consumes as its keep rates.
+
+    Exactness: sqrt is correctly-rounded IEEE on both engines (unlike
+    pow with an arbitrary exponent); rounded to 6dp before the
+    decimal-exact normalization sum so association order can't move an
+    ulp. One corpus-sized aggregate; everything downstream is over
+    |sources| rows with a broadcast total."""
+    d = load_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+    )
+    scored = per_src.withColumn(
+        "w_raw", F.round(F.sqrt(F.col("n_tokens").cast("double")), 6)
+    )
+    tot = scored.agg(
+        F.sum(F.col("w_raw").cast("decimal(27,6)")).cast("double")
+        .alias("w_tot")
+    )
+    return (
+        scored.crossJoin(F.broadcast(tot))
+        .select(
+            "source", "n_docs", "n_tokens", "w_raw",
+            F.round(F.col("w_raw") / F.col("w_tot"), 6).alias("weight"),
+            F.round(
+                (F.col("w_raw") / F.col("w_tot")) * 1000000
+                / F.col("n_tokens"), 6,
+            ).alias("tokens_rate"),
+        )
+    )
