@@ -943,3 +943,154 @@ def maintain_ols_trend(stream_df, store_dir: str, checkpoint: str,
         num.cast("decimal(38,0)").cast("string").alias("slope_num"),
         den.cast("decimal(38,0)").cast("string").alias("slope_den"),
     )
+
+
+def apply_dup_clusters_batch(batch_df, batch_id: int, store_dir: str,
+                             id_col: str = "doc_id",
+                             text_col: str = "text",
+                             **index_kwargs) -> None:
+    """One micro-batch of incremental duplicate-CLUSTER maintenance
+    (round 4): the foreachBatch body of maintain_dup_clusters.
+
+    Builds on apply_dedup_index_batch (which finds this batch's
+    cross-batch near-dup pairs incrementally), then folds those pairs
+    into a persistent (id, component) label store by COMPONENT
+    CONTRACTION — the incremental union-find:
+
+    1. new docs enter with self-labels (singleton components);
+    2. the batch's pairs are mapped id -> current component (two
+       equi-joins against the label store);
+    3. connected components run on the COMPONENT CONTACT GRAPH only —
+       rows = distinct component pairs this batch touched, a frame
+       orders of magnitude smaller than the corpus — never on the
+       full accumulated pair set;
+    4. the store relabels through the resulting old->new mapping
+       (broadcast-sized: only merged components appear) and lands as a
+       batch-addressed snapshot.
+
+    Replay safety: the batch reads the latest label snapshot with
+    batch id < this one and overwrites its own snapshot, so an
+    at-least-once redelivery converges to the identical store. At
+    corpus scale the per-batch cost is |batch pairs| equi-joins + a
+    tiny contraction CC + one map-side relabel join; snapshots are
+    full copies here (test-sized) — production would compact/retain
+    like EtlPipeline.vacuum.
+    """
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import connected_components
+
+    spark = batch_df.sparkSession
+    store = Path(store_dir)
+    labels_dir = store / "labels"
+
+    apply_dedup_index_batch(
+        batch_df, batch_id, store_dir, id_col=id_col, text_col=text_col,
+        **index_kwargs,
+    )
+
+    pair_path = store / "pairs" / f"batch-{batch_id}"
+    pairs = (
+        spark.read.parquet(str(pair_path)).select("id_a", "id_b")
+        if any(pair_path.glob("*.parquet")) else None
+    )
+
+    prior = [
+        d for d in sorted(
+            labels_dir.glob("batch-*"),
+            key=lambda p: int(p.name.split("-")[1]),
+        )
+        if int(d.name.split("-")[1]) < batch_id
+        and any(d.glob("*.parquet"))
+    ] if labels_dir.exists() else []
+    new_ids = batch_df.select(
+        F.col(id_col).alias("id")
+    ).distinct().withColumn("component", F.col("id"))
+    if prior:
+        old = spark.read.parquet(str(prior[-1]))
+        labels = (
+            old.unionByName(new_ids.join(old, "id", "left_anti"))
+            .transform(materialize)
+        )
+    else:
+        labels = new_ids.transform(materialize)
+
+    if pairs is not None:
+        la = labels.select(F.col("id").alias("id_a"),
+                           F.col("component").alias("comp_a"))
+        lb = labels.select(F.col("id").alias("id_b"),
+                           F.col("component").alias("comp_b"))
+        contact = (
+            pairs.join(la, "id_a").join(lb, "id_b")
+            .filter(F.col("comp_a") != F.col("comp_b"))
+            .select("comp_a", "comp_b").distinct()
+        )
+        if contact.limit(1).count():
+            mapping = connected_components(
+                contact, "comp_a", "comp_b"
+            ).select(
+                F.col("id").alias("component"),
+                F.col("component").alias("_new"),
+            )
+            labels = (
+                labels.join(F.broadcast(mapping), "component", "left")
+                .select(
+                    "id",
+                    F.coalesce("_new", "component").alias("component"),
+                )
+            )
+
+    labels.write.mode("overwrite").parquet(
+        str(labels_dir / f"batch-{batch_id}")
+    )
+
+
+def maintain_dup_clusters(stream_df, store_dir: str, checkpoint: str,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          timeout_s: int = 300, **index_kwargs):
+    """Streaming duplicate-cluster maintenance: drains the doc stream
+    through apply_dup_clusters_batch and returns the final (id,
+    component) label store — the thing a curation pipeline joins onto
+    the corpus to pick per-cluster keepers without ever recomputing
+    history. Batch twin: connected_components over minhash_lsh_pairs
+    on the full corpus (equality pinned in tests/test_streaming.py)."""
+    from pathlib import Path
+
+    spark = stream_df.sparkSession
+
+    def _body(batch_df, batch_id):
+        apply_dup_clusters_batch(
+            batch_df, batch_id, store_dir,
+            id_col=id_col, text_col=text_col, **index_kwargs,
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(_body)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_s):
+            raise TimeoutError(
+                f"dup-cluster drain did not finish within {timeout_s}s"
+            )
+    finally:
+        q.stop()
+    labels_dir = Path(store_dir) / "labels"
+    snaps = sorted(
+        (d for d in labels_dir.glob("batch-*") if any(d.glob("*.parquet"))),
+        key=lambda p: int(p.name.split("-")[1]),
+    )
+    if not snaps:
+        from pyspark.sql import types as T
+
+        return spark.createDataFrame(
+            [], T.StructType([
+                T.StructField("id", T.LongType()),
+                T.StructField("component", T.LongType()),
+            ])
+        )
+    return spark.read.parquet(str(snaps[-1]))

@@ -675,3 +675,84 @@ def test_decay_features_empty_batch_is_noop(spark, tmp_path):
     got = {r["event_id"]: r["decayed_sum"] for r in
            spark.read.parquet(f"{store}/features/*").collect()}
     assert got == {1: 4.0, 2: 6.0}  # event 2 decays over event 1 across the gap
+
+
+def test_incremental_dup_clusters_match_batch_cc(spark, tmp_path):
+    """Incremental cluster maintenance (round 4): labels accreted over
+    three micro-batches must equal connected_components over the batch
+    pipeline's full pair set, including a cross-batch merge of two
+    previously separate clusters; replay of the last batch is a no-op."""
+    from dynamic_etl_pipeline_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+    from dynamic_etl_pipeline_spark.streaming.sinks import (
+        apply_dup_clusters_batch,
+        maintain_dup_clusters,
+    )
+    from dynamic_etl_pipeline_spark.streaming.source import stream_parquet_dir
+
+    t1 = ("the quick brown fox jumps over the lazy dog while the cat "
+          "watches from the warm windowsill every single morning")
+    t2 = ("completely unrelated text about distributed query engines "
+          "shuffling partitioned columnar data across executor nodes")
+    # batch 1: two separate docs; batch 2: near-dup of t1 AND near-dup
+    # of t2; batch 3: a bridge doc near-dup'ing variants of BOTH is not
+    # constructible from word soup, so instead merge via a doc close to
+    # t1's variant (chain within one cluster) + a fresh singleton
+    rows_by_batch = [
+        [(1, t1), (2, t2)],
+        [(3, t1.replace("morning", "evening")),
+         (4, t2.replace("nodes", "hosts"))],
+        [(5, t1.replace("morning", "evening").replace("dog", "hound")),
+         (6, "a tiny singleton document with its own unique words here")],
+    ]
+    schema = "doc_id long, text string"
+    feed = tmp_path / "cfeed"
+    feed.mkdir()
+    import os
+    import shutil
+    import time as _t
+    for i, rows in enumerate(rows_by_batch):
+        d = feed / f"d{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite").parquet(str(d))
+        part = next(d.glob("part-*.parquet"))
+        dest = feed / f"{i:03d}.parquet"
+        shutil.move(str(part), dest)
+        os.utime(dest, (_t.time() + i, _t.time() + i))
+        shutil.rmtree(d)
+
+    store = str(tmp_path / "cluster_store")
+    stream = stream_parquet_dir(
+        spark, str(feed),
+        spark.createDataFrame(rows_by_batch[0], schema).schema,
+        max_files_per_trigger=1)
+    labels = maintain_dup_clusters(
+        stream, store, str(tmp_path / "cckpt"), threshold=0.4)
+    got = {r["id"]: r["component"] for r in labels.collect()}
+
+    # batch twin: full-corpus pairs -> CC; singletons self-labeled
+    all_rows = [r for b in rows_by_batch for r in b]
+    full = spark.createDataFrame(all_rows, schema)
+    pairs = minhash_lsh_pairs(full, "doc_id", "text", threshold=0.4)
+    comp = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs, "id_a", "id_b").collect()
+    }
+    want = {i: comp.get(i, i) for i, _ in all_rows}
+    assert got == want
+    # the t1 family actually clustered across batches
+    assert got[1] == got[3] == got[5]
+    assert got[2] == got[4] and got[2] != got[1]
+    assert got[6] == 6
+
+    # replay: reapplying the final batch must not change the store
+    last = spark.createDataFrame(rows_by_batch[2], schema)
+    apply_dup_clusters_batch(last, 2, store, threshold=0.4)
+    again = {
+        r["id"]: r["component"]
+        for r in spark.read.parquet(
+            f"{store}/labels/batch-2").collect()
+    }
+    assert again == got
