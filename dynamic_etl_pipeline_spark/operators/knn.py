@@ -658,3 +658,92 @@ def mmr_rerank(candidates: DataFrame, queries: DataFrame, k: int = 10,
         return out
 
     return pooled.groupBy(query_id_col).applyInPandas(_mmr, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index (round 4): decoupled build/probe — the production
+# shape where the index is built once by an indexing job and probed by
+# many later query jobs, with list-partitioned storage so a probe scans
+# only the n_probe/n_centroids slice of the corpus OFF DISK, not just
+# post-scan.
+
+
+def build_ivf_index(candidates: DataFrame, index_dir: str,
+                    n_centroids: int = 16, kmeans_iters: int = 2,
+                    seed: int = 42, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> None:
+    """Build and persist an IVF index: centroids (a tiny parquet) +
+    the corpus partitioned BY INVERTED LIST (``partitionBy(list_id)``),
+    so probing reads only the probed lists' files — static partition
+    pruning at the storage layer, the step ivf_ann_topk's in-memory
+    join can't give. At 100 TB: one assign pass + one partitioned
+    write; lists stay individually splittable parquet."""
+    from pathlib import Path
+
+    spark = candidates.sparkSession
+    centroids = kmeans_centroids(
+        candidates, n_centroids, kmeans_iters=kmeans_iters, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    )
+    cent_rows = [
+        (i, [float(x) for x in centroids[i]])
+        for i in range(centroids.shape[0])
+    ]
+    spark.createDataFrame(
+        cent_rows, ["list_id", "centroid"]
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(Path(index_dir) / "centroids")
+    )
+    assign1 = _centroid_assign_udf(centroids, top=1)
+    candidates.select(
+        F.col(id_col), F.col(vec_col),
+        assign1(F.col(vec_col))[0].alias("list_id"),
+    ).filter(F.col("list_id").isNotNull()).write.mode(
+        "overwrite"
+    ).partitionBy("list_id").parquet(str(Path(index_dir) / "lists"))
+
+
+def ivf_index_topk(spark, index_dir: str, queries: DataFrame, k: int = 10,
+                   n_probe: int = 4, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   query_id_col: str = "query_id") -> DataFrame:
+    """Probe a persisted IVF index: load the (KB-sized) centroid
+    matrix driver-side, assign each query its n_probe lists, and scan
+    ONLY those list partitions (`.filter(list_id.isin(...))` on the
+    partition column -> PartitionFilters in the scan, pinned in
+    tests/test_operators.py). Scoring then joins on list_id exactly
+    like the in-memory path, so results match ivf_ann_topk built with
+    the same seed bit-for-bit."""
+    from pathlib import Path
+
+    cent = spark.read.parquet(str(Path(index_dir) / "centroids")).collect()
+    centroids = np.zeros((len(cent), len(cent[0]["centroid"])))
+    for r in cent:
+        centroids[r["list_id"]] = np.asarray(r["centroid"])
+    assign_probe = _centroid_assign_udf(centroids, top=n_probe)
+    q_lists = queries.select(
+        F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qv"),
+        F.explode(assign_probe(F.col(vec_col))).alias("list_id"),
+    )
+    probed = sorted({
+        r["list_id"] for r in q_lists.select("list_id").distinct().collect()
+    })
+    lists = (
+        spark.read.parquet(str(Path(index_dir) / "lists"))
+        .filter(F.col("list_id").isin(probed))
+    )
+    scored = (
+        lists.join(q_lists, "list_id")
+        .filter(F.col(id_col) != F.col("_qid"))
+        .select(
+            F.col("_qid").alias(query_id_col), id_col,
+            cosine(F.col("_qv"), F.col(vec_col)).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cos_sim"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= k)
+    )

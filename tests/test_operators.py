@@ -679,3 +679,39 @@ def test_multimodal_features_compose_with_knn(spark, sf_dir):
     key = lambda r: (r["query_id"], r["rn"])  # noqa: E731
     assert sorted(((r["query_id"], r["rn"], r["media_id"]) for r in out1)) == \
            sorted(((r["query_id"], r["rn"], r["media_id"]) for r in out2))
+
+
+def test_persisted_ivf_index_matches_in_memory(spark, sf_dir, tmp_path):
+    """build_ivf_index + ivf_index_topk == ivf_ann_topk with the same
+    seed (identical centroids -> identical lists -> identical scores),
+    and the probe scan carries a PartitionFilters entry on list_id —
+    the probed-lists-only disk read is in the PLAN, not just implied."""
+    from dynamic_etl_pipeline_spark.operators.knn import (
+        build_ivf_index,
+        ivf_ann_topk,
+        ivf_index_topk,
+    )
+    from dynamic_etl_pipeline_spark.plans import formatted_plan
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cands = emb.select(
+        F.col("vec_id"), F.col("embedding")
+    )
+    queries = cands.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(cands, idx, n_centroids=8, kmeans_iters=2, seed=42)
+    got = ivf_index_topk(spark, idx, queries, k=5, n_probe=3)
+    want = ivf_ann_topk(cands, queries, k=5, n_centroids=8,
+                        n_probe=3, kmeans_iters=2, seed=42)
+
+    def key(df):
+        return sorted(
+            (r["query_id"], r["vec_id"], r["rn"],
+             round(r["cos_sim"], 9))
+            for r in df.collect()
+        )
+
+    assert key(got) == key(want)
+    assert "PartitionFilters" in formatted_plan(got)
