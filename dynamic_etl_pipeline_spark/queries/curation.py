@@ -521,7 +521,10 @@ def doc_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     default-on): shingles in > max(100, 5% of docs) documents carry
     no dedup signal and are dropped from the JOIN SIDES before the
     self-join; the per-doc counts (the containment denominator) stay
-    uncapped, so surviving pairs score exactly.
+    uncapped. When the cap triggers, a surviving pair's n_common (and
+    hence containment) is a LOWER BOUND of the exact value — it loses
+    only the boilerplate grams' contribution; on corpora below the
+    threshold (all fixtures) the result is exact.
     """
     d = load_table(spark, sf_dir, "documents")
     shingled = word_ngram_postings(spread(d), 3).transform(materialize)

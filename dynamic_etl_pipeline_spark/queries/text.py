@@ -931,8 +931,11 @@ def dedup_keep_best_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     shingled = word_ngram_postings(spread(d), 3).transform(materialize)
     cnt = shingled.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    # stop-shingle cap on the join sides only (counts stay exact);
-    # at the 0.6 threshold a capped-out pair was boilerplate-only
+    # stop-shingle cap on the join sides only (counts stay exact): when
+    # it triggers, n_common undercounts by the boilerplate grams, so
+    # edges are CONSERVATIVE (missed edge = docs similar mostly via
+    # boilerplate — the pairs exact dedup should not merge anyway);
+    # below the threshold (all fixtures) output is exact
     capped = drop_stop_shingles(shingled, label="dedup_keep_best_exact")
     a = capped.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = capped.select(F.col("doc_id").alias("doc_b"), "shingle")
