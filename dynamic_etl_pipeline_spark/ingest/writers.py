@@ -45,3 +45,31 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite",
         .options(header=str(header).lower(), **options)
         .csv(path)
     )
+
+
+def write_training_shards(df: DataFrame, path: str, shard_col: str,
+                          sort_cols: list[str], mode: str = "overwrite",
+                          fmt: str = "parquet") -> None:
+    """Write deterministic training shards: one directory per shard
+    (``partitionBy``), rows INSIDE each shard file in ``sort_cols``
+    order — the layout a dataloader consumes sequentially
+    (corpus_shuffle_shards computes the shard/position assignment;
+    this materializes it).
+
+    Plan shape: ``repartition(shard_col)`` routes each shard to one
+    task, ``sortWithinPartitions`` orders rows before the writer sees
+    them (Spark's writer preserves incoming row order per file), and
+    ``partitionBy`` splits directories WITHOUT a second shuffle since
+    rows already arrive shard-clustered. No global sort anywhere: this
+    is the repartition+secondary-sort idiom, shard-parallel at any
+    corpus size. (At extreme shard sizes, add more distribution keys
+    to ``repartition`` and accept multiple files per shard — each
+    still internally ordered.)"""
+    (
+        df.repartition(F.col(shard_col))
+        .sortWithinPartitions(shard_col, *sort_cols)
+        .write.mode(mode)
+        .partitionBy(shard_col)
+        .format(fmt)
+        .save(path)
+    )

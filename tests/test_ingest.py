@@ -240,3 +240,30 @@ def test_decode_bytes_never_raises_fuzz():
             assert out == raw.decode("ascii")
 
     check()
+
+
+def test_training_shards_are_sorted_within_files(spark, tmp_path):
+    """write_training_shards: every shard directory's files hold rows
+    in sort-column order (the dataloader contract), with no global
+    sort in the plan — repartition + sortWithinPartitions only."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from dynamic_etl_pipeline_spark.ingest.writers import (
+        write_training_shards,
+    )
+
+    rows = [(i, i % 4, f"doc {i}") for i in range(1000)]
+    df = spark.createDataFrame(rows, ["pos", "shard", "text"]).repartition(13)
+    out = str(tmp_path / "shards")
+    write_training_shards(df, out, "shard", ["pos"])
+    shard_dirs = sorted(glob.glob(f"{out}/shard=*"))
+    assert len(shard_dirs) == 4
+    seen = 0
+    for d in shard_dirs:
+        for f in glob.glob(f"{d}/*.parquet"):
+            pos = pq.read_table(f, columns=["pos"])["pos"].to_pylist()
+            assert pos == sorted(pos), f"unsorted shard file {f}"
+            seen += len(pos)
+    assert seen == 1000

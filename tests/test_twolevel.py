@@ -155,3 +155,40 @@ def test_rewritten_queries_have_no_unpartitioned_data_window(spark, sf_dir):
                 or "user_id" in first_arg or "event_type" in first_arg
                 or "source" in first_arg  # part_cols leading _tl_bucket
             ), f"{name}: unpartitioned data window: {line.strip()}"
+
+
+def test_random_two_level_specs_agree(spark):
+    """Fuzz: random data shapes x bucket widths x aggregates — the
+    two-level forms must equal their serial windows bit-for-bit (ints,
+    so association is a non-issue). 24 seeded specs in 3 Spark jobs'
+    worth of work."""
+    import random
+
+    for seed in range(24):
+        rng = random.Random(seed)
+        n = rng.randint(5, 300)
+        dup = rng.randint(1, 4)  # duplicate order-keys to exercise ties
+        rows = [
+            (i, rng.randint(0, 40), rng.randint(-5, 9), i % 7)
+            for i in range(n) for _ in range(dup)
+        ]
+        # re-key so (key, k) is a total order even with duplicates
+        rows = [(j, key, val, part) for j, (_, key, val, part)
+                in enumerate(rows)]
+        df = spark.createDataFrame(rows, ["k", "key", "val", "part"])
+        width = rng.choice([1, 3, 8, 1000])  # 1000 -> one bucket
+        bucket = F.floor(F.col("key") / width).cast("long")
+        part_cols = ["part"] if rng.random() < 0.5 else []
+        w = (Window.partitionBy(*part_cols) if part_cols else Window
+             ).orderBy("key", "k")
+        serial_rn = df.withColumn(
+            "o", F.row_number().over(w).cast("long"))
+        two_rn = two_level_row_number(
+            df, ["key", "k"], bucket, "o", part_cols=part_cols)
+        assert _rows(two_rn, "k", "o") == _rows(serial_rn, "k", "o"), seed
+        serial_rs = df.withColumn(
+            "o", F.sum("val").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        two_rs = two_level_running_sum(
+            df, "val", ["key", "k"], bucket, "o", part_cols=part_cols)
+        assert _rows(two_rs, "k", "o") == _rows(serial_rs, "k", "o"), seed
