@@ -13,6 +13,6 @@ out="${1:-SWEEP.txt}"
 for sf in sf0.001 sf0.01 sf0.1; do
     echo "=== $sf ===" | tee -a "$out"
     python tools/check_oracle.py "/root/testdata/$sf" 2>/dev/null \
-        | grep -E "(ok|FAIL|ERR)[[:space:]]+|pass" | tee -a "$out"
+        | grep -E "(ok|FAIL|ERR|rows)[[:space:]]+|pass" | tee -a "$out"
 done
 echo "sweep complete: $out"
