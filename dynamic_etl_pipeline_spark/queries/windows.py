@@ -297,3 +297,70 @@ def window_exclude_current(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents).over(w) - F.coalesce(cents, F.lit(0)),
         ).alias("neighbor_cents"),
     )
+
+
+@query("window_groups_frame", oracle="""
+WITH r AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         dense_rank() OVER (
+           PARTITION BY event_type
+           ORDER BY CAST(round(value) AS BIGINT)) AS dr
+  FROM events WHERE value IS NOT NULL
+), g AS (
+  SELECT event_type, dr, count(*) AS g_n, sum(cents) AS g_cents
+  FROM r GROUP BY 1, 2
+), f AS (
+  SELECT event_type, dr,
+         CAST(sum(g_n) OVER (
+           PARTITION BY event_type ORDER BY dr
+           ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT)
+           AS n_in_groups,
+         CAST(sum(g_cents) OVER (
+           PARTITION BY event_type ORDER BY dr
+           ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT)
+           AS cents_in_groups
+  FROM g
+)
+SELECT r.event_id, f.n_in_groups, f.cents_in_groups
+FROM r JOIN f USING (event_type, dr)
+""")
+def window_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPS-mode window frame (SQL:2011) — Spark's API lacks it
+    entirely, and so does DuckDB 1.0 ("GROUPS mode ... not implemented
+    yet"), so the emulation IS the operator on both engines: the
+    oracle runs the same dense-rank decomposition in SQL (engine
+    parity), and tests/test_windows_groups.py proves the decomposition
+    equals true GROUPS semantics against a pure-Python reference over
+    randomized inputs.
+
+    Peer groups are rows tied on the ORDER key, and dense_rank numbers
+    them consecutively — so a GROUPS frame of +/-N peer groups equals
+    a ROWS frame of +/-N over the per-group AGGREGATE frame ordered by
+    dense_rank, joined back to the rows (r4). Shape: one window for
+    dense_rank, one group-level aggregate, one tiny rows-frame window
+    over groups, one equi-join back — all partitioned by event_type;
+    value quantized to cents so the sums are integer-exact."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    okey = F.expr("cast(round(value) as bigint)")
+    cents = F.expr("cast(round(value * 100) as bigint)")
+    w_dr = Window.partitionBy("event_type").orderBy(okey)
+    rows = ev.select(
+        "event_id", "event_type", okey.alias("okey"), cents.alias("cents"),
+        F.dense_rank().over(w_dr).alias("dr"),
+    )
+    groups = rows.groupBy("event_type", "dr").agg(
+        F.count("*").alias("g_n"), F.sum("cents").alias("g_cents")
+    )
+    w_g = (
+        Window.partitionBy("event_type").orderBy("dr")
+        .rowsBetween(-1, 1)
+    )
+    framed = groups.select(
+        "event_type", "dr",
+        F.sum("g_n").over(w_g).cast("bigint").alias("n_in_groups"),
+        F.sum("g_cents").over(w_g).cast("bigint").alias("cents_in_groups"),
+    )
+    return rows.join(framed, ["event_type", "dr"]).select(
+        "event_id", "n_in_groups", "cents_in_groups"
+    )
