@@ -28,6 +28,7 @@ in tests/test_bpe.py.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -149,3 +150,74 @@ def bpe_merges_df(spark, df: DataFrame, num_merges: int,
         F.col("rank").cast("int"), "left", "right",
         F.col("pair_count").cast("bigint"),
     )
+
+
+def _encode_word(chars: list[str], ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Standard BPE apply: repeatedly merge the LOWEST-RANK adjacent
+    pair (leftmost on rank ties is irrelevant — equal pairs share one
+    rank and merging any order yields the same result for
+    non-overlapping, leftmost-first for overlapping runs)."""
+    syms = list(chars)
+    while len(syms) >= 2:
+        best, best_rank = None, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best, best_rank = i, r
+        if best is None:
+            break
+        # merge ALL occurrences of that pair leftmost-first
+        pair = (syms[best], syms[best + 1])
+        out, i = [], 0
+        while i < len(syms):
+            if (i + 1 < len(syms)
+                    and (syms[i], syms[i + 1]) == pair):
+                out.append(syms[i] + syms[i + 1])
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def bpe_encode(df: DataFrame, merges: list[tuple[int, str, str, int]],
+               text_col: str = "text",
+               out_col: str = "bpe_tokens") -> DataFrame:
+    """Apply a learned merge table: adds ``out_col`` with each row's
+    BPE token sequence.
+
+    Scale shape: encoding is computed once per DISTINCT word (the
+    vocabulary frame, not the corpus) in an Arrow-batched pandas UDF
+    with the rank table broadcast in the closure; documents then
+    rebuild their token streams with a JVM-side transform over their
+    word arrays against the broadcast word->tokens map... for corpora
+    where the distinct-word frame exceeds broadcast size, the join
+    form (explode words with position, equi-join the encoded vocab,
+    re-collect by position) is the swap — here the vocab map rides the
+    UDF closure, which is the same O(|vocab|) driver weight the
+    centroid/codebook broadcasts carry."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    ranks = {(l, r): rank for rank, l, r, _ in merges}
+
+    @pandas_udf(ArrayType(StringType()))
+    def enc(texts: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+
+        def one(t):
+            if t is None:
+                return None
+            out: list[str] = []
+            for w in t.split():
+                if not w:
+                    continue
+                if w not in cache:
+                    cache[w] = _encode_word(list(w) + [EOW], ranks)
+                out.extend(cache[w])
+            return out
+
+        return texts.map(one)
+
+    return df.withColumn(out_col, enc(F.col(text_col)))

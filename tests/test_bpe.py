@@ -93,3 +93,49 @@ def test_trainer_runs_on_fixture(spark, sf_dir):
     # guaranteed by BPE (later merges can beat earlier counts), but
     # every learned pair must have been observed
     assert all(n > 0 for _, _, _, n in merges)
+
+
+def _ref_encode(word: str, merges):
+    ranks = {(l, r): rank for rank, l, r, _ in merges}
+    syms = list(word) + [EOW]
+    while True:
+        cands = [
+            (ranks[(a, b)], i)
+            for i, (a, b) in enumerate(zip(syms, syms[1:]))
+            if (a, b) in ranks
+        ]
+        if not cands:
+            return syms
+        rank, _ = min(cands)
+        pair = next(
+            (a, b) for a, b in zip(syms, syms[1:]) if ranks.get((a, b)) == rank
+        )
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and (syms[i], syms[i + 1]) == pair:
+                out.append(syms[i] + syms[i + 1])
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+
+
+def test_bpe_encode_round_trip_and_reference(spark):
+    from dynamic_etl_pipeline_spark.operators.bpe import bpe_encode
+
+    train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_CORPUS)], ["doc_id", "text"])
+    merges = bpe_train(train, num_merges=10)
+    out = bpe_encode(train, merges).collect()
+    for r in out:
+        toks = r["bpe_tokens"]
+        # lossless: tokens concatenate back to the original words
+        rebuilt = "".join(toks).replace(EOW, " ").strip()
+        assert rebuilt == " ".join(r["text"].split())
+        # matches the reference encoder word by word
+        want = []
+        for w in r["text"].split():
+            if w:
+                want.extend(_ref_encode(w, merges))
+        assert toks == want, r["text"]
