@@ -219,3 +219,37 @@ def test_time_travel_snapshots_and_vacuum(spark, tmp_path):
     # next upsert numbers PAST the vacuumed range (no reuse)
     pipe.upsert(df=b2, keys=["rec_id"])
     assert [h["generation"] for h in pipe.history()] == [2, 3]
+
+
+def test_cli_ingest_and_browse(tmp_path, spark):
+    """The __main__ CLI mirrors the reference's upload->browse loop:
+    ingest a CSV, browse records/schemas, all through the module
+    entrypoint (in-process: main() called directly so the test shares
+    the session JVM)."""
+    import json
+
+    from dynamic_etl_pipeline_spark.__main__ import main
+
+    f = tmp_path / "people.csv"
+    f.write_text("name,age\nalice,30\nbob,41\n")
+    store = str(tmp_path / "store")
+    import contextlib
+    import io
+
+    out = io.StringIO()
+    with contextlib.redirect_stdout(out):
+        rc = main(["--store", store, "ingest", str(f)])
+    assert rc == 0
+    rep = json.loads(out.getvalue().strip().splitlines()[-1])
+    assert rep["stored"] == 2 and rep["schema_version"] == 1
+
+    out = io.StringIO()
+    with contextlib.redirect_stdout(out):
+        main(["--store", store, "records", "--latest", "2"])
+    rows = [json.loads(line) for line in out.getvalue().strip().splitlines()]
+    assert {r["name"] for r in rows} == {"alice", "bob"}
+
+    out = io.StringIO()
+    with contextlib.redirect_stdout(out):
+        main(["--store", store, "schemas"])
+    assert json.loads(out.getvalue().strip().splitlines()[-1])["version"] == 1
