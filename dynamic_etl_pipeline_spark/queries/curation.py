@@ -599,3 +599,118 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("prob") >= 0.5).cast("int").alias("pred"),
         )
     )
+
+
+_SPAN_K = 8  # duplicated-substring granularity (tokens)
+
+
+@query("doc_duplicate_spans", oracle=f"""
+WITH tk AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), sized AS (
+  SELECT doc_id, toks, len(toks) AS n FROM tk WHERE len(toks) >= {_SPAN_K}
+), win AS (
+  SELECT doc_id, n,
+         unnest(range(1, n - {_SPAN_K} + 2)) AS pos
+  FROM sized
+), keyed AS (
+  SELECT w.doc_id, w.n, w.pos,
+         md5(array_to_string(s.toks[w.pos : w.pos + {_SPAN_K} - 1], ' '))
+           AS whash
+  FROM win w JOIN sized s USING (doc_id)
+), dup AS (
+  SELECT whash FROM keyed GROUP BY whash
+  HAVING count(DISTINCT doc_id) >= 2
+), d AS (
+  SELECT k.doc_id, k.n, k.pos,
+         CASE WHEN k.pos > lag(k.pos) OVER (
+                PARTITION BY k.doc_id ORDER BY k.pos) + {_SPAN_K}
+              OR lag(k.pos) OVER (
+                PARTITION BY k.doc_id ORDER BY k.pos) IS NULL
+              THEN 1 ELSE 0 END AS brk
+  FROM keyed k JOIN dup USING (whash)
+), isl AS (
+  SELECT doc_id, n, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM d
+), spans AS (
+  SELECT doc_id, n, island,
+         min(pos) AS s, max(pos) + {_SPAN_K} - 1 AS e
+  FROM isl GROUP BY 1, 2, 3
+)
+SELECT doc_id,
+       CAST(count(*) AS INT) AS n_spans,
+       CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
+       CAST(max(n) AS INT) AS n_tokens,
+       CAST(sum(e - s + 1) AS DOUBLE) / max(n) AS dup_frac
+FROM spans GROUP BY doc_id
+""")
+def doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-duplication spans at {k}-token granularity
+    (the tractable fixed-width form of Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better": suffix-array exact
+    spans ≈ merged runs of duplicated k-token windows): every k-token
+    window occurring in ≥ 2 distinct documents is duplicated; per
+    document, overlapping/adjacent duplicated windows merge into spans
+    (gaps-and-islands over window positions) and the query reports
+    span count, covered tokens, and the duplicated-token fraction —
+    the signal span-level dedup trims on.
+
+    Scale shape: one explode keyed by the window fingerprint (md5 of
+    the window text — engine-portable, and the shuffle carries a
+    16-byte key instead of k words), one map-side-combining distinct-
+    doc count, an equi-join back, and doc-partitioned island windows.
+    Never a document cross join; hot boilerplate windows cost
+    |postings| join rows, not |postings|^2, because the dup-decision
+    is an AGGREGATE (count >= 2), not a pair enumeration."""
+    k = _SPAN_K
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    sized = (
+        spread(d).select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= k)
+        .withColumn("n", F.size("toks"))
+    )
+    keyed = sized.select(
+        "doc_id", "n",
+        F.explode(F.sequence(F.lit(1), F.col("n") - (k - 1))).alias("pos"),
+        "toks",
+    ).select(
+        "doc_id", "n", "pos",
+        F.md5(
+            F.concat_ws(" ", F.slice("toks", F.col("pos"), k)).cast("binary")
+        ).alias("whash"),
+    )
+    dup = (
+        keyed.groupBy("whash")
+        .agg(F.countDistinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("whash")
+    )
+    hits = keyed.join(dup, "whash")
+    w_ord = Window.partitionBy("doc_id").orderBy("pos")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    isl = (
+        hits.withColumn("_lag", F.lag("pos").over(w_ord))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("_lag").isNull() | (F.col("pos") > F.col("_lag") + k),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("brk").over(w_run))
+    )
+    spans = isl.groupBy("doc_id", "n", "island").agg(
+        F.min("pos").alias("s"),
+        (F.max("pos") + (k - 1)).alias("e"),
+    )
+    return spans.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("dup_tokens"),
+        F.max("n").cast("int").alias("n_tokens"),
+        (
+            F.sum(F.col("e") - F.col("s") + 1).cast("double") / F.max("n")
+        ).alias("dup_frac"),
+    )
