@@ -53,14 +53,13 @@ _FRONT = [
     # text / exact dedup
     "exact_dedup", "ngram_jaccard_pairs", "dedup_keep_best_exact",
     "jaccard_prefix_filter_pairs", "doc_tf_idf_top", "doc_bigram_lm_score",
-    "doc_cdc_chunks", "word_count_min_sketch",
     # vectors / ANN
     "knn_bruteforce", "embedding_covariance", "embedding_hamming_topk",
     # curation
     "doc_gopher_quality", "corpus_boilerplate_strip",
     "doc_ngram_containment_pairs", "doc_vocab_oov_rate",
     # training-data ops
-    "corpus_pack_sequences", "corpus_dsir_weights", "corpus_weighted_sample",
+    "corpus_pack_sequences", "corpus_dsir_weights", "doc_duplicate_spans",
     # streaming drains (real micro-batch engine, exact oracles)
     "streaming_tumbling_rollup", "streaming_chained_windows",
     "streaming_stream_stream_left_join", "streaming_stream_stream_full_join",

@@ -66,6 +66,7 @@ HEADLINE = [
     "events_decay_ewma",        # banded decay self-join, integer kernel (round 3)
     "events_ols_trend",         # one-pass sufficient-statistic OLS (round 3)
     "events_quantile_normalize",  # rank mapping onto the global ladder (round 3)
+    "doc_duplicate_spans",      # k-token duplicated-substring spans (round 4)
     "events_max_concurrent_sessions",  # two-level boundary sweep (round 4)
     "rfm_segments",             # two-level exact ntile segmentation (round 4)
     "part_abc_classification",  # decimal two-level cumulative share (round 4)
