@@ -268,6 +268,34 @@ class EtlPipeline:
             )
         return self.spark.read.option("mergeSchema", "true").parquet(str(path))
 
+    def diff(self, generation: int, other: int | None = None) -> DataFrame:
+        """Row-level diff between two store states (round 4): rows in
+        the NEWER state but not the older tagged ``added``, rows only
+        in the older tagged ``removed`` — time travel's inspection
+        half (what did that upsert actually change?). ``other=None``
+        diffs archived generation N against the CURRENT store. Bag
+        semantics via exceptAll (duplicate cardinality respected);
+        schema drift handled by unionByName-style null-padding on both
+        sides before the except. One shuffle per side at any scale —
+        the same two-except shape as the set-op queries."""
+        old = self.snapshot(generation)
+        new = self.records() if other is None else self.snapshot(other)
+        cols = sorted(set(old.columns) | set(new.columns))
+
+        def pad(df):
+            out = df
+            for c in cols:
+                if c not in df.columns:
+                    out = out.withColumn(c, F.lit(None).cast("string"))
+            return out.select(*cols)
+
+        old_p, new_p = pad(old), pad(new)
+        added = new_p.exceptAll(old_p).withColumn("change", F.lit("added"))
+        removed = old_p.exceptAll(new_p).withColumn(
+            "change", F.lit("removed")
+        )
+        return added.unionByName(removed)
+
     def vacuum(self, retain: int = 2) -> int:
         """Drop all but the newest ``retain`` generations; returns how
         many were deleted. Storage grows one full table copy per upsert

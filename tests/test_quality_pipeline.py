@@ -253,3 +253,37 @@ def test_cli_ingest_and_browse(tmp_path, spark):
     with contextlib.redirect_stdout(out):
         main(["--store", store, "schemas"])
     assert json.loads(out.getvalue().strip().splitlines()[-1])["version"] == 1
+
+
+def test_store_diff_between_generations(spark, tmp_path):
+    """diff(gen): added/removed rows between an archived generation and
+    the current store, bag semantics, drift-padded columns."""
+    import csv
+
+    from dynamic_etl_pipeline_spark.pipeline import EtlPipeline
+
+    d = tmp_path
+    f1 = d / "v1.csv"
+    with open(f1, "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(["rec_id", "name"])
+        w.writerows([[1, "a"], [2, "b"], [3, "c"]])
+    f2 = d / "v2.csv"
+    with open(f2, "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(["rec_id", "name", "extra"])
+        w.writerows([[2, "b2", "x"], [4, "d", "y"]])
+
+    pipe = EtlPipeline(spark, str(d / "store"))
+    pipe.ingest(str(f1))
+    pipe.upsert(str(f2), keys=["rec_id"])  # archives gen 1
+
+    changes = pipe.diff(1).select("rec_id", "name", "change").collect()
+    added = {(r["rec_id"], r["name"]) for r in changes
+             if r["change"] == "added"}
+    removed = {(r["rec_id"], r["name"]) for r in changes
+               if r["change"] == "removed"}
+    assert (4, "d") in added          # new key
+    assert (2, "b2") in added         # updated row's new version
+    assert (2, "b") in removed        # updated row's old version
+    assert not any(rid in (1, 3) for rid, _ in added)  # untouched keys
