@@ -4,10 +4,12 @@ Each runs the REAL micro-batch engine (readStream over the fixture,
 availableNow trigger, memory sink in complete mode) and returns the
 drained result. Because the windowed aggregations are the same logical
 plans as their batch twins in queries/events.py, the streaming results
-are held to full DuckDB oracles — not just rows-only checks. The
-stateful applyInPandasWithState op is the one genuinely
-non-SQL-expressible entry (float accumulation order in per-key state
-differs from decimal SQL sums), so it stays rows-only by design.
+are held to full DuckDB oracles — not just rows-only checks. Even the
+custom applyInPandasWithState tier carries an oracle where its output
+is integer-exact (streaming_stateful_sessions: EventTimeTimeout
+session finalization == the batch lag/cumsum sessionizer); only the
+running-totals op stays rows-only by design (float accumulation order
+in per-key state differs from decimal SQL sums).
 
 Multi-batch semantics (watermark-delayed emission, state across
 triggers, dedup of replayed keys) are exercised in
@@ -611,6 +613,65 @@ def streaming_stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataF
                 (F.coalesce("purchase_id", F.lit(0)) >= 0)
                 & (F.coalesce("click_id", F.lit(0)) >= 0)
             )
+            .transform(materialize)
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+@query("streaming_stateful_sessions", oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       epoch_us(min(ts)) AS session_start,
+       epoch_us(max(ts)) AS session_end,
+       count(*) AS n_events
+FROM numbered GROUP BY user_id, session_seq
+""")
+def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful sessionization with EventTimeTimeout
+    finalization (streaming/stateful.py::user_sessions_stateful, r4):
+    per-user event times buffer in the state store and the session
+    operator ITSELF decides when to emit — the timeout fires once the
+    watermark proves no admissible event can extend the buffer, then
+    the gap-split runs over the complete per-user stream. The sentinel
+    replay pushes the watermark past every real event so all sessions
+    finalize, making the drain equal to the batch lag/cumsum
+    sessionizer — a FULL oracle on an applyInPandasWithState operator
+    (the running-totals one stays rows-only because float accumulation
+    order differs; sessions are pure integer boundaries)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..session import tune
+    from ..streaming.source import stream_events_dir
+    from ..streaming.stateful import user_sessions_stateful
+
+    tune(spark)
+    stage, schema = _stage_event_sentinels(
+        spark, sf_dir,
+        lambda i, ts: [(-i, ts, -1, "__sentinel__", 0.0, "{}")],
+    )
+    try:
+        events = stream_events_dir(spark, str(stage), schema,
+                                   max_files_per_trigger=1)
+        drained = run_available_now_to_memory(
+            user_sessions_stateful(events), output_mode="append"
+        )
+        return (
+            drained.filter(F.col("user_id") >= 0)
             .transform(materialize)
         )
     finally:

@@ -15,7 +15,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    DoubleType, LongType, StringType, StructField, StructType,
+    ArrayType, DoubleType, LongType, StringType, StructField, StructType,
 )
 
 _OUT = StructType([
@@ -114,5 +114,111 @@ def user_running_totals_tws(events: DataFrame,
             outputStructType=_OUT,
             outputMode="Update",
             timeMode="None",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Timeout-driven stateful sessionization (round 4): the canonical
+# custom-state operator — the session CLOSES when the event-time
+# watermark passes last_event + gap, i.e. the state itself decides
+# when to emit, which no built-in windowed aggregation expresses
+# (session_window comes close but cannot carry arbitrary per-session
+# state or emit custom finalization records).
+
+_SESS_OUT = StructType([
+    StructField("user_id", LongType()),
+    StructField("session_start", LongType()),   # epoch MICROSECONDS
+    StructField("session_end", LongType()),
+    StructField("n_events", LongType()),
+])
+_SESS_STATE = StructType([
+    StructField("ts_list", ArrayType(LongType())),
+])
+
+
+def _session_fn(gap_us: int):
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        uid = key[0]
+        if state.hasTimedOut:
+            # watermark passed max(ts)+gap: NO admissible future event
+            # can extend any buffered session (late rows beyond the
+            # watermark are filtered) -> sessionize and flush everything
+            buf = sorted(state.get[0])
+            state.remove()
+            sessions = []
+            cur = None
+            for t in buf:
+                if cur is None:
+                    cur = [t, t, 1]
+                elif t - cur[1] > gap_us:
+                    sessions.append(tuple(cur))
+                    cur = [t, t, 1]
+                else:
+                    cur[1], cur[2] = t, cur[2] + 1
+            if cur is not None:
+                sessions.append(tuple(cur))
+            if sessions:
+                yield pd.DataFrame({
+                    "user_id": [uid] * len(sessions),
+                    "session_start": [x[0] for x in sessions],
+                    "session_end": [x[1] for x in sessions],
+                    "n_events": [x[2] for x in sessions],
+                })
+            return
+        # buffer arrivals: out-of-order batches may interleave earlier
+        # events later, so nothing can finalize before the watermark
+        # proves completeness. State is the user's undrained event
+        # times — bounded by events-per-user within the lateness
+        # horizon; at production scale the transformWithState list
+        # state (RocksDB-backed, incrementally appendable) carries the
+        # same design without re-serializing the array per batch.
+        wm_ms = state.getCurrentWatermarkMs()
+        new_ts = []
+        for pdf in pdfs:
+            # int64 ns -> epoch micros (sub-second ts must survive:
+            # truncating to seconds moved session boundaries a round-off
+            # away from the exact batch twin)
+            new_ts.extend(
+                (pdf["ts"].astype("int64") // 1_000).tolist()
+            )
+        # custom stateful ops do NOT get automatic late-row filtering
+        # (unlike built-in aggregations): drop events at/below the
+        # watermark ourselves, or a straggler re-opens state after its
+        # session already flushed
+        new_ts = [t for t in new_ts if t // 1000 > wm_ms]
+        if not new_ts and not state.exists:
+            return
+        buf = (list(state.get[0]) if state.exists else []) + new_ts
+        state.update((buf,))
+        # close when the watermark passes max+gap; clamped just past
+        # the current watermark (Spark rejects past timestamps)
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(
+            max((max(buf) + gap_us) // 1000 + 1, wm + 1)
+        )
+
+    return fn
+
+
+def user_sessions_stateful(events: DataFrame, gap_minutes: int = 30,
+                           watermark: str = "2 hours") -> DataFrame:
+    """Sessionize with explicit per-user state + EventTimeTimeout:
+    in-batch gap splits emit immediately; the open session lives in
+    the state store with a timeout at last_event + gap, so it
+    finalizes exactly when the watermark proves no event can extend it
+    — at-scale behavior identical to session_window but with a
+    user-defined record (and arbitrary extra state if needed).
+
+    Batch twin (full replay + far-future sentinel to flush): the
+    lag/cumsum sessionizer of queries/events.py::events_sessionize —
+    equality pinned in tests/test_streaming.py."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn(gap_minutes * 60 * 1_000_000), _SESS_OUT, _SESS_STATE,
+            "append", GroupStateTimeout.EventTimeTimeout,
         )
     )

@@ -756,3 +756,86 @@ def test_incremental_dup_clusters_match_batch_cc(spark, tmp_path):
             f"{store}/labels/batch-2").collect()
     }
     assert again == got
+
+
+def test_stateful_session_timeout_matches_batch_sessionizer(spark, tmp_path):
+    """user_sessions_stateful (EventTimeTimeout finalization): after a
+    chunked replay with two far-future sentinel batches (the second
+    batch lets the timeout fire with the watermark the first advanced),
+    finalized sessions equal the batch lag/cumsum sessionizer."""
+    import os
+    import shutil
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from dynamic_etl_pipeline_spark.catalog import load_table
+    from dynamic_etl_pipeline_spark.queries import QUERIES
+    from dynamic_etl_pipeline_spark.streaming.source import stream_events_dir
+    from dynamic_etl_pipeline_spark.streaming.stateful import (
+        user_sessions_stateful,
+    )
+    from dynamic_etl_pipeline_spark.streaming.sinks import (
+        run_available_now_to_memory,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf_dir, "events")
+    feed = tmp_path / "sfeed"
+    feed.mkdir()
+    # three real chunks split by TIME (disorder must stay inside the
+    # watermark's lateness allowance — an event_id split interleaves
+    # month-old events after newer ones, which ANY streaming consumer
+    # legitimately drops) + two sentinel batches (user -1, +10/+20 days)
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    span = (hi - lo) / 3
+    chunks = [
+        ev.filter((F.col("ts") >= lo + i * span)
+                  & (F.col("ts") < lo + (i + 1) * span)
+                  if i < 2 else (F.col("ts") >= lo + 2 * span))
+        for i in range(3)
+    ]
+    max_ts = hi
+    import datetime as _dt
+
+    sent = [
+        spark.createDataFrame(
+            [(-(i + 1), max_ts + _dt.timedelta(days=10 * (i + 1)), -1,
+              "sentinel", 0.0, "{}")],
+            ev.schema,
+        )
+        for i in range(2)
+    ]
+    for i, df in enumerate(chunks + sent):
+        d = feed / f"d{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(d))
+        part = next(d.glob("part-*.parquet"))
+        dest = feed / f"{i:03d}.parquet"
+        shutil.move(str(part), dest)
+        os.utime(dest, (_t.time() + i, _t.time() + i))
+        shutil.rmtree(d)
+
+    stream = stream_events_dir(spark, str(feed), ev.schema,
+                               max_files_per_trigger=1)
+    out = run_available_now_to_memory(
+        user_sessions_stateful(stream), output_mode="append"
+    )
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in out.filter(F.col("user_id") >= 0).collect()
+    }
+
+    batch = QUERIES["events_sessionize"](spark, sf_dir)
+    epoch = _dt.datetime(1970, 1, 1)
+    us = _dt.timedelta(microseconds=1)
+
+    want = {
+        (
+            r["user_id"],
+            (r["session_start"] - epoch) // us,
+            (r["session_end"] - epoch) // us,
+            r["n_events"],
+        )
+        for r in batch.collect()
+    }
+    assert got == want
