@@ -25,6 +25,16 @@ offsets frame — one row per bucket. Size the bucket function so
 #buckets ~ O(#partitions); each bucket's rows land in one window
 partition, so buckets should also be small enough to fit a task
 (both knobs are the caller's bucket expression).
+
+NULL contract (ADVICE r4 medium): the offset join-back is NULL-SAFE
+(``<=>``) on both the partition columns and the bucket, so rows whose
+bucket expression or partition key evaluates to NULL are never
+silently dropped. Semantics stay aligned with the serial window
+because Spark windows order NULLS FIRST ascending: a NULL bucket
+(e.g. ``floor`` of a NULL leading order value) groups as the earliest
+bucket, exactly where the serial window places those rows — provided
+the bucket function maps NULL order values to NULL (any builtin
+arithmetic/floor/div does).
 """
 
 from __future__ import annotations
@@ -39,6 +49,24 @@ _LOCAL = "_tl_local"
 _OFF = "_tl_off"
 
 
+def _join_offsets(local: DataFrame, off: DataFrame,
+                  keys: Sequence[str]) -> DataFrame:
+    """Broadcast-join the per-bucket offsets back onto the rows with
+    NULL-SAFE key equality — a plain equi-join would drop any row whose
+    bucket or partition key is NULL, diverging from the serial window
+    (ADVICE r4 medium). The offset side's keys are renamed before the
+    join so the output keeps exactly the caller's columns."""
+    renamed = off
+    for i, c in enumerate(keys):
+        renamed = renamed.withColumnRenamed(c, f"_tl_k{i}")
+    cond = F.lit(True)
+    for i, c in enumerate(keys):
+        cond = cond & local[c].eqNullSafe(renamed[f"_tl_k{i}"])
+    return local.join(F.broadcast(renamed), cond).drop(
+        *[f"_tl_k{i}" for i in range(len(keys))]
+    )
+
+
 def _offsets(per_bucket: DataFrame, part_cols: Sequence[str],
              total_col: str) -> DataFrame:
     """Prefix-sum the one-row-per-bucket frame. The partition key is
@@ -49,7 +77,11 @@ def _offsets(per_bucket: DataFrame, part_cols: Sequence[str],
     if part_cols:
         w = Window.partitionBy(*part_cols).orderBy(_BUCKET)
     else:
-        w = Window.partitionBy(F.pmod(F.col(_BUCKET), F.lit(1))).orderBy(_BUCKET)
+        w = Window.partitionBy(
+            # coalesce: pmod(NULL,1) is NULL, which would split a NULL
+            # bucket into its own window partition and zero its offset
+            F.coalesce(F.pmod(F.col(_BUCKET), F.lit(1)), F.lit(0))
+        ).orderBy(_BUCKET)
     w = w.rowsBetween(Window.unboundedPreceding, -1)
     return per_bucket.select(
         *part_cols, _BUCKET,
@@ -75,7 +107,7 @@ def two_level_row_number(df: DataFrame, order_cols: Sequence[Column | str],
         F.count("*").alias("_tl_n")
     )
     off = _offsets(per_bucket, part_cols, "_tl_n")
-    joined = local.join(F.broadcast(off), part_cols + [_BUCKET])
+    joined = _join_offsets(local, off, part_cols + [_BUCKET])
     return joined.withColumn(
         out_col, F.col(_OFF) + F.col(_LOCAL)
     ).drop(_BUCKET, _LOCAL, _OFF)
@@ -104,7 +136,7 @@ def two_level_running_sum(df: DataFrame, val: Column | str,
         F.sum(v).alias("_tl_tot")
     )
     off = _offsets(per_bucket, part_cols, "_tl_tot")
-    joined = local.join(F.broadcast(off), part_cols + [_BUCKET])
+    joined = _join_offsets(local, off, part_cols + [_BUCKET])
     return joined.withColumn(
         out_col, F.col(_OFF) + F.col(_LOCAL)
     ).drop(_BUCKET, _LOCAL, _OFF)
@@ -142,12 +174,13 @@ def two_level_running_max(df: DataFrame, val: Column | str,
         w_off = Window.partitionBy(*part_cols).orderBy(_BUCKET)
     else:
         w_off = Window.partitionBy(
-            F.pmod(F.col(_BUCKET), F.lit(1))).orderBy(_BUCKET)
+            F.coalesce(F.pmod(F.col(_BUCKET), F.lit(1)), F.lit(0))
+        ).orderBy(_BUCKET)
     w_off = w_off.rowsBetween(Window.unboundedPreceding, -1)
     off = per_bucket.select(
         *part_cols, _BUCKET, F.max("_tl_tot").over(w_off).alias(_OFF)
     )
-    joined = local.join(F.broadcast(off), part_cols + [_BUCKET])
+    joined = _join_offsets(local, off, part_cols + [_BUCKET])
     return joined.withColumn(
         out_col, F.greatest(F.col(_OFF), F.col(_LOCAL))
     ).drop(_BUCKET, _LOCAL, _OFF)

@@ -275,9 +275,18 @@ WITH tk AS (
   FROM tk
 ), counts AS (
   SELECT doc_id, count(*) AS n_sh FROM shingled GROUP BY doc_id
+), hot AS (
+  -- the engine's stop-shingle cap, expressed identically (df >
+  -- max(100, floor(0.05 * n_docs))) so engine and oracle share
+  -- semantics on ANY corpus, not just fixtures below the threshold
+  SELECT shingle FROM shingled GROUP BY shingle
+  HAVING count(*) > greatest(100, CAST(floor(
+    0.05 * (SELECT count(DISTINCT doc_id) FROM shingled)) AS BIGINT))
+), capped AS (
+  SELECT * FROM shingled ANTI JOIN hot USING (shingle)
 ), pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-  FROM shingled a JOIN shingled b USING (shingle)
+  FROM capped a JOIN capped b USING (shingle)
   WHERE a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
@@ -886,9 +895,16 @@ WITH RECURSIVE tk AS (
   FROM tk
 ), counts AS (
   SELECT doc_id, count(*) AS n_sh FROM shingled GROUP BY doc_id
+), hot AS (
+  -- mirror of the engine's stop-shingle cap (see ngram_jaccard_pairs)
+  SELECT shingle FROM shingled GROUP BY shingle
+  HAVING count(*) > greatest(100, CAST(floor(
+    0.05 * (SELECT count(DISTINCT doc_id) FROM shingled)) AS BIGINT))
+), capped AS (
+  SELECT * FROM shingled ANTI JOIN hot USING (shingle)
 ), pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-  FROM shingled a JOIN shingled b USING (shingle)
+  FROM capped a JOIN capped b USING (shingle)
   WHERE a.doc_id < b.doc_id GROUP BY 1, 2
 ), edges AS (
   SELECT doc_a, doc_b FROM pairs

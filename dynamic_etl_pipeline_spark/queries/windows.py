@@ -260,10 +260,10 @@ def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("window_exclude_current", oracle="""
 SELECT event_id,
-       sum(CAST(round(value * 100) AS BIGINT)) OVER (
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
          PARTITION BY event_type ORDER BY ts, event_id
          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
-         EXCLUDE CURRENT ROW) AS neighbor_cents
+         EXCLUDE CURRENT ROW) AS BIGINT) AS neighbor_cents
 FROM events
 """)
 def window_exclude_current(spark: SparkSession, sf_dir: str) -> DataFrame:

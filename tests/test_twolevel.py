@@ -192,3 +192,62 @@ def test_random_two_level_specs_agree(spark):
         two_rs = two_level_running_sum(
             df, "val", ["key", "k"], bucket, "o", part_cols=part_cols)
         assert _rows(two_rs, "k", "o") == _rows(serial_rs, "k", "o"), seed
+
+
+def test_null_bucket_and_part_rows_survive(spark):
+    """ADVICE r4 medium: rows whose bucket expression (floor of a NULL
+    leading order value) or partition column is NULL must NOT be
+    dropped by the offset join-back — the join is null-safe, and the
+    result still matches the serial window (Spark orders NULLS FIRST,
+    and floor(NULL)=NULL groups as the earliest bucket)."""
+    rows = [
+        # (id, part, val) — NULL part AND NULL val rows included
+        (1, "a", 5.0), (2, "a", None), (3, "a", 1.0), (4, "a", 9.0),
+        (5, None, 2.0), (6, None, None), (7, None, 7.0),
+        (8, "b", None), (9, "b", None), (10, "b", 3.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, part string, val double")
+
+    got = two_level_row_number(
+        df, order_cols=[F.asc("val"), F.asc("id")],
+        bucket=F.floor("val"), out_col="rn", part_cols=["part"],
+    )
+    w = Window.partitionBy("part").orderBy(F.asc("val"), F.asc("id"))
+    want = df.withColumn("rn", F.row_number().over(w).cast("long"))
+    assert got.count() == len(rows)  # nothing silently dropped
+    assert _rows(got, "id", "part", "rn") == _rows(want, "id", "part", "rn")
+
+    got_s = two_level_running_sum(
+        df, val=F.coalesce("val", F.lit(0.0)),
+        order_cols=[F.asc("val"), F.asc("id")],
+        bucket=F.floor("val"), out_col="cs", part_cols=["part"],
+    )
+    want_s = df.withColumn(
+        "cs",
+        F.sum(F.coalesce("val", F.lit(0.0))).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    assert _rows(got_s, "id", "cs") == _rows(want_s, "id", "cs")
+
+    got_m = two_level_running_max(
+        df, val="val", order_cols=[F.asc("val"), F.asc("id")],
+        bucket=F.floor("val"), out_col="rm", part_cols=["part"],
+    )
+    want_m = df.withColumn(
+        "rm",
+        F.max("val").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+    )
+    assert _rows(got_m, "id", "rm") == _rows(want_m, "id", "rm")
+
+
+def test_no_part_cols_null_bucket_survives(spark):
+    rows = [(1, None), (2, 4.0), (3, None), (4, 1.0), (5, 8.0)]
+    df = spark.createDataFrame(rows, "id long, val double")
+    got = two_level_row_number(
+        df, order_cols=[F.asc("val"), F.asc("id")],
+        bucket=F.floor("val"), out_col="rn",
+    )
+    w = Window.orderBy(F.asc("val"), F.asc("id"))
+    want = df.withColumn("rn", F.row_number().over(w).cast("long"))
+    assert _rows(got, "id", "rn") == _rows(want, "id", "rn")

@@ -112,6 +112,24 @@ def compare(name: str, spark_df, duck_df) -> tuple[bool, str]:
                     first_bad = f"{col}[{i}]: spark={a!r} duck={b!r}"
     if bad:
         return False, f"{bad} cells differ; first: {first_bad}"
+    # Dtype-parity audit: the driver's value hash is representation-
+    # sensitive (int 123 vs float 123.0 hash differently), while the
+    # cell comparison above is not. A kind mismatch between an integer
+    # column on one side and a float column on the other — when neither
+    # side has NULLs forcing pandas float coercion — is exactly the
+    # DuckDB HUGEINT→float64 class that made window_exclude_current
+    # hash-red in round 4 despite being value-exact. Surface it loudly.
+    dtype_warns = []
+    for col in s.columns:
+        ka, kb = s[col].dtype.kind, d[col].dtype.kind
+        if ka != kb and {ka, kb} == {"i", "f"}:
+            fa = s[col] if ka == "f" else d[col]
+            if not fa.isna().any():
+                dtype_warns.append(
+                    f"{col}: spark={s[col].dtype} duck={d[col].dtype}"
+                )
+    if dtype_warns:
+        return False, "DTYPE mismatch (driver-hash risk): " + "; ".join(dtype_warns)
     note = f"max_float_delta={max_delta:.3g}" if max_delta else "exact"
     return True, note
 
