@@ -25,19 +25,33 @@ import sys
 
 
 def main(argv: list[str] | None = None) -> int:
+    # --store lives on a shared parent parser so BOTH documented forms
+    # work: `--store DIR ingest FILE` and `ingest FILE --store DIR`
+    # (ADVICE r4: root-only --store rejected the subcommand-trailing
+    # form the module docstring advertises)
+    # subcommand copies default to SUPPRESS: argparse parses the
+    # subparser AFTER the root, so a plain default there would clobber
+    # a root-supplied `--store DIR`
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("--store", default=argparse.SUPPRESS,
+                        help="pipeline store directory (default ./etl_store)")
     p = argparse.ArgumentParser(prog="dynamic_etl_pipeline_spark")
     p.add_argument("--store", default="./etl_store",
                    help="pipeline store directory (default ./etl_store)")
     sub = p.add_subparsers(dest="cmd", required=True)
-    pi = sub.add_parser("ingest", help="ingest a file (csv/json/xml/txt/...)")
+    pi = sub.add_parser("ingest", parents=[common],
+                        help="ingest a file (csv/json/xml/txt/...)")
     pi.add_argument("file")
     pi.add_argument("--format", default=None,
                     help="override suffix-based format dispatch")
-    pr = sub.add_parser("records", help="browse latest records")
+    pr = sub.add_parser("records", parents=[common],
+                        help="browse latest records")
     pr.add_argument("--latest", type=int, default=50)
-    sub.add_parser("schemas", help="schema version history")
-    sub.add_parser("changes", help="schema change log")
-    pe = sub.add_parser("export-sqlite",
+    sub.add_parser("schemas", parents=[common],
+                   help="schema version history")
+    sub.add_parser("changes", parents=[common],
+                   help="schema change log")
+    pe = sub.add_parser("export-sqlite", parents=[common],
                         help="write the reference-shaped SQLite artifact")
     pe.add_argument("db")
     args = p.parse_args(argv)

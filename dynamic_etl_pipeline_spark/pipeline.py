@@ -281,12 +281,18 @@ class EtlPipeline:
         old = self.snapshot(generation)
         new = self.records() if other is None else self.snapshot(other)
         cols = sorted(set(old.columns) | set(new.columns))
+        # pad drift columns with NULL cast to the dtype of the side
+        # that HAS the column (ADVICE r4): a hard-coded string pad made
+        # exceptAll compare typed values via set-op string coercion
+        dtypes = {**dict(old.dtypes), **dict(new.dtypes)}
 
         def pad(df):
             out = df
             for c in cols:
                 if c not in df.columns:
-                    out = out.withColumn(c, F.lit(None).cast("string"))
+                    out = out.withColumn(
+                        c, F.lit(None).cast(dtypes.get(c, "string"))
+                    )
             return out.select(*cols)
 
         old_p, new_p = pad(old), pad(new)

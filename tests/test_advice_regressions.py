@@ -337,3 +337,116 @@ def test_session_paths_all_null_session_is_null_path(spark, tmp_path):
     }
     assert None in want, "injection produced no all-NULL session"
     assert got == want
+
+
+# --- round-4 advisor findings (ADVICE.md r4) ---
+
+
+def test_cli_store_after_subcommand(tmp_path, spark):
+    """ADVICE r4: the docstring advertises `ingest FILE [--store DIR]`
+    but --store only existed on the root parser, so the trailing form
+    raised 'unrecognized arguments'. Both placements must parse."""
+    import contextlib
+    import io
+    import json
+
+    from dynamic_etl_pipeline_spark.__main__ import main
+
+    f = tmp_path / "t.csv"
+    f.write_text("a,b\n1,x\n2,y\n")
+    store = str(tmp_path / "trailing_store")
+    out = io.StringIO()
+    with contextlib.redirect_stdout(out):
+        rc = main(["ingest", str(f), "--store", store])
+    assert rc == 0
+    assert json.loads(out.getvalue().strip().splitlines()[-1])["stored"] == 2
+    # and the store really landed at the trailing --store path
+    out = io.StringIO()
+    with contextlib.redirect_stdout(out):
+        main(["records", "--latest", "2", "--store", store])
+    rows = [json.loads(x) for x in out.getvalue().strip().splitlines()]
+    assert {r["b"] for r in rows} == {"x", "y"}
+
+
+def test_max_ts_footer_handles_directory_and_missing_column(spark, tmp_path):
+    """ADVICE r4: _max_ts_from_footer raised on Spark's directory-style
+    parquet and on frames without a ts column, defeating the documented
+    Spark-action fallback. Directory layouts now glob part files; bad
+    inputs return None instead of raising."""
+    import datetime as dt
+
+    from dynamic_etl_pipeline_spark.queries.streaming import (
+        _max_ts_from_footer,
+    )
+
+    # Spark-written directory: must NOT raise. (Spark's writer omits
+    # min/max stats for this timestamp column, so None -> the caller's
+    # Spark-action fallback — the advisor's exact scenario.)
+    d = str(tmp_path / "ev.parquet")
+    rows = [(i, dt.datetime(2024, 1, 1) + dt.timedelta(hours=i))
+            for i in range(10)]
+    spark.createDataFrame(rows, "id long, ts timestamp").repartition(
+        3
+    ).write.mode("overwrite").parquet(d)
+    got = _max_ts_from_footer(d)  # no exception is the contract
+    if got is not None:
+        assert got.replace(tzinfo=None) == dt.datetime(2024, 1, 1, 9)
+
+    # pyarrow-written multi-file directory (stats present, like the
+    # driver fixtures): the glob must aggregate the max across parts
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdir = tmp_path / "pa_ev.parquet"
+    pdir.mkdir()
+    for i, hrs in enumerate([[1, 5], [9, 3]]):
+        tbl = pa.table({
+            "id": list(range(len(hrs))),
+            "ts": [dt.datetime(2024, 1, 1) + dt.timedelta(hours=h)
+                   for h in hrs],
+        })
+        pq.write_table(tbl, str(pdir / f"part-{i}.parquet"))
+    got = _max_ts_from_footer(str(pdir))
+    assert got is not None and got.replace(tzinfo=None) == dt.datetime(
+        2024, 1, 1, 9
+    )
+
+    no_ts = str(tmp_path / "nots.parquet")
+    spark.createDataFrame([(1,)], "id long").write.mode(
+        "overwrite"
+    ).parquet(no_ts)
+    assert _max_ts_from_footer(no_ts) is None  # no ts column -> fallback
+    assert _max_ts_from_footer(str(tmp_path / "missing.parquet")) is None
+
+
+def test_diff_pads_drift_columns_with_native_dtype(spark, tmp_path):
+    """ADVICE r4: schema-drift pad columns were NULL cast to STRING
+    regardless of the column's real dtype, so exceptAll compared typed
+    values via string coercion. The pad now uses the dtype of the side
+    that has the column."""
+    import csv
+
+    from dynamic_etl_pipeline_spark.pipeline import EtlPipeline
+
+    f1 = tmp_path / "v1.csv"
+    with open(f1, "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(["rec_id", "name"])
+        w.writerows([[1, "a"], [2, "b"]])
+    f2 = tmp_path / "v2.csv"
+    with open(f2, "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(["rec_id", "name", "num"])
+        w.writerows([[2, "b2", 7], [3, "c", 9]])
+
+    pipe = EtlPipeline(spark, str(tmp_path / "store"))
+    pipe.ingest(str(f1))
+    pipe.upsert(str(f2), keys=["rec_id"])
+
+    out = pipe.diff(1)
+    dts = dict(out.dtypes)
+    assert dts["num"] != "string"  # native dtype, not a string pad
+    changes = {(r["rec_id"], r["num"], r["change"])
+               for r in out.select("rec_id", "num", "change").collect()}
+    assert (3, 9, "added") in changes
+    assert (2, None, "removed") in changes
