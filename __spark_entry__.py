@@ -52,14 +52,14 @@ _FRONT = [
     "array_funcs",
     # text / exact dedup
     "exact_dedup", "ngram_jaccard_pairs", "dedup_keep_best_exact",
-    "jaccard_prefix_filter_pairs", "doc_tf_idf_top", "doc_bigram_lm_score",
-    # vectors / ANN
-    "knn_bruteforce", "embedding_covariance", "embedding_hamming_topk",
+    "jaccard_prefix_filter_pairs", "doc_tf_idf_top", "doc_lang_id",
+    # vectors / ANN / multimodal
+    "knn_bruteforce", "multimodal_media_stats", "embedding_hamming_topk",
     # curation
     "doc_gopher_quality", "corpus_boilerplate_strip",
     "doc_ngram_containment_pairs", "doc_vocab_oov_rate",
-    # training-data ops
-    "corpus_pack_sequences", "corpus_dsir_weights", "doc_duplicate_spans",
+    # training-data ops + pinned-model scoring (newly oracled r5)
+    "corpus_pack_sequences", "doc_quality_classifier", "doc_duplicate_spans",
     # streaming drains (real micro-batch engine, exact oracles)
     "streaming_tumbling_rollup", "streaming_chained_windows",
     "streaming_stream_stream_left_join", "streaming_stream_stream_full_join",
