@@ -904,3 +904,88 @@ def test_hot_user_state_is_one_fragment():
     # a gap then a second burst -> exactly two fragments
     frags = merge_fragments(frags, [t + gap + 1], gap)
     assert len(frags) == 2 and frags[1][2] == 1
+
+
+def test_checkpoint_recovery_resumes_state_under_rocksdb(
+    spark, sf_dir, tmp_path
+):
+    """Production durability (round 5): a stateful windowed aggregation
+    stopped mid-stream and RESTARTED from its checkpoint must (a)
+    recover the state store — the final complete-mode result equals the
+    batch aggregate over ALL files, including those consumed before the
+    stop — and (b) not reprocess consumed input (the resumed run's
+    input-row count covers only the new file). Runs under the RocksDB
+    state-store provider, the at-scale store where state exceeds
+    executor memory (the default HDFS-backed store is the toy path).
+    """
+    import glob
+    import shutil
+    import uuid
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = tmp_path / "src"
+    src.mkdir()
+    half = tmp_path / "halves"
+    raw.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(half / "a"))
+    raw.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(half / "b"))
+    file_a = glob.glob(str(half / "a" / "part-*.parquet"))[0]
+    file_b = glob.glob(str(half / "b" / "part-*.parquet"))[0]
+    checkpoint = str(tmp_path / "ckpt")
+
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+
+    def drain(name):
+        stream = stream_events_dir(spark, str(src), raw.schema,
+                                   max_files_per_trigger=1)
+        q = (
+            tumbling_rollup(stream).writeStream.format("memory")
+            .queryName(name).outputMode("complete")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+        rows = sum(p["numInputRows"] for p in q.recentProgress)
+        q.stop()
+        return spark.table(name), rows
+
+    try:
+        shutil.copy(file_a, src / "000_a.parquet")
+        _, n_first = drain(f"ck_{uuid.uuid4().hex[:8]}")
+        n_a = spark.read.parquet(file_a).count()
+        assert n_first == n_a
+
+        # "restart": new query, SAME checkpoint, one new file landed
+        shutil.copy(file_b, src / "001_b.parquet")
+        got, n_resumed = drain(f"ck_{uuid.uuid4().hex[:8]}")
+        n_b = spark.read.parquet(file_b).count()
+        assert n_resumed == n_b, "resumed run reprocessed consumed input"
+
+        want = (
+            load_table(spark, sf_dir, "events")
+            .groupBy(
+                F.window("ts", "1 hour")["start"]
+                .cast("timestamp_ntz").alias("bucket"),
+                "event_type",
+            )
+            .agg(F.count("*").alias("n_events"))
+        )
+        g = {(r["bucket"], r["event_type"]): r["n_events"]
+             for r in got.collect()}
+        w = {(r["bucket"], r["event_type"]): r["n_events"]
+             for r in want.collect()}
+        assert g == w, "recovered state lost pre-restart contributions"
+    finally:
+        if prev is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, prev)
