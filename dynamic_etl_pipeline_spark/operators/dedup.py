@@ -38,6 +38,11 @@ from ..materialize import materialize
 
 logger = logging.getLogger(__name__)
 
+# Observations from recent _cap_postings calls (drop-volume metrics,
+# readable after an action executes the capped plan — the lazy
+# replacement for the old per-call eager logging probe).
+_LSH_CAP_OBSERVATIONS: list = []
+
 # MinHash permutations are affine maps h(g) = (a*g + b) mod p over the
 # gram universe [0, p) with p = 2^31-1 (Mersenne prime). The modulus
 # MUST equal the universe size: with a 2^61-scale modulus over 2^31
@@ -231,24 +236,30 @@ def _cap_postings(postings: DataFrame, max_per_bucket: int,
     aggregation; the (rare) oversized keys are broadcast back. No
     window sort ever lands a multi-million-row bucket in one task.
     Dropped postings lose ONLY that band's vote for their pairs —
-    the other bands still probe — and the drop volume is logged.
+    the other bands still probe. Fully LAZY (round 5, same fix as
+    shingles.drop_stop_shingles): the hot-bucket frame is empty on
+    clean corpora and the left join passes everything through — the
+    old eager count()+first() probe spent two full aggregate jobs per
+    call purely on logging/no-op detection. Drop volume is recorded as
+    Observation metrics on the hot frame instead.
     """
+    from pyspark.sql import Observation
+
     sizes = (
         postings.groupBy(*keys)
         .agg(F.count("*").alias("_bn"))
         .filter(F.col("_bn") > max_per_bucket)
     )
-    n_hot = sizes.count()
-    if n_hot == 0:
-        return postings
-    dropped = sizes.agg(
-        F.sum(F.col("_bn") - max_per_bucket).alias("d")
-    ).first()["d"]
-    logger.warning(
-        "LSH posting cap: %d buckets exceed %d postings; dropping ~%d "
-        "postings (pairs keep their other bands' votes)",
-        n_hot, max_per_bucket, dropped,
+    obs = Observation()
+    sizes = sizes.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_hot"),
+        F.coalesce(
+            F.sum(F.col("_bn") - max_per_bucket), F.lit(0)
+        ).alias("dropped_postings"),
     )
+    _LSH_CAP_OBSERVATIONS.append(obs)
+    del _LSH_CAP_OBSERVATIONS[:-8]  # keep only recent ones
     keep_frac = F.lit(max_per_bucket) / F.col("_bn")
     u = (
         F.pmod(

@@ -170,24 +170,29 @@ def test_minhash_small_groups_expand_exactly(spark):
     assert not any(5 in p for p in got)
 
 
-def test_minhash_posting_cap_thins_hot_buckets(spark, caplog):
-    import logging as _logging
-
+def test_minhash_posting_cap_thins_hot_buckets(spark):
     # 12 docs sharing one template word-set permutation: force a tiny
     # cap so the hot-bucket path executes (collapse off so buckets
-    # actually exceed the cap), and check it logs + stays functional.
+    # actually exceed the cap). The cap is lazy (round 5): no eager
+    # probe job — drop volume surfaces through Observation metrics
+    # once the caller's action runs.
+    from dynamic_etl_pipeline_spark.operators.dedup import (
+        _LSH_CAP_OBSERVATIONS,
+    )
+
     texts = [
         "zz template words shared by every doc " + f"unique{i}"
         for i in range(12)
     ]
     df = corpus(spark, texts)
-    with caplog.at_level(_logging.WARNING,
-                         logger="dynamic_etl_pipeline_spark.operators.dedup"):
-        out = minhash_lsh_pairs(
-            df, "doc_id", "text", threshold=0.1, udf_partitions=4,
-            collapse_identical=False, max_postings_per_band=2,
-        ).collect()
-    assert any("posting cap" in r.message for r in caplog.records)
+    del _LSH_CAP_OBSERVATIONS[:]
+    out = minhash_lsh_pairs(
+        df, "doc_id", "text", threshold=0.1, udf_partitions=4,
+        collapse_identical=False, max_postings_per_band=2,
+    ).collect()
+    assert _LSH_CAP_OBSERVATIONS, "cap path did not register observations"
+    stats = [o.get for o in _LSH_CAP_OBSERVATIONS]
+    assert any(s["n_hot"] > 0 and s["dropped_postings"] > 0 for s in stats)
     assert all(r["id_a"] < r["id_b"] for r in out)
 
 
