@@ -115,8 +115,16 @@ def drop_stop_shingles(shingled: DataFrame,
     readable after the caller's action through
     :func:`last_cap_observation`.
     """
+    # The 1-row corpus count joins in as a broadcast scalar gate. This
+    # plans as a BroadcastNestedLoopJoin — unavoidable (the condition
+    # has no equi component, and Spark 4 constant-folds any synthetic
+    # key like x*0 right back out) and HARMLESS: the build side is one
+    # row, so it is O(n), not the O(n^2) shape the plan guards exist
+    # for. The `_stop_nd` name marks the node so plan tests can tell
+    # this scalar gate from a real data-sized nested loop
+    # (plans.data_sized_nested_loops).
     n_docs = shingled.agg(
-        F.countDistinct(id_col).alias("_nd")
+        F.countDistinct(id_col).alias("_stop_nd")
     )
     dfreq = shingled.groupBy(shingle_col).agg(F.count("*").alias("_df"))
     hot = (
@@ -125,7 +133,7 @@ def drop_stop_shingles(shingled: DataFrame,
             F.col("_df")
             > F.greatest(
                 F.lit(int(floor_df)).cast("long"),
-                (F.lit(float(frac)) * F.col("_nd")).cast("long"),
+                (F.lit(float(frac)) * F.col("_stop_nd")).cast("long"),
             )
         )
         .select(shingle_col, "_df")

@@ -10,6 +10,7 @@ surfacing as a 100x slowdown at deployment scale.
 """
 
 from .inspect import (  # noqa: F401
+    data_sized_nested_loops,
     exchange_count,
     formatted_plan,
     has_operator,

@@ -17,6 +17,33 @@ def formatted_plan(df: DataFrame) -> str:
     return buf.getvalue()
 
 
+def data_sized_nested_loops(df: DataFrame) -> int:
+    """Count nested-loop/cartesian joins that could be data-sized —
+    the O(n^2) shape plan tests forbid — EXCLUDING the known scalar
+    gate: the stop-shingle cap's 1-row corpus-count broadcast, whose
+    BNLJ condition references its marker column ``_stop_nd`` (an
+    inner join against one row is O(n); Spark folds any synthetic equi
+    key out of it, so BNLJ is the only plan shape it can take)."""
+    plan = formatted_plan(df)
+    bad = len(re.findall(r"^\(\d+\) CartesianProduct", plan, re.MULTILINE))
+    for m in re.finditer(
+        r"^\(\d+\) BroadcastNestedLoopJoin\n(?:.*\n){0,3}?"
+        r"Join condition: (.*)$",
+        plan, re.MULTILINE,
+    ):
+        if "_stop_nd" not in m.group(1):
+            bad += 1
+    # BNLJ nodes with NO condition line (pure cross joins) also count
+    n_bnlj = len(re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan,
+                            re.MULTILINE))
+    n_cond = len(re.findall(
+        r"^\(\d+\) BroadcastNestedLoopJoin\n(?:.*\n){0,3}?Join condition:",
+        plan, re.MULTILINE,
+    ))
+    bad += n_bnlj - n_cond
+    return bad
+
+
 def has_operator(df: DataFrame, name: str) -> bool:
     """True if the physical plan contains an operator node whose name
     matches ``name`` (substring, e.g. 'BroadcastHashJoin',

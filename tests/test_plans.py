@@ -345,10 +345,13 @@ def test_vocab_oov_joins_stay_equi_and_jvm(spark, sf_dir):
 
 def test_containment_is_inverted_index_not_cross(spark, sf_dir):
     # asymmetric containment must keep the shingle-keyed equi self-join
-    # shape; a doc-level cross join would be O(n^2)
+    # shape; a doc-level cross join would be O(n^2). The stop-shingle
+    # cap's 1-row corpus-count gate is the one permitted BNLJ
+    # (data_sized_nested_loops knows to exclude it).
+    from dynamic_etl_pipeline_spark.plans import data_sized_nested_loops
+
     df = QUERIES["doc_ngram_containment_pairs"](spark, sf_dir)
-    assert not has_operator(df, "CartesianProduct")
-    assert not has_operator(df, "BroadcastNestedLoopJoin")
+    assert data_sized_nested_loops(df) == 0, formatted_plan(df)
     assert python_eval_count(df) == 0, formatted_plan(df)
 
 
