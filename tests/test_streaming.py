@@ -989,3 +989,112 @@ def test_checkpoint_recovery_resumes_state_under_rocksdb(
             spark.conf.unset(prov_key)
         else:
             spark.conf.set(prov_key, prev)
+
+
+def test_stateful_sessionizer_recovers_fragments_across_restart(
+    spark, tmp_path
+):
+    """Round-5 fragment state survives a checkpoint restart under the
+    RocksDB store: stop the sessionizer mid-corpus (open sessions live
+    ONLY as [start, end, n] fragments in the state store), restart from
+    the same checkpoint with the rest of the corpus + flush sentinels,
+    and the union of both runs' emissions equals the batch sessionizer
+    over the full corpus — proving the compacted state round-trips
+    through serialization and still finalizes exactly."""
+    import datetime as _dt
+    import os
+    import shutil
+    import time as _t
+
+    from dynamic_etl_pipeline_spark.catalog import load_table
+    from dynamic_etl_pipeline_spark.queries import QUERIES
+    from dynamic_etl_pipeline_spark.streaming.source import stream_events_dir
+    from dynamic_etl_pipeline_spark.streaming.stateful import (
+        user_sessions_stateful,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    mid = lo + (hi - lo) / 2
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    checkpoint = str(tmp_path / "ckpt")
+
+    def stage(i, df):
+        d = feed / f"d{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(d))
+        part = next(d.glob("part-*.parquet"))
+        dest = feed / f"{i:03d}.parquet"
+        shutil.move(str(part), dest)
+        os.utime(dest, (_t.time() + i, _t.time() + i))
+        shutil.rmtree(d)
+
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+
+    out_dir = str(tmp_path / "sessions_out")
+
+    def drain():
+        # parquet sink: the file sink supports exactly-once checkpoint
+        # recovery in append mode (the memory sink only recovers in
+        # complete mode, which multi-record stateful emission can't use)
+        stream = stream_events_dir(spark, str(feed), ev.schema,
+                                   max_files_per_trigger=1)
+        q = (
+            user_sessions_stateful(stream).writeStream.format("parquet")
+            .option("path", out_dir).outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+        return spark.read.parquet(out_dir).collect()
+
+    try:
+        # run 1: first half only — most sessions stay OPEN in state
+        stage(0, ev.filter(F.col("ts") < mid))
+        rows1 = drain()
+
+        # "crash": new query object, same checkpoint; second half + two
+        # flush sentinels land while the old query is down
+        stage(1, ev.filter(F.col("ts") >= mid))
+        for i, days in enumerate([10, 20], start=2):
+            stage(i, spark.createDataFrame(
+                [(-i, hi + _dt.timedelta(days=days), -1,
+                  "sentinel", 0.0, "{}")],
+                ev.schema,
+            ))
+        rows2 = drain()  # cumulative: the file sink appends
+
+        got = {
+            (r["user_id"], r["session_start"], r["session_end"],
+             r["n_events"])
+            for r in rows2 if r["user_id"] >= 0
+        }
+        # run 1 must have emitted only a PREFIX (open sessions held)
+        assert len(rows1) < len(rows2)
+        epoch = _dt.datetime(1970, 1, 1)
+        us = _dt.timedelta(microseconds=1)
+        want = {
+            (
+                r["user_id"],
+                (r["session_start"] - epoch) // us,
+                (r["session_end"] - epoch) // us,
+                r["n_events"],
+            )
+            for r in QUERIES["events_sessionize"](spark, sf_dir).collect()
+        }
+        assert got == want, (
+            f"missing={sorted(want - got)[:5]} extra={sorted(got - want)[:5]}"
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, prev)
