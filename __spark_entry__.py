@@ -47,22 +47,24 @@ _FRONT = [
     "window_topk_per_group", "window_ignore_nulls", "window_exclude_current",
     # events (batch twins)
     "events_hourly_rollup", "events_sessionize", "events_session_window",
-    "events_max_concurrent_sessions", "events_gap_fill",
+    "events_max_concurrent_sessions",
     # scalar battery
     "array_funcs",
     # text / exact dedup
     "exact_dedup", "ngram_jaccard_pairs", "dedup_keep_best_exact",
     "jaccard_prefix_filter_pairs", "doc_tf_idf_top", "doc_lang_id",
-    # vectors / ANN / multimodal
+    # vectors / ANN / clustering / multimodal
     "knn_bruteforce", "multimodal_media_stats", "embedding_hamming_topk",
+    "embedding_kmeans_exact",
     # curation
     "doc_gopher_quality", "corpus_boilerplate_strip",
     "doc_ngram_containment_pairs", "doc_vocab_oov_rate",
     # training-data ops + pinned-model scoring (newly oracled r5)
     "corpus_pack_sequences", "doc_quality_classifier", "doc_duplicate_spans",
-    # streaming drains (real micro-batch engine, exact oracles)
+    # streaming drains (real micro-batch engine, exact oracles) + the
+    # newly-oracled custom stateful op (exact fixed-point state, r5)
     "streaming_tumbling_rollup", "streaming_chained_windows",
-    "streaming_stream_stream_left_join", "streaming_stream_stream_full_join",
+    "streaming_stream_stream_left_join", "streaming_user_running_totals",
     # UDTF / UDAF / grouping
     "udtf_doc_sentences", "udtf_session_summary", "grouping_sets_flag_status",
     "udaf_geo_mean_price",

@@ -70,6 +70,7 @@ HEADLINE = [
     "events_max_concurrent_sessions",  # two-level boundary sweep (round 4)
     "rfm_segments",             # two-level exact ntile segmentation (round 4)
     "part_abc_classification",  # decimal two-level cumulative share (round 4)
+    "embedding_kmeans_exact",   # integer-exact Lloyd's k-means, full oracle (round 5)
 ]
 
 

@@ -752,3 +752,96 @@ def ivf_index_topk(spark, index_dir: str, queries: DataFrame, k: int = 10,
         scored.withColumn("rn", F.row_number().over(w).cast("int"))
         .filter(F.col("rn") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Integer-exact k-means: Lloyd's with every accumulation exact, so the
+# full clustering (not just its shape) can be held to a DuckDB oracle.
+
+
+def _kmeans_exact_assign(base: DataFrame, mu: list[list[float]]) -> DataFrame:
+    """argmin of squared L2 distance over the centroid list, lowest-
+    index tie-break (array_position finds the FIRST occurrence of the
+    min).
+
+    The distance is one nested higher-order expression — transform over
+    a k x dim centroid literal array, inner zip_with + aggregate fold —
+    instead of k*dim unrolled column terms: identical arithmetic, ~10x
+    fewer Catalyst nodes (the unrolled form spent tens of seconds in
+    analysis/codegen). Bit-parity with an oracle's left-associated
+    ``t1 + t2 + ... + tn``: the fold runs left-to-right over the
+    dimension order, per-term squares use x*x (never pow), and the
+    0.0 accumulator start is exact because every term is >= +0.0."""
+    cents = F.array(*[
+        F.array(*[F.lit(m) for m in mu_j]) for mu_j in mu
+    ])
+    dists = F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.zip_with(F.col("qd"), c, lambda x, m: (x - m) * (x - m)),
+            F.lit(0.0),
+            lambda a, t: a + t,
+        ),
+    )
+    return base.withColumn(
+        "cluster_id",
+        (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+    )
+
+
+def kmeans_exact_assign(df: DataFrame, n_centroids: int = 8,
+                        iters: int = 2, scale: int = 1_000_000,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Distributed Lloyd's k-means with bit-deterministic, engine-
+    portable arithmetic — the variant a verification gate can hold to
+    an *exact* oracle (kmeans_centroids above is the float/numpy twin
+    for IVF/diversity, checked by recall tests instead).
+
+    Determinism recipe:
+    - vectors quantize to ``floor(x * scale)`` BIGINTs (identical IEEE
+      product + floor in any engine);
+    - seeds are the ``n_centroids`` lowest ids' quantized vectors;
+    - centroid updates are exact integer sums / counts; the centroid
+      double is the single correctly-rounded division s/c, identical
+      everywhere;
+    - assignment distance is a fixed-order fold of doubles derived from
+      those exact ints, so every engine computes the same bits and the
+      same argmin (ties break to the lowest centroid index).
+
+    Scale shape: assignment is map-only whole-stage codegen against
+    centroid literals (no UDF, no broadcast variable even — the k*dim
+    doubles inline into the plan); each update is one hash aggregate
+    producing k rows driver-side. Per-iteration cost is one scan + one
+    shuffle of k*(dim+1) longs per partition. Empty clusters keep
+    their previous centroid.
+
+    Returns (id_col, cluster_id INT) plus the quantized columns.
+    """
+    qv = F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * F.lit(scale))
+    )
+    base = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), qv.alias("qv"))
+        .withColumn("qd", F.transform(F.col("qv"), lambda x: x.cast("double")))
+    )
+    seed_rows = base.orderBy(id_col).limit(n_centroids).select("qv").collect()
+    if not seed_rows:
+        raise ValueError("kmeans_exact_assign: no non-null vectors")
+    mu = [[float(v) for v in r["qv"]] for r in seed_rows]
+    dim = len(mu[0])
+    for _ in range(iters):
+        assigned = _kmeans_exact_assign(base, mu)
+        sums = (
+            assigned.groupBy("cluster_id")
+            .agg(
+                F.count("*").alias("c"),
+                *[F.sum(F.col("qv")[i]).alias(f"s{i}") for i in range(dim)],
+            )
+            .collect()
+        )
+        for r in sums:
+            j = r["cluster_id"]
+            mu[j] = [float(r[f"s{i}"]) / float(r["c"]) for i in range(dim)]
+    return _kmeans_exact_assign(base, mu)

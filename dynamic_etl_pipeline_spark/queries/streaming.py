@@ -329,10 +329,21 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("streaming_user_running_totals")  # rows-only: float state accumulation
+@query("streaming_user_running_totals", oracle="""
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY user_id
+""")
 def streaming_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom per-key state via applyInPandasWithState: cumulative
-    per-user counts/totals, emitted per trigger."""
+    per-user counts/totals, emitted per trigger.
+
+    Exact oracle since round 5: the state accumulates value as integer
+    1e-4 fixed-point (scaled JVM-side by a decimal cast), so the total
+    is order-independent and the final emission per user — the fixture
+    is a single file, hence one availableNow micro-batch — bit-matches
+    the batch DECIMAL aggregate in any engine."""
     return run_available_now_to_memory(
         user_running_totals(stream_events(spark, sf_dir)),
         output_mode="update",

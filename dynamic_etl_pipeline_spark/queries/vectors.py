@@ -563,3 +563,100 @@ def embedding_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w).cast("int"))
         .filter(F.col("rn") <= 10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Integer-exact k-means, held to a full DuckDB oracle. The oracle
+# unrolls Lloyd's iterations into chained CTEs (the bpe_train_merges
+# pattern): quantize -> seed -> [assign -> update] x iters -> final
+# assign, with every sum an exact BIGINT and every double the single
+# correctly-rounded image of an exact integer ratio, so both engines
+# compute identical bits and identical argmins.
+
+_KM_K = 8
+_KM_ITERS = 2
+_KM_DIM = 64
+_KM_SCALE = 1_000_000
+
+
+def _km_oracle() -> str:
+    d, k = _KM_DIM, _KM_K
+    qv = "[" + ", ".join(
+        f"CAST(floor(CAST(embedding[{i+1}] AS DOUBLE) * {_KM_SCALE}) AS BIGINT)"
+        for i in range(d)
+    ) + "]"
+    dist = " + ".join(
+        f"(q.qd[{i+1}] - c.m[{i+1}]) * (q.qd[{i+1}] - c.m[{i+1}])"
+        for i in range(d)
+    )
+
+    def assign(src: str, cent: str, out: str) -> str:
+        return (
+            f"{out} AS (\n"
+            f"  SELECT vec_id, qv, qd, cluster_id FROM (\n"
+            f"    SELECT q.vec_id, q.qv, q.qd, c.j AS cluster_id,\n"
+            f"           row_number() OVER (PARTITION BY q.vec_id\n"
+            f"                              ORDER BY {dist}, c.j) AS rn\n"
+            f"    FROM {src} q CROSS JOIN {cent} c) WHERE rn = 1)"
+        )
+
+    def update(src: str, prev: str, upd: str, cent: str) -> str:
+        sums = ", ".join(f"sum(qv[{i+1}]) AS s{i}" for i in range(d))
+        mu = "[" + ", ".join(
+            f"CAST(u.s{i} AS DOUBLE) / CAST(u.c AS DOUBLE)" for i in range(d)
+        ) + "]"
+        return (
+            f"{upd} AS (SELECT cluster_id AS j, count(*) AS c, {sums}\n"
+            f"        FROM {src} GROUP BY cluster_id),\n"
+            f"{cent} AS (SELECT p.j, CASE WHEN u.j IS NULL THEN p.m\n"
+            f"                            ELSE {mu} END AS m\n"
+            f"        FROM {prev} p LEFT JOIN {upd} u ON p.j = u.j)"
+        )
+
+    ctes = [
+        f"q0 AS (SELECT vec_id, {qv} AS qv FROM embeddings\n"
+        f"       WHERE embedding IS NOT NULL)",
+        "qq AS (SELECT vec_id, qv, CAST(qv AS DOUBLE[]) AS qd FROM q0)",
+        f"c0 AS (SELECT CAST(rn - 1 AS INT) AS j, CAST(qv AS DOUBLE[]) AS m\n"
+        f"       FROM (SELECT qv, row_number() OVER (ORDER BY vec_id) AS rn\n"
+        f"             FROM q0 ORDER BY vec_id LIMIT {k}))",
+    ]
+    for t in range(_KM_ITERS):
+        ctes.append(assign("qq", f"c{t}", f"a{t + 1}"))
+        ctes.append(update(f"a{t + 1}", f"c{t}", f"u{t + 1}", f"c{t + 1}"))
+    ctes.append(assign("qq", f"c{_KM_ITERS}", "af"))
+    final = (
+        "SELECT af.vec_id, af.cluster_id, n.cluster_n\n"
+        "FROM af JOIN (SELECT cluster_id, count(*) AS cluster_n\n"
+        "              FROM af GROUP BY cluster_id) n USING (cluster_id)"
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + final
+
+
+@query("embedding_kmeans_exact", oracle=_km_oracle())
+def embedding_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full distributed k-means under an exact value oracle: every
+    vector's final cluster id and its cluster's size must match
+    DuckDB running the identical quantized Lloyd's — the strongest
+    correctness statement in the clustering tier (the float/numpy
+    kmeans_centroids twin keeps recall-style checks).
+
+    Scale: per iteration one codegen map pass (centroid literals inline
+    in the plan, no UDF) + one k-row hash aggregate; the driver only
+    ever holds k*(dim+1) integers. Assignment ties break to the lowest
+    centroid index in both engines.
+    """
+    from ..operators.knn import kmeans_exact_assign
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_exact_assign(
+        e, n_centroids=_KM_K, iters=_KM_ITERS, scale=_KM_SCALE
+    )
+    counts = assigned.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_n")
+    )
+    return (
+        assigned.select("vec_id", "cluster_id")
+        .join(F.broadcast(counts), "cluster_id")
+        .select("vec_id", "cluster_id", "cluster_n")
+    )

@@ -25,19 +25,40 @@ _OUT = StructType([
 ])
 _STATE = StructType([
     StructField("n", LongType()),
-    StructField("total", DoubleType()),
+    StructField("cents", LongType()),
 ])
+
+# Fixed-point scale for the value accumulator. State holds the total as
+# an integer number of 1e-4 units, so accumulation is exact and
+# order-independent — double addition in arrival order would make the
+# emitted total depend on shuffle order (and diverge from any oracle in
+# the last ulp). The scaling happens JVM-side (decimal cast * 10^4) so
+# the pandas worker only ever sums int64.
+_VALUE_SCALE = 10_000
 
 
 def _update(key: tuple, pdfs: Iterator[pd.DataFrame],
             state: GroupState) -> Iterator[pd.DataFrame]:
-    n, total = state.get if state.exists else (0, 0.0)
+    n, cents = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        total += float(pdf["value"].fillna(0.0).sum())
-    state.update((n, float(total)))
+        cents += int(pdf["_cents"].fillna(0).sum())
+    state.update((n, cents))
+    # float(int)/float(int) with both operands exact in double is a
+    # single correctly-rounded division: bit-identical to a DECIMAL
+    # engine computing cents/10^4 and casting to DOUBLE.
     yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        {"user_id": [key[0]], "n_events": [n],
+         "total_value": [float(cents) / _VALUE_SCALE]}
+    )
+
+
+def _with_cents(events: DataFrame) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return events.withColumn(
+        "_cents",
+        (F.col("value").cast("decimal(27,4)") * _VALUE_SCALE).cast("long"),
     )
 
 
@@ -45,9 +66,10 @@ def user_running_totals(events: DataFrame,
                         watermark: str = "2 hours") -> DataFrame:
     """Cumulative per-user event count + value total, emitted once per
     user per micro-batch — running state no windowed agg expresses
-    (batch equivalent after a full replay: plain groupBy sum/count)."""
+    (batch equivalent after a full replay: plain groupBy sum/count;
+    DuckDB oracle: CAST(sum(CAST(value AS DECIMAL(27,4))) AS DOUBLE))."""
     return (
-        events.withWatermark("ts", watermark)
+        _with_cents(events).withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
             _update, _OUT, _STATE, "update", GroupStateTimeout.NoTimeout
@@ -94,20 +116,21 @@ def user_running_totals_tws(events: DataFrame,
 
         def handleInputRows(self, key, rows, timerValues):
             existing = self._totals.get()
-            n, total = existing if existing is not None else (0, 0.0)
+            n, cents = existing if existing is not None else (0, 0)
             for pdf in rows:
                 n += len(pdf)
-                total += float(pdf["value"].fillna(0.0).sum())
-            self._totals.update((n, float(total)))
+                cents += int(pdf["_cents"].fillna(0).sum())
+            self._totals.update((n, cents))
             yield pd.DataFrame(
-                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+                {"user_id": [key[0]], "n_events": [n],
+                 "total_value": [float(cents) / _VALUE_SCALE]}
             )
 
         def close(self) -> None:
             pass
 
     return (
-        events.withWatermark("ts", watermark)
+        _with_cents(events).withWatermark("ts", watermark)
         .groupBy("user_id")
         .transformWithStateInPandas(
             statefulProcessor=RunningTotals(),

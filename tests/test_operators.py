@@ -732,3 +732,42 @@ def test_persisted_ivf_index_matches_in_memory(spark, sf_dir, tmp_path):
         re.findall(r"\((\d+)\) ArrowEvalPython", plan)
     )
     assert len(udf_ids) <= 1  # one node, living inside the cache build
+
+
+# ---------------------------------------------------------------------------
+# integer-exact k-means (operators/knn.py::kmeans_exact_assign)
+
+
+def test_kmeans_exact_assign_partitions_and_determinism(spark, sf_dir):
+    from dynamic_etl_pipeline_spark.catalog import load_table
+    from dynamic_etl_pipeline_spark.operators.knn import kmeans_exact_assign
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a1 = kmeans_exact_assign(e, n_centroids=4, iters=2)
+    rows1 = {r["vec_id"]: r["cluster_id"] for r in a1.collect()}
+    # every vector assigned exactly once, to an in-range cluster
+    assert len(rows1) == e.filter(F.col("embedding").isNotNull()).count()
+    assert set(rows1.values()) <= set(range(4))
+    # bit-deterministic: a fresh lineage reproduces identical assignments
+    a2 = kmeans_exact_assign(e, n_centroids=4, iters=2)
+    rows2 = {r["vec_id"]: r["cluster_id"] for r in a2.collect()}
+    assert rows1 == rows2
+
+
+def test_kmeans_exact_assign_separates_planted_clusters(spark):
+    from dynamic_etl_pipeline_spark.operators.knn import kmeans_exact_assign
+
+    # two tight planted blobs far apart: k-means must split them along
+    # the blob boundary whatever the seed vectors were
+    rows = []
+    for i in range(20):
+        base = 10.0 if i % 2 else -10.0
+        rows.append((i, [base + 0.001 * i, base - 0.001 * i]))
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    got = kmeans_exact_assign(df, n_centroids=2, iters=3)
+    by_cluster = {}
+    for r in got.collect():
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["vec_id"] % 2)
+    # each cluster is pure: only even or only odd ids (one blob each)
+    assert all(len(v) == 1 for v in by_cluster.values())
+    assert len(by_cluster) == 2

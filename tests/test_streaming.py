@@ -437,7 +437,9 @@ def test_transform_with_state_matches_apply_in_pandas_twin(spark, sf_dir,
         batch = (
             load_table(spark, sf_dir, "events")
             .groupBy("user_id")
-            .agg(F.count("*").alias("n"), F.sum("value").alias("t"))
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("value").cast("decimal(27,4)"))
+                 .cast("double").alias("t"))
         )
         want = {r["user_id"]: (r["n"], round(r["t"], 4))
                 for r in batch.collect()}
