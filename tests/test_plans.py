@@ -418,3 +418,16 @@ def test_day_streaks_single_user_shuffle(spark, sf_dir):
     assert python_eval_count(df) == 0
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_kmeans_exact_assignment_jvm_only_no_cartesian(spark, sf_dir):
+    """The exact k-means query must stay whole-stage-JVM: assignment is
+    higher-order expressions against centroid literals (no PythonUDF),
+    the only join is the broadcast of 8 cluster counts, and nothing
+    degenerates to a cartesian/BNLJ."""
+    df = QUERIES["embedding_kmeans_exact"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert python_eval_count(df) == 0, plan
+    assert not has_operator(df, "CartesianProduct"), plan
+    assert not has_operator(df, "BroadcastNestedLoopJoin"), plan
+    assert "BroadcastHashJoin" in plan, plan
