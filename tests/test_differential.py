@@ -543,3 +543,81 @@ def test_random_session_gap_specs_agree(spark, duck, seed):
     s_rows = {tuple(r) for r in spark.sql(body.format(t="orders_diff")).collect()}
     d_rows = {tuple(r) for r in duck.execute(body.format(t="orders")).fetchall()}
     assert s_rows == d_rows, (gap, part)
+
+
+# ---------------------------------------------------------------------------
+# Higher-order array functions: random transform/filter/sort/slice
+# chains over integer arrays built from orders columns, rendered into
+# each engine's lambda dialect (Spark transform/filter/slice vs DuckDB
+# list_transform/list_filter/list_slice) and compared by order-safe
+# integer checksums. Integer-only so sums are exact in any fold order.
+
+
+def _hof_chain(rng: random.Random) -> list[tuple]:
+    ops = []
+    for _ in range(rng.randint(1, 3)):
+        ops.append(rng.choice([
+            ("map_add", rng.randint(1, 9)),
+            ("map_mul", rng.randint(2, 5)),
+            ("filter_mod", rng.randint(2, 5), rng.randint(0, 1)),
+            ("sort",),
+            ("rev",),
+            ("slice", rng.randint(1, 2), rng.randint(1, 3)),
+        ]))
+    return ops
+
+
+def _hof_render(ops: list[tuple], dialect: str) -> str:
+    if dialect == "spark":
+        e = ("array(o_orderkey % 7, o_custkey % 5, "
+             "CAST(length(o_orderpriority) AS BIGINT), o_orderkey % 3)")
+    else:
+        e = ("[o_orderkey % 7, o_custkey % 5, "
+             "CAST(length(o_orderpriority) AS BIGINT), o_orderkey % 3]")
+    for op in ops:
+        if op[0] == "map_add":
+            fn = "transform" if dialect == "spark" else "list_transform"
+            e = f"{fn}({e}, x -> x + {op[1]})"
+        elif op[0] == "map_mul":
+            fn = "transform" if dialect == "spark" else "list_transform"
+            e = f"{fn}({e}, x -> x * {op[1]})"
+        elif op[0] == "filter_mod":
+            fn = "filter" if dialect == "spark" else "list_filter"
+            e = f"{fn}({e}, x -> x % {op[1]} = {op[2]})"
+        elif op[0] == "sort":
+            fn = "array_sort" if dialect == "spark" else "list_sort"
+            e = f"{fn}({e})"
+        elif op[0] == "rev":
+            fn = "reverse" if dialect == "spark" else "list_reverse"
+            e = f"{fn}({e})"
+        elif op[0] == "slice":
+            start, n = op[1], op[2]
+            if dialect == "spark":
+                e = f"slice({e}, {start}, {n})"
+            else:  # DuckDB list_slice end is 1-based inclusive
+                e = f"list_slice({e}, {start}, {start + n - 1})"
+    return e
+
+
+@pytest.mark.parametrize("seed", range(40))
+def test_random_higher_order_array_chains_agree(spark, duck, seed):
+    rng = random.Random(40_000 + seed)
+    ops = _hof_chain(rng)
+    s_arr = _hof_render(ops, "spark")
+    d_arr = _hof_render(ops, "duck")
+    s_body = (
+        "SELECT coalesce(sum(aggregate(v, 0L, (a, x) -> a + x)), 0) AS vs, "
+        "coalesce(sum(size(v)), 0) AS ls, "
+        "coalesce(sum(CAST(try_element_at(v, 1) AS BIGINT)), 0) AS h "
+        f"FROM (SELECT {s_arr} AS v FROM orders_diff)"
+    )
+    d_body = (
+        "SELECT coalesce(sum(coalesce(list_sum(v), 0)), 0) AS vs, "
+        "coalesce(sum(len(v)), 0) AS ls, "
+        "coalesce(sum(CAST(v[1] AS BIGINT)), 0) AS h "
+        f"FROM (SELECT {d_arr} AS v FROM orders)"
+    )
+    s = spark.sql(s_body).collect()[0]
+    d = duck.execute(d_body).fetchone()
+    assert (int(s["vs"]), int(s["ls"]), int(s["h"])) == (
+        int(d[0]), int(d[1]), int(d[2])), (ops, s_arr, d_arr)
