@@ -340,19 +340,9 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("corpus_diversity_sample")
-def corpus_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cluster-balanced diversity sample (operators/knn.py): k-means
-    the embeddings, keep a deterministic quota per cluster — uniform
-    sampling oversamples dense modes; this covers the space. Rows-only
-    (k-means assignment is engine-specific); balance/determinism
-    invariants live in tests/test_sampling.py."""
-    from ..operators.knn import diversity_sample
-
-    e = load_table(spark, sf_dir, "embeddings")
-    return diversity_sample(e, quota=10, n_clusters=8).select(
-        "vec_id", "label", F.col("cluster_id").cast("int").alias("cluster_id")
-    )
+# corpus_diversity_sample moved to the end of this module: since round
+# 5 it builds on the integer-exact k-means (defined below) so the whole
+# sample carries an exact oracle.
 
 
 @query("embedding_quantize_int8", oracle="""
@@ -579,7 +569,10 @@ _KM_DIM = 64
 _KM_SCALE = 1_000_000
 
 
-def _km_oracle() -> str:
+def _km_cte_chain() -> str:
+    """The WITH-body shared by every oracle built on the exact k-means:
+    quantize -> seed -> [assign -> update] x iters -> final assign
+    (``af``)."""
     d, k = _KM_DIM, _KM_K
     qv = "[" + ", ".join(
         f"CAST(floor(CAST(embedding[{i+1}] AS DOUBLE) * {_KM_SCALE}) AS BIGINT)"
@@ -625,12 +618,15 @@ def _km_oracle() -> str:
         ctes.append(assign("qq", f"c{t}", f"a{t + 1}"))
         ctes.append(update(f"a{t + 1}", f"c{t}", f"u{t + 1}", f"c{t + 1}"))
     ctes.append(assign("qq", f"c{_KM_ITERS}", "af"))
-    final = (
+    return "WITH " + ",\n".join(ctes) + "\n"
+
+
+def _km_oracle() -> str:
+    return _km_cte_chain() + (
         "SELECT af.vec_id, af.cluster_id, n.cluster_n\n"
         "FROM af JOIN (SELECT cluster_id, count(*) AS cluster_n\n"
         "              FROM af GROUP BY cluster_id) n USING (cluster_id)"
     )
-    return "WITH " + ",\n".join(ctes) + "\n" + final
 
 
 @query("embedding_kmeans_exact", oracle=_km_oracle())
@@ -659,4 +655,65 @@ def embedding_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.select("vec_id", "cluster_id")
         .join(F.broadcast(counts), "cluster_id")
         .select("vec_id", "cluster_id", "cluster_n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Diversity sampling on top of the exact k-means: cluster-balanced
+# quota selection keyed by an engine-portable salted content hash, so
+# the ENTIRE sample — clustering included — carries an exact oracle.
+
+_DIVS_QUOTA = 10
+
+
+def _divs_u() -> str:
+    """Uniform-ish integer in [0, 16^6) from 6 hex digits of a salted
+    md5 of the vector id — the doc_stratified_sample construction,
+    shared SQL text between Spark and DuckDB."""
+    h = "md5(concat('divs:', CAST(vec_id AS STRING)))"
+    e = f"instr('0123456789abcdef', substr({h}, 1, 1)) - 1"
+    for i in range(2, 7):
+        e = (f"({e}) * 16 + "
+             f"instr('0123456789abcdef', substr({h}, {i}, 1)) - 1")
+    return e
+
+
+@query("corpus_diversity_sample", oracle=_km_cte_chain() + f"""
+SELECT r.vec_id, emb.label, r.cluster_id
+FROM (SELECT vec_id, cluster_id,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY {_divs_u()}, vec_id) AS rn
+      FROM af) r
+JOIN embeddings emb ON r.vec_id = emb.vec_id
+WHERE r.rn <= {_DIVS_QUOTA}
+""")
+def corpus_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sample: k-means the embedding space,
+    keep a deterministic per-cluster quota — uniform sampling
+    oversamples dense modes; this covers the space.
+
+    Exact oracle since round 5: clustering is the integer-exact
+    Lloyd's (kmeans_exact_assign) and the within-cluster choice is a
+    salted md5 of the id, so membership is a pure engine-portable
+    function of the data (the float/numpy diversity_sample operator
+    keeps its balance/determinism tests for the seeded-hyperplane
+    path). Scale shape: assignment is map-only codegen; the quota cut
+    is one window shuffle keyed by cluster id; the label join
+    broadcasts nothing new — it re-reads the (pruned) id+label columns.
+    """
+    from ..operators.knn import kmeans_exact_assign
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_exact_assign(
+        e, n_centroids=_KM_K, iters=_KM_ITERS, scale=_KM_SCALE
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.expr(_divs_u()).asc(), F.col("vec_id").asc()
+    )
+    return (
+        assigned.select("vec_id", "cluster_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _DIVS_QUOTA)
+        .join(e.select("vec_id", "label"), "vec_id")
+        .select("vec_id", "label", "cluster_id")
     )
