@@ -258,19 +258,67 @@ def pq_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_ann_topk(e, queries, k=10, m=16, ksub=32, dim=64)
 
 
-@query("corpus_semdedup")  # rows-only: k-means clustering is engine-specific
+def _semdedup_oracle() -> str:
+    from .vectors import _km_cte_chain
+
+    cos = ("list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v))"
+           " * sqrt(list_dot_product(b.v, b.v)))")
+    return _km_cte_chain() + f"""
+, m AS (SELECT af.vec_id, af.cluster_id, emb.label,
+               CAST(emb.embedding AS DOUBLE[]) AS v
+        FROM af JOIN embeddings emb USING (vec_id)),
+dups AS (SELECT DISTINCT b.vec_id AS dup_id
+         FROM m a JOIN m b
+           ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+         WHERE {cos} >= 0.3)
+SELECT vec_id, label, cluster_id FROM m
+WHERE vec_id NOT IN (SELECT dup_id FROM dups)
+"""
+
+
+@query("corpus_semdedup", oracle=_semdedup_oracle())
 def corpus_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic deduplication: k-means partition of the
     embedding space, keep-first cosine pruning within each cluster —
     the per-cluster restriction that makes embedding dedup linear-ish
     instead of all-pairs quadratic (properties in
     tests/test_operators.py: survivors clean, planted dups removed,
-    deterministic)."""
-    from ..operators.knn import semantic_dedup
+    deterministic; the float/numpy semantic_dedup operator keeps
+    those tests for the seeded-centroid path).
+
+    Exact oracle since round 5: clustering is the integer-exact
+    Lloyd's (kmeans_exact_assign), the intra-cluster prune is the
+    similar_pairs cosine construction whose unrounded-threshold parity
+    vs DuckDB is already driver-proven. Scale shape unchanged: the
+    pairwise stage is an equi-join on cluster_id, sum over clusters of
+    |c|^2 instead of n^2."""
+    from ..functions.vectors import cosine
+    from ..operators.knn import kmeans_exact_assign
 
     e = load_table(spark, sf_dir, "embeddings")
-    return semantic_dedup(e, threshold=0.3, n_clusters=8).select(
-        "vec_id", "label", "cluster_id"
+    assigned = kmeans_exact_assign(e, n_centroids=8, iters=2)
+    m = (
+        assigned.select("vec_id", "cluster_id")
+        .join(e.select("vec_id", "label", "embedding"), "vec_id")
+    )
+    a = m.select(
+        "cluster_id", F.col("vec_id").alias("_ida"),
+        F.col("embedding").alias("_va"),
+    )
+    b = m.select(
+        "cluster_id", F.col("vec_id").alias("_idb"),
+        F.col("embedding").alias("_vb"),
+    )
+    dups = (
+        a.join(b, "cluster_id")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(cosine(F.col("_va"), F.col("_vb")) >= 0.3)
+        .select(F.col("_idb").alias("_dup_id"))
+        .distinct()
+    )
+    return (
+        m.join(dups, F.col("vec_id") == F.col("_dup_id"), "left_anti")
+        .select("vec_id", "label", "cluster_id")
     )
 
 
