@@ -1094,3 +1094,118 @@ def maintain_dup_clusters(stream_df, store_dir: str, checkpoint: str,
             ])
         )
     return spark.read.parquet(str(snaps[-1]))
+
+
+# ---------------------------------------------------------------------------
+# Streaming IVF-index maintenance: frozen-centroid appends.
+#
+# The production ANN lifecycle is train-offline / append-online:
+# centroids are trained once on a bootstrap corpus (or any sample) and
+# FROZEN; the stream then only assigns each arriving vector to its
+# inverted list and appends it — a map-only pass per micro-batch, no
+# retrain, no index rewrite. Probing via operators/knn.py::
+# ivf_index_topk is unchanged: the probe reads only the probed lists'
+# partitions (PartitionFilters), now across every appended batch.
+# Centroid drift is handled the way real systems do it — a periodic
+# full rebuild (init_ivf_stream_index again), not incremental retrain.
+
+
+def init_ivf_stream_index(bootstrap_df: DataFrame, index_dir: str,
+                          n_centroids: int = 16, kmeans_iters: int = 2,
+                          seed: int = 42, id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> None:
+    """Train centroids on the bootstrap corpus and lay down the
+    streaming index layout: ``centroids/`` (tiny parquet) +
+    ``lists/batch_id=-1/list_id=N/`` holding the bootstrap vectors.
+    Every partition level is a real directory partition, so a probe
+    prunes on list_id across batch_id values for free."""
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from ..operators.knn import _centroid_assign_udf, kmeans_centroids
+
+    spark = bootstrap_df.sparkSession
+    centroids = kmeans_centroids(
+        bootstrap_df, n_centroids, kmeans_iters=kmeans_iters, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    )
+    cent_rows = [
+        (i, [float(x) for x in centroids[i]])
+        for i in range(centroids.shape[0])
+    ]
+    spark.createDataFrame(
+        cent_rows, ["list_id", "centroid"]
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(Path(index_dir) / "centroids")
+    )
+    assign1 = _centroid_assign_udf(centroids, top=1)
+    bootstrap_df.select(
+        F.col(id_col), F.col(vec_col),
+        assign1(F.col(vec_col))[0].alias("list_id"),
+    ).filter(F.col("list_id").isNotNull()).write.mode(
+        "overwrite"
+    ).partitionBy("list_id").parquet(
+        str(Path(index_dir) / "lists" / "batch_id=-1")
+    )
+
+
+def apply_ivf_append_batch(batch_df: DataFrame, batch_id: int,
+                           index_dir: str, id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> None:
+    """Append one micro-batch to the streaming IVF index: assign each
+    vector to its frozen inverted list (broadcast of a KB-sized
+    centroid matrix, Arrow-batched matmul — map-only) and write the
+    batch under ``lists/batch_id=<id>/list_id=N/``. Retry-idempotent:
+    a replayed batch OVERWRITES its own batch_id directory, so the
+    index never holds a vector twice (pinned in
+    tests/test_streaming.py)."""
+    from pathlib import Path
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ..operators.knn import _centroid_assign_udf
+
+    spark = batch_df.sparkSession
+    cent = spark.read.parquet(str(Path(index_dir) / "centroids")).collect()
+    centroids = np.zeros((len(cent), len(cent[0]["centroid"])))
+    for r in cent:
+        centroids[r["list_id"]] = np.asarray(r["centroid"])
+    assign1 = _centroid_assign_udf(centroids, top=1)
+    batch_df.select(
+        F.col(id_col), F.col(vec_col),
+        assign1(F.col(vec_col))[0].alias("list_id"),
+    ).filter(F.col("list_id").isNotNull()).write.mode(
+        "overwrite"
+    ).partitionBy("list_id").parquet(
+        str(Path(index_dir) / "lists" / f"batch_id={batch_id}")
+    )
+
+
+def maintain_ivf_index(stream_df: DataFrame, index_dir: str,
+                       checkpoint: str, timeout_s: int = 300,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding"):
+    """Drain a vector stream into the streaming IVF index (frozen
+    centroids — init_ivf_stream_index must have run). Per-batch cost is
+    one map-only assign + one partitioned write of THAT batch; nothing
+    scales with accumulated index size. Batch twin: an index built by
+    assigning the full corpus under the same centroids probes
+    identically (equality pinned in tests/test_streaming.py)."""
+
+    def _body(batch_df: DataFrame, batch_id: int) -> None:
+        apply_ivf_append_batch(
+            batch_df, batch_id, index_dir, id_col=id_col, vec_col=vec_col
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(_body)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        q.stop()

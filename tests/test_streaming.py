@@ -1100,3 +1100,61 @@ def test_stateful_sessionizer_recovers_fragments_across_restart(
             spark.conf.unset(prov_key)
         else:
             spark.conf.set(prov_key, prev)
+
+
+def test_streaming_ivf_index_matches_batch_twin(spark, sf_dir, tmp_path):
+    """Frozen-centroid streaming IVF maintenance: an index grown by
+    3 micro-batch appends must probe identically to an index whose
+    post-bootstrap vectors were appended in one batch under the same
+    centroids — and a replayed batch must not duplicate vectors."""
+    from dynamic_etl_pipeline_spark.operators.knn import ivf_index_topk
+    from dynamic_etl_pipeline_spark.streaming.sinks import (
+        apply_ivf_append_batch,
+        init_ivf_stream_index,
+        maintain_ivf_index,
+    )
+    from dynamic_etl_pipeline_spark.streaming.source import stream_parquet_dir
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    boot = e.filter(F.col("vec_id") < 250)
+    rest = e.filter(F.col("vec_id") >= 250)
+
+    replay_dir = str(tmp_path / "replay")
+    for i in range(3):
+        rest.filter(F.col("vec_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(replay_dir)
+
+    idx_stream = str(tmp_path / "idx_stream")
+    init_ivf_stream_index(boot, idx_stream, n_centroids=8)
+    stream = stream_parquet_dir(
+        spark, replay_dir, rest.schema, max_files_per_trigger=1
+    )
+    maintain_ivf_index(stream, idx_stream, str(tmp_path / "ck"))
+
+    idx_batch = str(tmp_path / "idx_batch")
+    init_ivf_stream_index(boot, idx_batch, n_centroids=8)
+    apply_ivf_append_batch(rest, 0, idx_batch)
+
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def probe(idx):
+        return {
+            (r["query_id"], r["vec_id"], r["rn"],
+             round(r["cos_sim"], 9))
+            for r in ivf_index_topk(spark, idx, queries, k=5).collect()
+        }
+
+    got, want = probe(idx_stream), probe(idx_batch)
+    assert got and got == want
+    # both indexes hold every vector exactly once
+    n_stream = spark.read.parquet(f"{idx_stream}/lists").count()
+    n_batch = spark.read.parquet(f"{idx_batch}/lists").count()
+    assert n_stream == n_batch == e.count()
+    # retry idempotency: replaying a batch overwrites, never duplicates
+    apply_ivf_append_batch(rest, 0, idx_batch)
+    assert spark.read.parquet(f"{idx_batch}/lists").count() == e.count()
