@@ -400,6 +400,53 @@ class EtlPipeline:
             con.close()
         return n
 
+    def migrate(self) -> int:
+        """Physically conform drifted partitions to the store's union
+        schema (the reference only RECORDS schema evolution,
+        app.py:205-215; this applies it). Ingest-time drift leaves each
+        ``_schema_version=N`` partition with the column set of ITS
+        batch; reads paper over the drift with mergeSchema, which at
+        scale costs a footer sample per query and blocks plain
+        external readers. migrate() rewrites ONLY the partitions
+        missing union columns, NULL-padding each missing column with
+        the dtype of the partition that has it, with the same
+        atomic per-partition rename swap compact() uses. The
+        ``_schema_version`` value is provenance and is preserved — a
+        migrated row still says which schema ingested it.
+
+        Content-preserving (records() output is unchanged), so like
+        compact() it cuts NO time-travel generation. After it runs, a
+        plain non-mergeSchema read serves the full union schema.
+        Returns the number of partitions rewritten.
+        """
+        import shutil
+
+        self._recover_records()
+        store = Path(self.records_path)
+        if not store.exists():
+            return 0
+        merged = self.records()
+        union_cols = [c for c in merged.columns if c != "_schema_version"]
+        dtypes = dict(merged.dtypes)
+        rewritten = 0
+        for part_dir in sorted(store.glob("_schema_version=*")):
+            part = self.spark.read.parquet(str(part_dir))
+            missing = [c for c in union_cols if c not in part.columns]
+            if not missing:
+                continue
+            out = part
+            for c in missing:
+                out = out.withColumn(c, F.lit(None).cast(dtypes[c]))
+            out = out.select(*union_cols)
+            tmp = part_dir.with_name(part_dir.name + ".migrating")
+            out.write.mode("overwrite").parquet(str(tmp))
+            old = part_dir.with_name(part_dir.name + ".old")
+            part_dir.rename(old)
+            tmp.rename(part_dir)
+            shutil.rmtree(old)
+            rewritten += 1
+        return rewritten
+
     def compact(self, target_file_bytes: int = 128 * 1024 * 1024) -> int:
         """Compact each schema-version partition's micro-batch files.
 

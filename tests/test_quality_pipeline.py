@@ -287,3 +287,45 @@ def test_store_diff_between_generations(spark, tmp_path):
     assert (2, "b2") in added         # updated row's new version
     assert (2, "b") in removed        # updated row's old version
     assert not any(rid in (1, 3) for rid, _ in added)  # untouched keys
+
+
+def test_migrate_conforms_drifted_partitions(spark, tmp_path, fixtures_dir):
+    """Two ingests with different shapes leave physically drifted
+    partitions; migrate() rewrites only the drifted ones to the union
+    schema, preserves records() content and _schema_version
+    provenance, and makes a plain non-mergeSchema read serve the full
+    column set. Content-preserving: no time-travel generation is cut."""
+    from pathlib import Path
+    pipe = EtlPipeline(spark, str(tmp_path / "store"))
+    pipe.ingest(str(fixtures_dir / "notes.txt"))       # text-shaped v1
+    pipe.ingest(str(fixtures_dir / "customers.csv"))   # tabular v2
+
+    before = pipe.records()
+    before_rows = {
+        tuple(str(r[c]) for c in sorted(before.columns))
+        for r in before.collect()
+    }
+    union_cols = set(before.columns)
+    # drift is physical before migrate: some partition lacks columns
+    parts = sorted(Path(pipe.records_path).glob("_schema_version=*"))
+    assert len(parts) == 2
+    phys = [set(spark.read.parquet(str(p)).columns) for p in parts]
+    assert any(cols < union_cols - {"_schema_version"} for cols in phys)
+    gens_before = len(pipe.history())
+
+    assert pipe.migrate() >= 1
+
+    after = pipe.records()
+    after_rows = {
+        tuple(str(r[c]) for c in sorted(after.columns))
+        for r in after.collect()
+    }
+    assert set(after.columns) == union_cols
+    assert after_rows == before_rows
+    # physical conformance: plain read (no mergeSchema) sees everything
+    plain = spark.read.parquet(pipe.records_path)
+    assert set(plain.columns) == union_cols
+    # provenance kept, generations untouched, second migrate a no-op
+    assert {r["_schema_version"] for r in plain.collect()} == {1, 2}
+    assert len(pipe.history()) == gens_before
+    assert pipe.migrate() == 0
