@@ -8,6 +8,7 @@ reference can run the identical loop without a browser:
   python -m dynamic_etl_pipeline_spark schemas [--store DIR]
   python -m dynamic_etl_pipeline_spark changes [--store DIR]
   python -m dynamic_etl_pipeline_spark export-sqlite DB [--store DIR]
+  python -m dynamic_etl_pipeline_spark migrate [--store DIR]
 
 `ingest` prints the reference's end-of-run summary (records stored,
 good/bad counts, schema version + change, app.py:339-366); `records`
@@ -54,6 +55,9 @@ def main(argv: list[str] | None = None) -> int:
     pe = sub.add_parser("export-sqlite", parents=[common],
                         help="write the reference-shaped SQLite artifact")
     pe.add_argument("db")
+    sub.add_parser("migrate", parents=[common],
+                   help="conform drifted store partitions to the "
+                        "union schema (EtlPipeline.migrate)")
     args = p.parse_args(argv)
 
     from .pipeline import EtlPipeline
@@ -84,6 +88,9 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "export-sqlite":
         n = pipe.export_sqlite(args.db)
         print(json.dumps({"exported_records": n, "db": args.db}))
+    elif args.cmd == "migrate":
+        n = pipe.migrate()
+        print(json.dumps({"partitions_rewritten": n}))
     return 0
 
 

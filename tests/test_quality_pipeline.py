@@ -254,6 +254,19 @@ def test_cli_ingest_and_browse(tmp_path, spark):
         main(["--store", store, "schemas"])
     assert json.loads(out.getvalue().strip().splitlines()[-1])["version"] == 1
 
+    # drift the store with a second shape, then migrate through the CLI
+    g = tmp_path / "people2.csv"
+    g.write_text("name,age,city\ncarol,25,oslo\n")
+    out = io.StringIO()
+    with contextlib.redirect_stdout(out):
+        main(["--store", store, "ingest", str(g)])
+    out = io.StringIO()
+    with contextlib.redirect_stdout(out):
+        main(["--store", store, "migrate"])
+    assert json.loads(out.getvalue().strip())["partitions_rewritten"] >= 1
+    # plain read now serves the union schema
+    assert "city" in spark.read.parquet(f"{store}/records").columns
+
 
 def test_store_diff_between_generations(spark, tmp_path):
     """diff(gen): added/removed rows between an archived generation and
