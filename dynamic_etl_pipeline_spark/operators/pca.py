@@ -117,3 +117,92 @@ def pca_project(df: DataFrame, model: PcaModel, col: str = "embedding",
     for i, comp in enumerate(model.components, start=1):
         out = out.withColumn(f"{prefix}{i}", dot(F.col("_centered"), _lit_vec(comp)))
     return out.drop("_centered")
+
+
+def power_iteration_pc1(df: DataFrame, iters: int = 3,
+                        scale: int = 1_000_000, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """First principal component by power iteration with bit-pinned,
+    engine-portable arithmetic — the PCA member of the exact-iterative
+    family (BPE trainer, kmeans_exact_assign).
+
+    Recipe: vectors quantize to ``floor(x * scale)`` BIGINTs; ONE scan
+    emits each vector's upper-triangle pair products plus linear sums
+    (the embedding_covariance flatten/transform idiom, JVM codegen, no
+    UDF) into a d(d+1)/2 + d cell aggregate with DECIMAL accumulation
+    — exact at any corpus size. The driver assembles the scaled scatter
+    matrix n*S - s s^T in arbitrary-precision ints, converts each cell
+    with one correct rounding to double, and runs ``iters`` rounds of
+    v <- normalize(M v) from the all-ones start with strict
+    left-to-right 0.0-seeded folds — the exact fold a SQL engine
+    produces for ``0.0 + t1 + ... + tn``, so every engine lands on the
+    same bits and the same (sign-deterministic) eigvector. Projection
+    x·v - mu·v is one map-only zip_with/aggregate pass.
+
+    Scale shape: one map-heavy scan + one d^2-cell aggregate (cells,
+    not rows, cross the shuffle); per-iteration cost is driver-side
+    d^2 flops — NO cluster pass per iteration (cheaper than k-means);
+    the projection is whole-stage codegen with mu/v inline literals.
+    Returns (id_col, pc1 DOUBLE).
+    """
+    import math
+
+    qv = F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * F.lit(scale))
+    )
+    base = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), qv.alias("qv"))
+        .withColumn("qd", F.transform(F.col("qv"), lambda x: x.cast("double")))
+    )
+    cells = base.select(F.explode(F.expr("""
+      concat(
+        flatten(transform(sequence(0, size(qv) - 1),
+          i -> transform(sequence(i, size(qv) - 1),
+            j -> struct(i AS i, j AS j,
+                        element_at(qv, i + 1) * element_at(qv, j + 1) AS p)))),
+        transform(sequence(0, size(qv) - 1),
+          i -> struct(i AS i, -1 AS j, element_at(qv, i + 1) AS p)))
+    """)).alias("s"))
+    agg = (
+        cells.select("s.i", "s.j", "s.p")
+        .groupBy("i", "j")
+        .agg(
+            F.sum(F.col("p").cast("decimal(38,0)")).alias("S"),
+            F.count("*").alias("nn"),
+        )
+        .collect()
+    )
+    if not agg:
+        raise ValueError("power_iteration_pc1: no non-null vectors")
+    n = agg[0]["nn"]
+    s_lin = {r["i"]: int(r["S"]) for r in agg if r["j"] == -1}
+    d = len(s_lin)
+    M = [[0.0] * d for _ in range(d)]
+    for r in agg:
+        if r["j"] < 0:
+            continue
+        c = float(n * int(r["S"]) - s_lin[r["i"]] * s_lin[r["j"]])
+        M[r["i"]][r["j"]] = M[r["j"]][r["i"]] = c
+    v = [1.0] * d
+    for _ in range(iters):
+        w = []
+        for i in range(d):
+            acc = 0.0
+            for k in range(d):
+                acc = acc + M[i][k] * v[k]
+            w.append(acc)
+        acc2 = 0.0
+        for x in w:
+            acc2 = acc2 + x * x
+        norm = math.sqrt(acc2)
+        v = [x / norm for x in w]
+    mu = [float(s_lin[i]) / float(n) for i in range(d)]
+    centered = F.zip_with(
+        F.col("qd"), F.array(*[F.lit(m) for m in mu]), lambda x, m: x - m
+    )
+    prods = F.zip_with(
+        centered, F.array(*[F.lit(x) for x in v]), lambda a, b: a * b
+    )
+    pc1 = F.aggregate(prods, F.lit(0.0), lambda a, t: a + t)
+    return base.select(F.col(id_col), pc1.alias("pc1"))

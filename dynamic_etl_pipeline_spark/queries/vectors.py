@@ -717,3 +717,92 @@ def corpus_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(e.select("vec_id", "label"), "vec_id")
         .select("vec_id", "label", "cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA's first component under an exact oracle: quantized integer
+# scatter matrix -> driver power iteration with 0.0-seeded
+# left-to-right folds -> map-only projection. The oracle reproduces
+# the identical arithmetic: every dot product is a generated
+# ``0.0 + t1 + ... + tn`` unrolled sum (the kmeans-proven fold shape),
+# every integer is exact (HUGEINT in DuckDB, unbounded int in the
+# driver), every double one correct rounding of the same value.
+
+_PC1_ITERS = 8
+
+
+def _pc1_oracle() -> str:
+    d, sc = _KM_DIM, _KM_SCALE
+    qv = "[" + ", ".join(
+        f"CAST(floor(CAST(embedding[{i+1}] AS DOUBLE) * {sc}) AS BIGINT)"
+        for i in range(d)
+    ) + "]"
+    ones = "[" + ", ".join(["1.0"] * d) + "]"
+
+    def matvec(vt: str) -> str:
+        return "0.0 + " + " + ".join(
+            f"cr.row[{k+1}] * {vt}.v[{k+1}]" for k in range(d)
+        )
+
+    norm = "0.0 + " + " + ".join(f"w[{k+1}] * w[{k+1}]" for k in range(d))
+    proj = "0.0 + " + " + ".join(
+        f"(qq.qd[{k+1}] - m.m[{k+1}]) * vf.v[{k+1}]" for k in range(d)
+    )
+
+    ctes = [
+        f"q0 AS (SELECT vec_id, {qv} AS qv FROM embeddings\n"
+        f"       WHERE embedding IS NOT NULL)",
+        "qq AS (SELECT vec_id, qv, CAST(qv AS DOUBLE[]) AS qd FROM q0)",
+        f"ex AS (SELECT vec_id, gi.i AS i, qv[gi.i] AS x\n"
+        f"       FROM q0, generate_series(1, {d}) gi(i))",
+        "sv AS (SELECT i, sum(x) AS s FROM ex GROUP BY i)",
+        "nn AS (SELECT count(*) AS n FROM q0)",
+        "sm AS (SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS s\n"
+        "       FROM ex a JOIN ex b USING (vec_id) GROUP BY a.i, b.i)",
+        "cr AS (SELECT sm.i AS i,\n"
+        "              list(CAST(nn.n * sm.s - si.s * sj.s AS DOUBLE)\n"
+        "                   ORDER BY sm.j) AS row\n"
+        "       FROM sm CROSS JOIN nn\n"
+        "       JOIN sv si ON si.i = sm.i JOIN sv sj ON sj.i = sm.j\n"
+        "       GROUP BY sm.i)",
+        f"v0 AS (SELECT {ones} AS v)",
+    ]
+    for t in range(1, _PC1_ITERS + 1):
+        ctes.append(
+            f"w{t} AS (SELECT cr.i AS i, ({matvec(f'v{t-1}')}) AS x\n"
+            f"       FROM cr CROSS JOIN v{t-1})"
+        )
+        ctes.append(f"a{t} AS (SELECT list(x ORDER BY i) AS w FROM w{t})")
+        ctes.append(
+            f"v{t} AS (SELECT list_transform(w, e -> e / sqrt({norm})) AS v\n"
+            f"       FROM a{t})"
+        )
+    ctes.append(
+        "mu AS (SELECT list(CAST(s AS DOUBLE) / nn.n ORDER BY i) AS m\n"
+        "       FROM sv CROSS JOIN nn)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        f"SELECT qq.vec_id, ({proj}) AS pc1\n"
+        f"FROM qq CROSS JOIN mu m CROSS JOIN v{_PC1_ITERS} vf"
+    )
+
+
+@query("embedding_pc1_power_iteration", oracle=_pc1_oracle())
+def embedding_pc1_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant-variance direction by 8 power-iteration rounds,
+    value-exact in any engine (see operators/pca.py::
+    power_iteration_pc1 for the determinism recipe). Convergence to
+    PC1 proper is spectral-gap-paced: on anisotropic data it converges
+    in a few rounds (pinned in tests/test_pca.py on a planted
+    direction); the fixture embeddings are near-isotropic (mean/max
+    eigenvalue 0.54), where 8 rounds yield a direction with Rayleigh
+    quotient >= 0.9 * lambda_max — the honest statement of what ANY
+    power method gives gapless data. The numpy eigh PCA
+    (embedding_pca_project) remains the full-rank path; this query is
+    the oracle-provable member of the family — and unlike k-means its
+    per-iteration cost is driver-side d^2 flops, NO cluster pass."""
+    from ..operators.pca import power_iteration_pc1
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return power_iteration_pc1(e, iters=_PC1_ITERS, scale=_KM_SCALE)

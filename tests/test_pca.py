@@ -82,3 +82,62 @@ def test_top_component_dominates(emb, emb_np):
     model = fit_pca(emb, k=1)
     total = np.cov(emb_np, rowvar=False, bias=True).trace()
     assert model.explained_variance[0] >= total / emb_np.shape[1]
+
+
+def test_power_iteration_pc1_properties(emb, emb_np):
+    """The exact-oracle dominant-direction scores must (a) agree with
+    numpy running the SAME algorithm (quantize -> 8 power rounds from
+    ones), (b) capture near-max variance (Rayleigh quotient vs eigh's
+    lambda_max), and (c) be run-to-run identical."""
+    from dynamic_etl_pipeline_spark.operators.pca import power_iteration_pc1
+
+    got = {
+        r["vec_id"]: r["pc1"]
+        for r in power_iteration_pc1(emb, iters=8).collect()
+    }
+    q = np.floor(emb_np * 1_000_000)
+    c = q - q.mean(axis=0)
+    cov = c.T @ c
+    v = np.ones(64)
+    for _ in range(8):
+        v = cov @ v
+        v = v / np.linalg.norm(v)
+    ref = c @ v
+    ids = sorted(got)
+    a = np.array([got[i] for i in ids])
+    assert abs(np.corrcoef(a, ref)[0, 1]) > 0.9999
+    vals = np.linalg.eigvalsh(cov)
+    assert (v @ cov @ v) / vals[-1] > 0.85
+    again = {
+        r2["vec_id"]: r2["pc1"]
+        for r2 in power_iteration_pc1(emb, iters=8).collect()
+    }
+    assert got == again
+
+
+def test_power_iteration_converges_on_planted_direction(spark):
+    """With a real spectral gap the power method IS PC1: scores on a
+    strongly anisotropic synthetic cloud correlate ~1 with eigh."""
+    from dynamic_etl_pipeline_spark.operators.pca import power_iteration_pc1
+
+    rng = np.random.default_rng(7)
+    d, n = 16, 300
+    direction = rng.normal(size=d)
+    direction /= np.linalg.norm(direction)
+    X = rng.normal(scale=0.05, size=(n, d)) + np.outer(
+        rng.normal(scale=1.0, size=n), direction
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id: long, embedding: array<double>",
+    )
+    got = {
+        r["vec_id"]: r["pc1"]
+        for r in power_iteration_pc1(df, iters=8).collect()
+    }
+    q = np.floor(X * 1_000_000)
+    c = q - q.mean(axis=0)
+    vals, vecs = np.linalg.eigh(c.T @ c)
+    ref = c @ vecs[:, -1]
+    a = np.array([got[i] for i in range(n)])
+    assert abs(np.corrcoef(a, ref)[0, 1]) > 0.999
