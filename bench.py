@@ -71,6 +71,7 @@ HEADLINE = [
     "rfm_segments",             # two-level exact ntile segmentation (round 4)
     "part_abc_classification",  # decimal two-level cumulative share (round 4)
     "embedding_kmeans_exact",   # integer-exact Lloyd's k-means, full oracle (round 5)
+    "embedding_pc1_power_iteration",  # exact scatter aggregate + driver power rounds (round 5)
 ]
 
 

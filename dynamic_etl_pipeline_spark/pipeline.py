@@ -206,6 +206,22 @@ class EtlPipeline:
         for d in (tmp, old):
             if store.exists() and d.exists():
                 shutil.rmtree(d)
+        # finish interrupted per-partition swaps (compact()/migrate()):
+        # a crash between their rename and cleanup leaves *.old /
+        # *.compacting / *.migrating dirs that partition discovery (and
+        # the _schema_version=* glob) would misread as partitions
+        if store.exists():
+            for leftover in list(store.glob("_schema_version=*.old")):
+                target = leftover.with_name(
+                    leftover.name[: -len(".old")]
+                )
+                if target.exists():
+                    shutil.rmtree(leftover)  # swap completed; drop old
+                else:
+                    leftover.rename(target)  # swap never landed; roll back
+            for suffix in (".compacting", ".migrating"):
+                for tmp_dir in list(store.glob(f"_schema_version=*{suffix}")):
+                    shutil.rmtree(tmp_dir)  # staging is always re-creatable
 
     def records(self, latest_n: int | None = None,
                 version: int | None = None) -> DataFrame:
@@ -459,6 +475,7 @@ class EtlPipeline:
         import math
         import shutil
 
+        self._recover_records()
         store = Path(self.records_path)
         if not store.exists():
             return 0

@@ -342,3 +342,37 @@ def test_migrate_conforms_drifted_partitions(spark, tmp_path, fixtures_dir):
     assert {r["_schema_version"] for r in plain.collect()} == {1, 2}
     assert len(pipe.history()) == gens_before
     assert pipe.migrate() == 0
+
+
+def test_recovery_cleans_interrupted_partition_swaps(spark, tmp_path):
+    """Crash windows inside compact()/migrate()'s per-partition rename
+    swap leave *.old / *.compacting / *.migrating dirs that partition
+    discovery would misread; _recover_records must roll them forward
+    (drop .old when the target landed) or back (restore .old when it
+    did not) and drop re-creatable staging dirs."""
+    import shutil
+    from pathlib import Path
+
+    f = tmp_path / "people.csv"
+    f.write_text("name,age\nalice,30\nbob,41\n")
+    pipe = EtlPipeline(spark, str(tmp_path / "store"))
+    pipe.ingest(str(f))
+    n = pipe.records().count()
+    part = Path(pipe.records_path) / "_schema_version=1"
+
+    # crash after rename-to-.old, before staging promote: roll BACK
+    staging = part.with_name(part.name + ".compacting")
+    shutil.copytree(part, staging)
+    part.rename(part.with_name(part.name + ".old"))
+    assert pipe.records().count() == n
+    assert part.exists()
+    assert not part.with_name(part.name + ".old").exists()
+    assert not staging.exists()
+
+    # crash after promote, before .old cleanup: roll FORWARD
+    shutil.copytree(part, part.with_name(part.name + ".old"))
+    assert pipe.records().count() == n
+    assert not part.with_name(part.name + ".old").exists()
+    # compact on the recovered store still works
+    assert pipe.compact() in (0, 1)
+    assert pipe.records().count() == n
