@@ -621,3 +621,76 @@ def test_random_higher_order_array_chains_agree(spark, duck, seed):
     d = duck.execute(d_body).fetchone()
     assert (int(s["vs"]), int(s["ls"]), int(s["h"])) == (
         int(d[0]), int(d[1]), int(d[2])), (ops, s_arr, d_arr)
+
+
+# ---------------------------------------------------------------------------
+# DOUBLE -> DECIMAL cast rounding: the parity the oracle registry's
+# convention ("computed floats go through CAST(x AS DECIMAL(p,s)) on
+# both sides") stands on — and its exact boundary, which THIS FAMILY
+# FOUND while being built:
+#
+# - For values whose decimal expansion is EXACT in the double
+#   (integer-derived dyadics k/2, k/8, k/16 — at most 4 exact decimal
+#   digits), every rounding boundary is a true binary half and both
+#   engines round half-AWAY-FROM-ZERO (0.5 -> 1, -0.5 -> -1,
+#   2.5 -> 3): full agreement, pinned below. Note even "dyadic
+#   scaling" of a MEASURE column (price * 0.25) is NOT safe: the
+#   scaling is exact wrt the stored double, but the stored double is
+#   already an inexact decimal, so the scale-2 boundary digits are
+#   repr-vs-binary sensitive.
+# - For doubles NOT exactly representable at the scale (e.g.
+#   o_totalprice * 0.3 -> ...11499999999), the engines DIVERGE on
+#   ~0.2% of rows: Spark casts via the shortest decimal repr
+#   (BigDecimal(Double.toString) + HALF_UP) while DuckDB converts the
+#   value differently — 112115.11499999999 casts to .11 in Spark and
+#   .12 in DuckDB. Pinned in
+#   test_double_to_decimal_cast_divergence_on_inexact_values. This is
+#   WHY the registry only ever decimal-casts raw measure columns (and
+#   why round() carries the same warning in queries/registry.py).
+# - DuckDB's decimal-LITERAL -> decimal cast truncates instead of
+#   rounding — the family only ever casts double COLUMNS.
+
+
+@pytest.mark.parametrize("seed", range(30))
+def test_random_double_to_decimal_casts_agree(spark, duck, seed):
+    rng = random.Random(70_000 + seed)
+    s = rng.randint(0, 4)
+    base = rng.choice([
+        "o_orderkey / 2.0",
+        "o_orderkey / 8.0",
+        "o_orderkey / 16.0",
+        "-(o_orderkey / 2.0)",
+        "o_orderkey / 4.0 + o_custkey / 16.0",
+        "o_custkey / 4.0 - o_orderkey / 2.0",
+    ])
+    body = (
+        "SELECT "
+        f"coalesce(sum(CAST(CAST(v AS DECIMAL(27,{s})) * {10**s} AS BIGINT)), 0)"
+        " AS ticks, "
+        "count(DISTINCT CAST(v AS DECIMAL(27,%d))) AS nd "
+        "FROM (SELECT CAST(%s AS DOUBLE) AS v FROM {t})" % (s, base)
+    )
+    srow = spark.sql(body.format(t="orders_diff")).collect()[0]
+    drow = duck.execute(body.format(t="orders")).fetchone()
+    assert (int(srow["ticks"]), int(srow["nd"])) == (
+        int(drow[0]), int(drow[1])), (base, s)
+
+
+def test_double_to_decimal_cast_divergence_on_inexact_values(spark, duck):
+    """Pin the divergence the family found (it is the boundary of the
+    registry's cast convention, so it must stay visible): over doubles
+    NOT exactly representable at the target scale (price * 0.3), the
+    engines' DOUBLE->DECIMAL casts disagree on a fraction of rows
+    (observed ~0.2%: e.g. 112115.11499999999 -> .11 in Spark's
+    shortest-repr HALF_UP, .12 in DuckDB). The pin runs the DATA path
+    (parquet doubles — literal constant folding takes a different
+    arithmetic in both engines) and asserts the checksums DIFFER; if
+    they ever agree, an engine changed rounding and the registry
+    conventions need re-auditing."""
+    body = (
+        "SELECT sum(CAST(CAST(o_totalprice * 0.3 AS DECIMAL(27,2)) * 100"
+        " AS BIGINT)) AS ticks FROM {t}"
+    )
+    s_val = int(spark.sql(body.format(t="orders_diff")).collect()[0]["ticks"])
+    d_val = int(duck.execute(body.format(t="orders")).fetchone()[0])
+    assert s_val != d_val
