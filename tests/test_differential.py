@@ -694,3 +694,109 @@ def test_double_to_decimal_cast_divergence_on_inexact_values(spark, duck):
     s_val = int(spark.sql(body.format(t="orders_diff")).collect()[0]["ticks"])
     d_val = int(duck.execute(body.format(t="orders")).fetchone()[0])
     assert s_val != d_val
+
+
+# ---------------------------------------------------------------------------
+# JSON path extraction: random nested documents + random paths, Spark
+# get_json_object vs DuckDB json_extract_string. Scalar leaves only
+# (strings / ints / bools / null): float rendering and object/array
+# re-serialization are documented dialect differences, exactly like
+# the registry's events_json_props oracle which also extracts scalars.
+# A JSON null leaf is ALSO excluded — building this family found that
+# Spark's get_json_object returns the 4-char STRING 'null' for it
+# while DuckDB's json_extract_string returns SQL NULL (pinned below);
+# a missing path returns SQL NULL in both.
+
+
+def _json_doc(rng: random.Random, depth: int = 0):
+    if depth >= 2:
+        return rng.choice([
+            rng.randint(-999, 999), "s" + str(rng.randint(0, 99)),
+            True, False,
+        ])
+    d = {}
+    for k in range(rng.randint(1, 4)):
+        key = f"k{k}"
+        roll = rng.random()
+        if roll < 0.35:
+            d[key] = _json_doc(rng, depth + 1)
+        elif roll < 0.55:
+            d[key] = [_json_doc(rng, 2) for _ in range(rng.randint(1, 3))]
+        else:
+            d[key] = _json_doc(rng, 2)
+    return d
+
+
+def _json_paths(doc, prefix="$"):
+    out = []
+    if isinstance(doc, dict):
+        for k, v in doc.items():
+            out.extend(_json_paths(v, f"{prefix}.{k}"))
+    elif isinstance(doc, list):
+        for i, v in enumerate(doc):
+            out.extend(_json_paths(v, f"{prefix}[{i}]"))
+    else:
+        out.append(prefix)
+    return out
+
+
+@pytest.mark.parametrize("seed", range(25))
+def test_random_json_path_extraction_agrees(spark, duck, seed):
+    import json as _json
+
+    import pandas as pd
+
+    rng = random.Random(90_000 + seed)
+    docs = [_json_doc(rng) for _ in range(30)]
+    rows = [(i, _json.dumps(d)) for i, d in enumerate(docs)]
+    # one random EXISTING scalar path per seed + one missing path
+    all_paths = sorted({p for d in docs for p in _json_paths(d)})
+    path = rng.choice(all_paths)
+    pdf = pd.DataFrame(rows, columns=["id", "doc"])
+    spark.createDataFrame(pdf).createOrReplaceTempView("json_diff")
+    duck.register("json_docs", pdf)
+    try:
+        s_rows = spark.sql(
+            f"SELECT id, get_json_object(doc, '{path}') AS v, "
+            f"get_json_object(doc, '$.nope.missing') AS m FROM json_diff"
+        ).collect()
+        d_rows = duck.execute(
+            f"SELECT id, json_extract_string(doc, '{path}') AS v, "
+            f"json_extract_string(doc, '$.nope.missing') AS m "
+            f"FROM json_docs"
+        ).fetchall()
+        s_m = {r["id"]: (r["v"], r["m"]) for r in s_rows}
+        d_m = {r[0]: (r[1], r[2]) for r in d_rows}
+        assert s_m == d_m, path
+    finally:
+        duck.unregister("json_docs")
+
+
+def test_json_null_leaf_rendering_divergence_pinned(spark, duck):
+    """Pin the dialect difference the family found — and its
+    surprising context-dependence in Spark: a null OBJECT value
+    extracts as SQL NULL in both engines, but a null ARRAY ELEMENT
+    extracts as the 4-char STRING 'null' in Spark while DuckDB stays
+    SQL NULL. The reason oracles must never compare extracted JSON
+    nulls."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        [(1, '{"a": null, "arr": [7, null]}')], columns=["id", "doc"]
+    )
+    spark.createDataFrame(pdf).createOrReplaceTempView("json_null_diff")
+    duck.register("json_null_docs", pdf)
+    try:
+        s_row = spark.sql(
+            "SELECT get_json_object(doc, '$.a') AS obj, "
+            "get_json_object(doc, '$.arr[1]') AS arr FROM json_null_diff"
+        ).collect()[0]
+        d_row = duck.execute(
+            "SELECT json_extract_string(doc, '$.a'), "
+            "json_extract_string(doc, '$.arr[1]') FROM json_null_docs"
+        ).fetchone()
+        assert s_row["obj"] is None and d_row[0] is None
+        assert s_row["arr"] == "null"      # Spark: literal string
+        assert d_row[1] is None            # DuckDB: SQL NULL
+    finally:
+        duck.unregister("json_null_docs")
