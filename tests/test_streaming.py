@@ -1158,3 +1158,30 @@ def test_streaming_ivf_index_matches_batch_twin(spark, sf_dir, tmp_path):
     # retry idempotency: replaying a batch overwrites, never duplicates
     apply_ivf_append_batch(rest, 0, idx_batch)
     assert spark.read.parquet(f"{idx_batch}/lists").count() == e.count()
+
+
+def test_streaming_ivf_probe_prunes_across_batch_levels(spark, sf_dir,
+                                                        tmp_path):
+    """The streaming index layout adds a batch_id partition level above
+    list_id; the probe's scan must STILL carry a PartitionFilters entry
+    on list_id — pruning survives the extra level, so probe I/O stays
+    n_probe/n_centroids of the corpus however many batches appended."""
+    from dynamic_etl_pipeline_spark.operators.knn import ivf_index_topk
+    from dynamic_etl_pipeline_spark.plans import formatted_plan
+    from dynamic_etl_pipeline_spark.streaming.sinks import (
+        apply_ivf_append_batch,
+        init_ivf_stream_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    idx = str(tmp_path / "idx")
+    init_ivf_stream_index(e.filter(F.col("vec_id") < 250), idx,
+                          n_centroids=8)
+    apply_ivf_append_batch(e.filter(F.col("vec_id") >= 250), 0, idx)
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = ivf_index_topk(spark, idx, queries, k=5)
+    plan = formatted_plan(got)
+    assert "PartitionFilters" in plan, plan
+    assert "list_id" in plan.split("PartitionFilters", 1)[1][:400], plan
