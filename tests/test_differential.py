@@ -800,3 +800,32 @@ def test_json_null_leaf_rendering_divergence_pinned(spark, duck):
         assert d_row[1] is None            # DuckDB: SQL NULL
     finally:
         duck.unregister("json_null_docs")
+
+
+# ---------------------------------------------------------------------------
+# Date-interval RANGE frames: ORDER BY a timestamp with
+# RANGE BETWEEN INTERVAL n DAY PRECEDING AND CURRENT ROW — interval
+# arithmetic + peer-tie semantics the numeric frame family can't reach.
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_random_interval_range_frames_agree(spark, duck, seed):
+    rng = random.Random(110_000 + seed)
+    n = rng.randint(1, 120)
+    part = rng.choice(["o_orderstatus", "o_orderpriority", "o_custkey % 5"])
+    agg = rng.choice([
+        "count(*)",
+        "sum(o_orderkey % 1000)",
+        "min(o_orderkey)",
+    ])
+    body = (
+        "SELECT coalesce(sum(w % 100003), 0) AS cs, count(*) AS n FROM ("
+        f"  SELECT {agg} OVER ("
+        f"    PARTITION BY {part} ORDER BY o_orderdate"
+        f"    RANGE BETWEEN INTERVAL {n} DAY PRECEDING AND CURRENT ROW"
+        "  ) AS w FROM {t})"
+    )
+    s_row = spark.sql(body.format(t="orders_diff")).collect()[0]
+    d_row = duck.execute(body.format(t="orders")).fetchone()
+    assert (int(s_row["cs"]), s_row["n"]) == (int(d_row[0]), d_row[1]), (
+        n, part, agg)
