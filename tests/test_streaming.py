@@ -1185,3 +1185,49 @@ def test_streaming_ivf_probe_prunes_across_batch_levels(spark, sf_dir,
     plan = formatted_plan(got)
     assert "PartitionFilters" in plan, plan
     assert "list_id" in plan.split("PartitionFilters", 1)[1][:400], plan
+
+
+def test_streaming_ivf_redrain_with_fresh_checkpoint_is_idempotent(
+        spark, sf_dir, tmp_path):
+    """Re-draining the same replay directory with a FRESH checkpoint
+    (batch ids restart at 0 — the worst replay case) must leave the
+    index byte-equivalent: the file source lists files in a stable
+    order, so each restarted batch id rewrites its own directory with
+    identical content, never duplicating a vector."""
+    from dynamic_etl_pipeline_spark.streaming.sinks import (
+        init_ivf_stream_index,
+        maintain_ivf_index,
+    )
+    from dynamic_etl_pipeline_spark.streaming.source import stream_parquet_dir
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    boot = e.filter(F.col("vec_id") < 250)
+    rest = e.filter(F.col("vec_id") >= 250)
+    replay_dir = str(tmp_path / "replay")
+    for i in range(3):
+        rest.filter(F.col("vec_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(replay_dir)
+
+    idx = str(tmp_path / "idx")
+    init_ivf_stream_index(boot, idx, n_centroids=8)
+    maintain_ivf_index(
+        stream_parquet_dir(spark, replay_dir, rest.schema,
+                           max_files_per_trigger=1),
+        idx, str(tmp_path / "ck1"),
+    )
+    before = {
+        (r["vec_id"], r["list_id"])
+        for r in spark.read.parquet(f"{idx}/lists").collect()
+    }
+    maintain_ivf_index(
+        stream_parquet_dir(spark, replay_dir, rest.schema,
+                           max_files_per_trigger=1),
+        idx, str(tmp_path / "ck2"),
+    )
+    after = {
+        (r["vec_id"], r["list_id"])
+        for r in spark.read.parquet(f"{idx}/lists").collect()
+    }
+    assert before == after
+    assert len(before) == e.count()
