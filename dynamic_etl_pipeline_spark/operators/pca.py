@@ -147,6 +147,8 @@ def power_iteration_pc1(df: DataFrame, iters: int = 3,
     """
     import math
 
+    from ..queries._helpers import spread
+
     qv = F.transform(
         F.col(vec_col), lambda x: F.floor(x.cast("double") * F.lit(scale))
     )
@@ -155,7 +157,10 @@ def power_iteration_pc1(df: DataFrame, iters: int = 3,
         .select(F.col(id_col), qv.alias("qv"))
         .withColumn("qd", F.transform(F.col("qv"), lambda x: x.cast("double")))
     )
-    cells = base.select(F.explode(F.expr("""
+    # spread(): the d(d+1)/2-per-row pair explode is the compute-heavy
+    # narrow stage; the fixture's single-row-group scan would run it on
+    # one task (same parallelism decoupling as embedding_covariance)
+    cells = spread(base).select(F.explode(F.expr("""
       concat(
         flatten(transform(sequence(0, size(qv) - 1),
           i -> transform(sequence(i, size(qv) - 1),
