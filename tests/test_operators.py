@@ -771,3 +771,64 @@ def test_kmeans_exact_assign_separates_planted_clusters(spark):
     # each cluster is pure: only even or only odd ids (one blob each)
     assert all(len(v) == 1 for v in by_cluster.values())
     assert len(by_cluster) == 2
+
+
+def test_kmeans_exact_matches_pure_python_reference(spark):
+    """Third-implementation differential for the exact k-means: a pure
+    Python replica of the pinned arithmetic (floor-quantize, exact int
+    centroid sums, float(s)/float(c) centroids, 0.0-seeded
+    left-to-right distance folds, lowest-index ties) must produce
+    IDENTICAL assignments on random inputs — independent evidence the
+    fold/rounding spec, not engine coincidence, defines the result."""
+    import math
+    import random as _random
+
+    from dynamic_etl_pipeline_spark.operators.knn import kmeans_exact_assign
+
+    def ref(vecs, k, iters, scale):
+        qv = [[math.floor(float(x) * scale) for x in v] for v in vecs]
+        mu = [[float(x) for x in qv[i]] for i in range(min(k, len(qv)))]
+
+        def assign(row):
+            best, best_d = 0, None
+            for j, m in enumerate(mu):
+                acc = 0.0
+                for x, c in zip(row, m):
+                    t = (float(x) - c) * (float(x) - c)
+                    acc = acc + t
+                if best_d is None or acc < best_d:
+                    best, best_d = j, acc
+            return best
+
+        for _ in range(iters):
+            labels = [assign(r) for r in qv]
+            for j in range(len(mu)):
+                members = [qv[i] for i, l in enumerate(labels) if l == j]
+                if members:
+                    c = len(members)
+                    mu[j] = [
+                        float(sum(m[t] for m in members)) / float(c)
+                        for t in range(len(mu[j]))
+                    ]
+        return [assign(r) for r in qv]
+
+    for seed in range(6):
+        rng = _random.Random(seed)
+        n = rng.randint(5, 40)
+        d = rng.randint(2, 6)
+        k = rng.randint(2, 4)
+        vecs = [
+            [rng.uniform(-2, 2) for _ in range(d)] for _ in range(n)
+        ]
+        df = spark.createDataFrame(
+            [(i, vecs[i]) for i in range(n)],
+            "vec_id: long, embedding: array<double>",
+        )
+        got = {
+            r["vec_id"]: r["cluster_id"]
+            for r in kmeans_exact_assign(
+                df, n_centroids=k, iters=2
+            ).collect()
+        }
+        want = ref(vecs, k, 2, 1_000_000)
+        assert got == {i: want[i] for i in range(n)}, (seed, n, d, k)
