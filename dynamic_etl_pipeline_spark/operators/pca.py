@@ -145,18 +145,43 @@ def power_iteration_pc1(df: DataFrame, iters: int = 3,
     the projection is whole-stage codegen with mu/v inline literals.
     Returns (id_col, pc1 DOUBLE).
     """
-    import math
+    rows = scatter_cells(df, scale=scale, vec_col=vec_col).collect()
+    if not rows:
+        raise ValueError("power_iteration_pc1: no non-null vectors")
+    n, mu, v = pc1_from_cells(rows, iters=iters)
+    return project_pc1(
+        _quantized(df, scale=scale, id_col=id_col, vec_col=vec_col),
+        mu, v, id_col=id_col,
+    )
 
-    from ..queries._helpers import spread
 
+def _quantized(df: DataFrame, scale: int = 1_000_000,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """(id, qv BIGINT[], qd DOUBLE[]): the shared quantized view every
+    exact-arithmetic vector operator starts from."""
     qv = F.transform(
         F.col(vec_col), lambda x: F.floor(x.cast("double") * F.lit(scale))
     )
-    base = (
+    return (
         df.filter(F.col(vec_col).isNotNull())
         .select(F.col(id_col), qv.alias("qv"))
         .withColumn("qd", F.transform(F.col("qv"), lambda x: x.cast("double")))
     )
+
+
+def scatter_cells(df: DataFrame, scale: int = 1_000_000,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """The exact sufficient statistics of the scatter matrix as a
+    d(d+1)/2 + d cell frame: (i, j, S DECIMAL(38,0), nn BIGINT) with
+    j = -1 rows carrying the linear sums. ADDITIVE — two corpora's
+    cells merge by summation with zero error, which is what makes the
+    streaming incremental twin (streaming/sinks.py::
+    maintain_scatter_stats) bit-exact against this batch pass."""
+    from ..queries._helpers import spread
+
+    base = _quantized(df, scale=scale, id_col=id_col, vec_col=vec_col)
     # spread(): the d(d+1)/2-per-row pair explode is the compute-heavy
     # narrow stage; the fixture's single-row-group scan would run it on
     # one task (same parallelism decoupling as embedding_covariance)
@@ -169,22 +194,26 @@ def power_iteration_pc1(df: DataFrame, iters: int = 3,
         transform(sequence(0, size(qv) - 1),
           i -> struct(i AS i, -1 AS j, element_at(qv, i + 1) AS p)))
     """)).alias("s"))
-    agg = (
+    return (
         cells.select("s.i", "s.j", "s.p")
         .groupBy("i", "j")
         .agg(
             F.sum(F.col("p").cast("decimal(38,0)")).alias("S"),
             F.count("*").alias("nn"),
         )
-        .collect()
     )
-    if not agg:
-        raise ValueError("power_iteration_pc1: no non-null vectors")
-    n = agg[0]["nn"]
-    s_lin = {r["i"]: int(r["S"]) for r in agg if r["j"] == -1}
+
+
+def pc1_from_cells(rows, iters: int = 3):
+    """Driver-side power iteration over collected scatter cells with
+    the bit-pinned fold order; returns (n, mu, v)."""
+    import math
+
+    n = int(rows[0]["nn"])
+    s_lin = {r["i"]: int(r["S"]) for r in rows if r["j"] == -1}
     d = len(s_lin)
     M = [[0.0] * d for _ in range(d)]
-    for r in agg:
+    for r in rows:
         if r["j"] < 0:
             continue
         c = float(n * int(r["S"]) - s_lin[r["i"]] * s_lin[r["j"]])
@@ -203,6 +232,13 @@ def power_iteration_pc1(df: DataFrame, iters: int = 3,
         norm = math.sqrt(acc2)
         v = [x / norm for x in w]
     mu = [float(s_lin[i]) / float(n) for i in range(d)]
+    return n, mu, v
+
+
+def project_pc1(base: DataFrame, mu: list, v: list,
+                id_col: str = "vec_id") -> DataFrame:
+    """Map-only projection (x - mu) . v over the quantized view, with
+    mu/v inlined as literals and the 0.0-seeded left-to-right fold."""
     centered = F.zip_with(
         F.col("qd"), F.array(*[F.lit(m) for m in mu]), lambda x, m: x - m
     )

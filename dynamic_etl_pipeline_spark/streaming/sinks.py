@@ -1209,3 +1209,85 @@ def maintain_ivf_index(stream_df: DataFrame, index_dir: str,
         q.awaitTermination(timeout_s)
     finally:
         q.stop()
+
+
+# ---------------------------------------------------------------------------
+# Streaming scatter-statistics maintenance: the incremental twin of the
+# exact PC1 pass. The scatter cells (operators/pca.py::scatter_cells)
+# are ADDITIVE INTEGERS — per-batch partials merge into the store by
+# exact summation, so the maintained statistics (and therefore the
+# power-iteration direction computed from them) are BIT-IDENTICAL to
+# the one-shot batch pass over the full corpus, in any batch order.
+# This is the payoff of the exact-arithmetic design: the operator gets
+# a streaming materialized view for free, with equality — not
+# approximate agreement — as the test contract.
+
+
+def maintain_scatter_stats(stream_df: DataFrame, store_dir: str,
+                           checkpoint: str, scale: int = 1_000_000,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           timeout_s: int = 300) -> DataFrame:
+    """Maintain the d(d+1)/2 + d scatter cells of a vector stream under
+    foreachBatch: each micro-batch contributes its own exact cell
+    partials (one map-heavy pass over THAT batch), merged into the
+    at-rest store by `union -> groupBy -> sum` over two cell-table-sized
+    inputs — cost proportional to d^2, never to accumulated history.
+    Exactly-once via the atomic CURRENT-pointer idiom of
+    maintain_incremental_rollup (the pointer doubles as the replay
+    marker). Returns the final cells frame (i, j, S, nn); feed it to
+    operators/pca.py::pc1_from_cells / project_pc1 for the direction
+    and scores."""
+    import os
+    import shutil
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from ..operators.pca import scatter_cells
+
+    spark = stream_df.sparkSession
+    store = Path(store_dir)
+    store.mkdir(parents=True, exist_ok=True)
+    pointer = store / "CURRENT"
+
+    def current_version() -> int | None:
+        return int(pointer.read_text()) if pointer.exists() else None
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        last = current_version()
+        if last is not None and last >= batch_id:
+            return  # replayed batch: already committed
+        new = scatter_cells(
+            batch_df, scale=scale, id_col=id_col, vec_col=vec_col
+        )
+        if last is not None:
+            new = (
+                spark.read.parquet(str(store / f"v-{last}"))
+                .unionByName(new)
+                .groupBy("i", "j")
+                .agg(
+                    F.sum("S").cast("decimal(38,0)").alias("S"),
+                    F.sum("nn").alias("nn"),
+                )
+            )
+        vdir = store / f"v-{batch_id}"
+        new.write.mode("overwrite").parquet(str(vdir))
+        tmp = store / f"_CURRENT.tmp-{batch_id}"
+        tmp.write_text(str(batch_id))
+        os.replace(tmp, pointer)  # atomic commit: pointer IS the marker
+        if last is not None:  # post-commit GC; orphans on crash are harmless
+            shutil.rmtree(store / f"v-{last}", ignore_errors=True)
+
+    q = (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        q.stop()
+    return spark.read.parquet(str(store / f"v-{current_version()}"))

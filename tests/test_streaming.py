@@ -1231,3 +1231,69 @@ def test_streaming_ivf_redrain_with_fresh_checkpoint_is_idempotent(
     }
     assert before == after
     assert len(before) == e.count()
+
+
+def test_streaming_scatter_stats_bit_exact_vs_batch_pc1(spark, sf_dir,
+                                                        tmp_path):
+    """The incremental scatter store must be BIT-IDENTICAL to the
+    one-shot batch statistics (integer cells merge exactly in any
+    batch order) — and therefore the PC1 scores computed from the
+    streamed store equal power_iteration_pc1 on the full corpus to the
+    last bit. Replaying with a fresh checkpoint is skipped by the
+    pointer marker."""
+    from dynamic_etl_pipeline_spark.operators.pca import (
+        _quantized,
+        pc1_from_cells,
+        power_iteration_pc1,
+        project_pc1,
+        scatter_cells,
+    )
+    from dynamic_etl_pipeline_spark.streaming.sinks import (
+        maintain_scatter_stats,
+    )
+    from dynamic_etl_pipeline_spark.streaming.source import stream_parquet_dir
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    replay_dir = str(tmp_path / "replay")
+    for i in range(3):
+        e.filter(F.col("vec_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(replay_dir)
+
+    store = str(tmp_path / "scatter")
+    got_cells = maintain_scatter_stats(
+        stream_parquet_dir(spark, replay_dir, e.schema,
+                           max_files_per_trigger=1),
+        store, str(tmp_path / "ck"),
+    )
+    want_cells = {
+        (r["i"], r["j"]): (int(r["S"]), r["nn"])
+        for r in scatter_cells(e).collect()
+    }
+    got_map = {
+        (r["i"], r["j"]): (int(r["S"]), r["nn"])
+        for r in got_cells.collect()
+    }
+    assert got_map == want_cells
+
+    n, mu, v = pc1_from_cells(got_cells.collect(), iters=8)
+    got_scores = {
+        r["vec_id"]: r["pc1"]
+        for r in project_pc1(_quantized(e), mu, v).collect()
+    }
+    want_scores = {
+        r["vec_id"]: r["pc1"]
+        for r in power_iteration_pc1(e, iters=8).collect()
+    }
+    assert got_scores == want_scores  # bit-exact doubles
+
+    # fresh-checkpoint replay: pointer marker skips every batch
+    again = maintain_scatter_stats(
+        stream_parquet_dir(spark, replay_dir, e.schema,
+                           max_files_per_trigger=1),
+        store, str(tmp_path / "ck2"),
+    )
+    assert {
+        (r["i"], r["j"]): (int(r["S"]), r["nn"])
+        for r in again.collect()
+    } == want_cells
