@@ -772,21 +772,25 @@ def _kmeans_exact_assign(base: DataFrame, mu: list[list[float]]) -> DataFrame:
     ``t1 + t2 + ... + tn``: the fold runs left-to-right over the
     dimension order, per-term squares use x*x (never pow), and the
     0.0 accumulator start is exact because every term is >= +0.0."""
-    cents = F.array(*[
-        F.array(*[F.lit(m) for m in mu_j]) for mu_j in mu
-    ])
-    dists = F.transform(
-        cents,
-        lambda c: F.aggregate(
-            F.zip_with(F.col("qd"), c, lambda x, m: (x - m) * (x - m)),
-            F.lit(0.0),
-            lambda a, t: a + t,
-        ),
+    # ONE parsed SQL string instead of k*dim F.lit() Column objects:
+    # building the literal tree through py4j cost ~1.5 s per assignment
+    # pass in round-trips alone; repr() emits the shortest round-trip
+    # decimal, which a SQL double literal parses back to identical bits
+    cents = "array(" + ", ".join(
+        "array(" + ", ".join(f"{m!r}D" for m in mu_j) + ")"
+        for mu_j in mu
+    ) + ")"
+    dists = (
+        f"transform({cents}, c -> aggregate("
+        "zip_with(qd, c, (x, m) -> (x - m) * (x - m)), "
+        "0.0D, (a, t) -> a + t))"
     )
-    return base.withColumn(
+    return base.withColumn("_dists", F.expr(dists)).withColumn(
         "cluster_id",
-        (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
-    )
+        F.expr(
+            "CAST(array_position(_dists, array_min(_dists)) - 1 AS INT)"
+        ),
+    ).drop("_dists")
 
 
 def kmeans_exact_assign(df: DataFrame, n_centroids: int = 8,
@@ -833,15 +837,23 @@ def kmeans_exact_assign(df: DataFrame, n_centroids: int = 8,
     dim = len(mu[0])
     for _ in range(iters):
         assigned = _kmeans_exact_assign(base, mu)
-        sums = (
-            assigned.groupBy("cluster_id")
-            .agg(
-                F.count("*").alias("c"),
-                *[F.sum(F.col("qv")[i]).alias(f"s{i}") for i in range(dim)],
+        # posexplode update: a (cluster, dim) keyed sum plans/compiles
+        # far quicker than a dim-wide aggregate of element_at sums, and
+        # integer sums are method-independent — identical centroids.
+        # count(*) per (cluster, dim) cell = the cluster count.
+        cells = (
+            assigned.select(
+                "cluster_id", F.posexplode("qv").alias("i", "x")
             )
+            .groupBy("cluster_id", "i")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("c"))
             .collect()
         )
-        for r in sums:
-            j = r["cluster_id"]
-            mu[j] = [float(r[f"s{i}"]) / float(r["c"]) for i in range(dim)]
+        new_mu = {}
+        for r in cells:
+            new_mu.setdefault(r["cluster_id"], [0.0] * dim)[r["i"]] = (
+                float(r["s"]) / float(r["c"])
+            )
+        for j, row in new_mu.items():
+            mu[j] = row
     return _kmeans_exact_assign(base, mu)

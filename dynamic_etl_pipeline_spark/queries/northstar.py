@@ -292,27 +292,43 @@ def corpus_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs DuckDB is already driver-proven. Scale shape unchanged: the
     pairwise stage is an equi-join on cluster_id, sum over clusters of
     |c|^2 instead of n^2."""
-    from ..functions.vectors import cosine
+    from ..functions.vectors import dot, l2_norm
+    from ..materialize import materialize
     from ..operators.knn import kmeans_exact_assign
 
     e = load_table(spark, sf_dir, "embeddings")
-    assigned = kmeans_exact_assign(e, n_centroids=8, iters=2)
-    m = (
-        assigned.select("vec_id", "cluster_id")
+    # materialize the enriched per-vector frame (id, cluster, label,
+    # vector, NORM): it feeds BOTH self-join sides and the anti-join
+    # tail (else the k-means lineage recomputes three times), and the
+    # precomputed norm cuts the per-pair cosine from three array folds
+    # to one — sqrt(dot(v,v)) per vector is the identical double
+    # whether computed once or per pair, so values are unchanged
+    m = materialize(
+        kmeans_exact_assign(e, n_centroids=8, iters=2)
+        .select("vec_id", "cluster_id")
         .join(e.select("vec_id", "label", "embedding"), "vec_id")
+        .withColumn("_norm", l2_norm(F.col("embedding")))
     )
     a = m.select(
         "cluster_id", F.col("vec_id").alias("_ida"),
-        F.col("embedding").alias("_va"),
+        F.col("embedding").alias("_va"), F.col("_norm").alias("_na"),
     )
     b = m.select(
         "cluster_id", F.col("vec_id").alias("_idb"),
-        F.col("embedding").alias("_vb"),
+        F.col("embedding").alias("_vb"), F.col("_norm").alias("_nb"),
+    )
+    cos = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    # spread between pair enumeration and the fold-heavy cosine eval:
+    # the equi-join leaves only n_clusters tasks (8 here); at corpus
+    # scale parallelism comes from ~sqrt(n) clusters, locally a row
+    # shuffle of the candidate pairs restores it
+    from ._helpers import spread
+
+    pairs = spread(
+        a.join(b, "cluster_id").filter(F.col("_ida") < F.col("_idb"))
     )
     dups = (
-        a.join(b, "cluster_id")
-        .filter(F.col("_ida") < F.col("_idb"))
-        .filter(cosine(F.col("_va"), F.col("_vb")) >= 0.3)
+        pairs.filter(cos >= 0.3)
         .select(F.col("_idb").alias("_dup_id"))
         .distinct()
     )
