@@ -238,12 +238,14 @@ def pc1_from_cells(rows, iters: int = 3):
 def project_pc1(base: DataFrame, mu: list, v: list,
                 id_col: str = "vec_id") -> DataFrame:
     """Map-only projection (x - mu) . v over the quantized view, with
-    mu/v inlined as literals and the 0.0-seeded left-to-right fold."""
-    centered = F.zip_with(
-        F.col("qd"), F.array(*[F.lit(m) for m in mu]), lambda x, m: x - m
+    mu/v inlined as literals and the 0.0-seeded left-to-right fold.
+    The literal arrays go in as ONE parsed SQL string (repr() is the
+    shortest round-trip decimal, bit-identical after parse) — the
+    kmeans_exact_assign py4j-cost lesson applied here too."""
+    mu_sql = "array(" + ", ".join(f"{m!r}D" for m in mu) + ")"
+    v_sql = "array(" + ", ".join(f"{x!r}D" for x in v) + ")"
+    pc1 = F.expr(
+        f"aggregate(zip_with(zip_with(qd, {mu_sql}, (x, m) -> x - m), "
+        f"{v_sql}, (a, b) -> a * b), 0.0D, (a, t) -> a + t)"
     )
-    prods = F.zip_with(
-        centered, F.array(*[F.lit(x) for x in v]), lambda a, b: a * b
-    )
-    pc1 = F.aggregate(prods, F.lit(0.0), lambda a, t: a + t)
     return base.select(F.col(id_col), pc1.alias("pc1"))
