@@ -21,6 +21,13 @@ matches):
   arithmetic) — events_gap_fill hit this at sf0.1. Round only to
   *stabilize* a value that would otherwise differ, never as a final
   cosmetic step on an already-identical one.
+- DECIMAL-cast ONLY raw measure columns, never derived doubles: the
+  round-5 cast fuzz family measured the boundary (pinned in
+  tests/test_differential.py). For doubles whose decimal expansion is
+  exact at the target scale, both engines round half-away-from-zero
+  and agree; for derived doubles inexact at the scale (price * 0.3 —
+  even price * 0.25), Spark's shortest-repr HALF_UP and DuckDB's
+  conversion disagree on ~0.2% of rows.
 """
 
 from __future__ import annotations
