@@ -4,12 +4,14 @@ Each runs the REAL micro-batch engine (readStream over the fixture,
 availableNow trigger, memory sink in complete mode) and returns the
 drained result. Because the windowed aggregations are the same logical
 plans as their batch twins in queries/events.py, the streaming results
-are held to full DuckDB oracles — not just rows-only checks. Even the
-custom applyInPandasWithState tier carries an oracle where its output
-is integer-exact (streaming_stateful_sessions: EventTimeTimeout
-session finalization == the batch lag/cumsum sessionizer); only the
-running-totals op stays rows-only by design (float accumulation order
-in per-key state differs from decimal SQL sums).
+are held to full DuckDB oracles — not just rows-only checks. The
+custom applyInPandasWithState tier carries oracles too: the
+EventTimeTimeout sessionizer's finalization equals the batch
+lag/cumsum sessionizer, and since round 5 the running-totals op
+accumulates integer fixed-point state, so its drain bit-matches the
+batch DECIMAL aggregate; streaming_scatter_pc1 drains through the
+incremental scatter sink and inherits the batch PC1 oracle unchanged
+(additive integer sufficient statistics).
 
 Multi-batch semantics (watermark-delayed emission, state across
 triggers, dedup of replayed keys) are exercised in
@@ -723,3 +725,49 @@ def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+def _pc1_streaming_oracle() -> str:
+    from .vectors import _pc1_oracle
+
+    return _pc1_oracle()
+
+
+@query("streaming_scatter_pc1", oracle=_pc1_streaming_oracle())
+def streaming_scatter_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming + iterative + exact, in one query: the embeddings
+    table drains as a stream through the incremental scatter-statistics
+    sink (additive integer cells, atomic-pointer commits), the dominant
+    direction is power-iterated from the MAINTAINED store, and the
+    projected scores must bit-match the same DuckDB oracle as the batch
+    embedding_pc1_power_iteration — because exact integer sufficient
+    statistics merge identically in any batch order, the streaming
+    path inherits the batch oracle unchanged. Multi-batch behavior
+    (3-batch replay, fresh-checkpoint skip) is pinned in
+    tests/test_streaming.py."""
+    import shutil
+    import tempfile
+
+    from ..catalog import load_table
+    from ..operators.pca import _quantized, pc1_from_cells, project_pc1
+    from ..session import tune
+    from ..streaming.sinks import maintain_scatter_stats
+    from .vectors import _KM_SCALE, _PC1_ITERS
+
+    tune(spark)
+    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+    work = tempfile.mkdtemp(prefix="scatter_pc1_")
+    try:
+        cells = maintain_scatter_stats(
+            stream, f"{work}/store", f"{work}/ck", scale=_KM_SCALE
+        ).collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    n, mu, v = pc1_from_cells(cells, iters=_PC1_ITERS)
+    e = load_table(spark, sf_dir, "embeddings")
+    return project_pc1(_quantized(e, scale=_KM_SCALE), mu, v)
