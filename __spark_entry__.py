@@ -53,9 +53,10 @@ _FRONT = [
     # text / exact dedup
     "exact_dedup", "ngram_jaccard_pairs", "dedup_keep_best_exact",
     "jaccard_prefix_filter_pairs", "doc_tf_idf_top", "doc_lang_id",
-    # vectors / ANN / clustering / multimodal
-    "knn_bruteforce", "multimodal_media_stats", "embedding_hamming_topk",
-    "embedding_kmeans_exact",
+    # vectors / ANN / clustering / multimodal — incl. the streaming
+    # drain that inherits the batch PC1 oracle bit-for-bit (r5)
+    "knn_bruteforce", "multimodal_media_stats", "embedding_kmeans_exact",
+    "streaming_scatter_pc1",
     # curation
     "doc_gopher_quality", "corpus_boilerplate_strip",
     "doc_ngram_containment_pairs", "doc_vocab_oov_rate",
