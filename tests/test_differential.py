@@ -829,3 +829,68 @@ def test_random_interval_range_frames_agree(spark, duck, seed):
     d_row = duck.execute(body.format(t="orders")).fetchone()
     assert (int(s_row["cs"]), s_row["n"]) == (int(d_row[0]), d_row[1]), (
         n, part, agg)
+
+
+# ---------------------------------------------------------------------------
+# Regex extraction: random pattern compositions in the dialect-shared
+# subset (no backslash classes — Spark SQL string literals process
+# backslash escapes, DuckDB's do not, so '\\d' is not shared text;
+# bracket classes express the same thing portably), Spark's Java regex
+# vs DuckDB's RE2 over the documents corpus. Probing while building
+# found full agreement on the subset including empty-match enumeration
+# ('a*' yields len+1 matches on both engines).
+
+
+@pytest.fixture(scope="module")
+def documents_views(spark, sf_dir, duck):
+    from dynamic_etl_pipeline_spark.catalog import load_table
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents_diff")
+    duck.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+
+
+def _regex_pattern(rng: random.Random) -> str:
+    atom = lambda: rng.choice([  # noqa: E731
+        "[a-z]", "[aeiou]", "[a-z0-9]", "[^ ]", "[b-df-hj-np-tv-z]",
+        "e", "t", "a", ".",
+    ])
+    piece = lambda: atom() + rng.choice(  # noqa: E731
+        ["", "+", "*", "?", "{2}", "{1,3}", "{2,}"]
+    )
+    pat = "".join(piece() for _ in range(rng.randint(1, 4)))
+    if rng.random() < 0.3:
+        pat = f"({pat}|{piece()})"
+    if rng.random() < 0.2:
+        pat = "^" + pat
+    elif rng.random() < 0.2:
+        pat = pat + "$"
+    if rng.random() < 0.2:
+        pat = "(?i)" + pat
+    return pat
+
+
+@pytest.mark.parametrize("seed", range(25))
+def test_random_regex_extraction_agrees(spark, duck, documents_views, seed):
+    rng = random.Random(130_000 + seed)
+    pat = _regex_pattern(rng).replace("'", "")
+    body = (
+        "SELECT coalesce(sum(@L(regexp_extract_all(text, '%s', 0))), 0)"
+        " AS n_matches, "
+        "coalesce(sum(length(regexp_extract(text, '%s', 0))), 0)"
+        " AS first_len, "
+        "count(*) FILTER (WHERE @M) AS n_docs "
+        "FROM @T" % (pat, pat)
+    )
+    s_body = (body.replace("@L", "size").replace("@T", "documents_diff")
+              .replace("@M", "text RLIKE '%s'" % pat))
+    d_body = (body.replace("@L", "len").replace("@T", "documents")
+              .replace("@M", "regexp_matches(text, '%s')" % pat))
+    s_row = spark.sql(s_body).collect()[0]
+    d_row = duck.execute(d_body).fetchone()
+    assert (int(s_row["n_matches"]), int(s_row["first_len"]),
+            int(s_row["n_docs"])) == (
+        int(d_row[0]), int(d_row[1]), int(d_row[2])), pat
