@@ -1454,3 +1454,109 @@ def part_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("best_size_so_far").isNull()
         | (F.col("p_size") > F.col("best_size_so_far"))
     ).select("p_partkey", "p_retailprice", "p_size")
+
+
+# ---------------------------------------------------------------------------
+# Community detection by synchronous label propagation — the graph tier
+# beyond pagerank/triangles/connected-components, and the third
+# iterative-exact-oracle algorithm family member on the relational
+# side. Every quantity is an integer and the argmax tie-break is total
+# ((count DESC, label ASC)), so the unrolled-CTE oracle is value-exact.
+
+_LPA_ROUNDS = 3
+_LPA_MIN_ORDERS = 2
+
+
+def _lpa_oracle() -> str:
+    head = f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= {_LPA_MIN_ORDERS}),
+und AS (SELECT pa AS s, pb AS d FROM e
+        UNION ALL SELECT pb AS s, pa AS d FROM e),
+l0 AS (SELECT DISTINCT s AS node, s AS label FROM und)"""
+    rounds = []
+    for t in range(1, _LPA_ROUNDS + 1):
+        rounds.append(f"""
+l{t} AS (SELECT s AS node, label FROM (
+    SELECT s, label,
+           row_number() OVER (PARTITION BY s ORDER BY c DESC, label) AS rn
+    FROM (SELECT u.s, l.label, count(*) AS c
+          FROM und u JOIN l{t-1} l ON u.d = l.node
+          GROUP BY u.s, l.label))
+  WHERE rn = 1)""")
+    return head + "," + ",".join(rounds) + f"""
+SELECT f.node AS part, f.label AS community, n.comm_n
+FROM l{_LPA_ROUNDS} f
+JOIN (SELECT label, count(*) AS comm_n FROM l{_LPA_ROUNDS}
+      GROUP BY label) n USING (label)
+"""
+
+
+@query("copurchase_communities", oracle=_lpa_oracle())
+def copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities over the co-purchase
+    graph (edges = part pairs co-ordered >= 2 times): every node starts
+    as its own label; each round it adopts the most frequent label
+    among its neighbors, ties to the smallest label — a deterministic
+    total order, so the whole algorithm is value-exact in any engine
+    (no seeded asynchrony, unlike classic LPA).
+
+    Scale shape: the edge build is the basket_part_pairs equi-join
+    (pair space linear in |lineitem| — lines-per-order is bounded);
+    each round is one equi-join on the node key + one (node, label)
+    hash aggregate + one per-node top-1 window, all partitioned by
+    node. Rounds unroll into the plan — no driver round trips at all,
+    and label frames stay (node, label) pairs however large the graph.
+    """
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= _LPA_MIN_ORDERS)
+        .select("pa", "pb")
+    )
+    from ..materialize import materialize
+
+    # materialize the symmetric edge list: it feeds the label init and
+    # every propagation round — without it the lineitem pair self-join
+    # recomputes once per round
+    und = materialize(
+        e.select(F.col("pa").alias("s"), F.col("pb").alias("d")).unionAll(
+            e.select(F.col("pb").alias("s"), F.col("pa").alias("d"))
+        )
+    )
+    labels = und.select(F.col("s").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    w = Window.partitionBy("s").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(_LPA_ROUNDS):
+        labels = (
+            und.join(labels, und["d"] == labels["node"])
+            .groupBy("s", "label")
+            .agg(F.count("*").alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("s").alias("node"), "label")
+        )
+    sizes = labels.groupBy("label").agg(F.count("*").alias("comm_n"))
+    return (
+        labels.join(sizes, "label")
+        .select(F.col("node").alias("part"), F.col("label").alias("community"),
+                "comm_n")
+    )
