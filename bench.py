@@ -72,6 +72,7 @@ HEADLINE = [
     "part_abc_classification",  # decimal two-level cumulative share (round 4)
     "embedding_kmeans_exact",   # integer-exact Lloyd's k-means, full oracle (round 5)
     "embedding_pc1_power_iteration",  # exact scatter aggregate + driver power rounds (round 5)
+    "copurchase_communities",   # unrolled label-propagation rounds, all-integer (round 5)
 ]
 
 
