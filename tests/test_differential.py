@@ -894,3 +894,68 @@ def test_random_regex_extraction_agrees(spark, duck, documents_views, seed):
     assert (int(s_row["n_matches"]), int(s_row["first_len"]),
             int(s_row["n_docs"])) == (
         int(d_row[0]), int(d_row[1]), int(d_row[2])), pat
+
+
+# ---------------------------------------------------------------------------
+# As-of join: random (left type, right type, direction, strict) specs,
+# the engine's union/sort/last-carry asof_join operator vs DuckDB's
+# native ASOF JOIN. The right side is pre-deduplicated per (key, ts)
+# (min value) because BOTH implementations pick an unspecified row
+# among exact (key, ts) ties — the dedup makes every spec total.
+
+
+@pytest.fixture(scope="module")
+def events_views(spark, sf_dir, duck):
+    from dynamic_etl_pipeline_spark.catalog import load_table
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "events_diff")
+    duck.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_random_asof_specs_agree(spark, duck, events_views, seed):
+    from dynamic_etl_pipeline_spark.operators.asof import asof_join
+
+    rng = random.Random(150_000 + seed)
+    lt, rt = rng.sample(["signup", "click", "error", "view", "purchase"], 2)
+    direction = rng.choice(["backward", "forward"])
+    strict = rng.random() < 0.3
+    op = {("backward", False): ">=", ("backward", True): ">",
+          ("forward", False): "<=", ("forward", True): "<"}[
+        (direction, strict)]
+
+    left = spark.table("events_diff").filter(
+        F.col("event_type") == lt
+    ).select("event_id", "user_id", "ts")
+    right = (
+        spark.table("events_diff").filter(F.col("event_type") == rt)
+        .groupBy("user_id", "ts").agg(F.min("value").alias("value"))
+    )
+    joined = asof_join(left, right, on="user_id", value_cols=["value"],
+                       direction=direction, strict=strict)
+    s_row = joined.agg(
+        F.count("*").alias("n"),
+        F.count("value_asof").alias("m"),
+        F.sum(F.col("value_asof").cast("decimal(27,4)"))
+        .cast("double").alias("s"),
+    ).collect()[0]
+
+    d_row = duck.execute(f"""
+        WITH l AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = '{lt}'),
+        r AS (SELECT user_id, ts, min(value) AS value FROM events
+              WHERE event_type = '{rt}' GROUP BY 1, 2)
+        SELECT count(*) AS n, count(r.value) AS m,
+               CAST(sum(CAST(r.value AS DECIMAL(27,4))) AS DOUBLE) AS s
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.ts {op} r.ts
+    """).fetchone()
+    assert (s_row["n"], s_row["m"]) == (d_row[0], d_row[1]), (
+        lt, rt, direction, strict)
+    sa, sb = s_row["s"], d_row[2]
+    assert (sa is None and sb is None) or sa == sb, (
+        lt, rt, direction, strict)
