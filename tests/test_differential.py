@@ -959,3 +959,53 @@ def test_random_asof_specs_agree(spark, duck, events_views, seed):
     sa, sb = s_row["s"], d_row[2]
     assert (sa is None and sb is None) or sa == sb, (
         lt, rt, direction, strict)
+
+
+# ---------------------------------------------------------------------------
+# IGNORE NULLS / RESPECT NULLS window navigation over NULL-injected
+# data: both engines support the semantics natively but place the
+# modifier differently — Spark after the call (lag(x, 2) IGNORE NULLS
+# OVER ...), DuckDB inside the argument list (lag(x, 2 IGNORE NULLS)
+# OVER ...) — so the spec renders per dialect. The windowed value is
+# an integer that is NULL exactly where the injected o_totalprice
+# NULLs sit, so every pick path is exercised.
+
+
+@pytest.mark.parametrize("seed", range(18))
+def test_random_ignore_nulls_navigation_agrees(spark, duck, null_tables,
+                                               seed):
+    rng = random.Random(170_000 + seed)
+    ignore = rng.random() < 0.6
+    part = rng.choice(["o_orderstatus", "o_custkey % 7",
+                       "o_orderpriority IS NULL"])
+    name, extra, framed = rng.choice([
+        ("lag", str(rng.randint(1, 3)), False),
+        ("lead", str(rng.randint(1, 3)), False),
+        ("first_value", None, True),
+        ("last_value", None, True),
+        ("nth_value", str(rng.randint(1, 4)), True),
+    ])
+    args = "x" + (f", {extra}" if extra else "")
+    s_fn = f"{name}({args})" + (" IGNORE NULLS" if ignore else "")
+    d_fn = f"{name}({args}" + (" IGNORE NULLS)" if ignore else ")")
+    frame = ""
+    if framed:
+        a, b = rng.randint(0, 5), rng.randint(0, 5)
+        frame = f" ROWS BETWEEN {a} PRECEDING AND {b} FOLLOWING"
+    body = (
+        "SELECT coalesce(sum(v % 100003), 0) AS cs, count(v) AS nv FROM ("
+        "  SELECT @F OVER ("
+        f"    PARTITION BY {part} ORDER BY o_orderkey{frame}) AS v"
+        "  FROM (SELECT o_orderkey, o_custkey, o_orderstatus,"
+        "               o_orderpriority,"
+        "               CASE WHEN o_totalprice IS NULL THEN NULL"
+        "                    ELSE o_orderkey END AS x FROM @T))"
+    )
+    s_row = spark.sql(
+        body.replace("@F", s_fn).replace("@T", "orders_nulls_diff")
+    ).collect()[0]
+    d_row = duck.execute(
+        body.replace("@F", d_fn).replace("@T", "orders_nulls")
+    ).fetchone()
+    assert (int(s_row["cs"]), s_row["nv"]) == (int(d_row[0]), d_row[1]), (
+        s_fn, part, frame)
