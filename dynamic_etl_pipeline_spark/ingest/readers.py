@@ -153,6 +153,11 @@ def read_txt(spark: SparkSession, path: str, encoding: str | None = None,
 # --------------------------------------------------------------------------
 
 def _default_pdf_extractor(raw: bytes) -> list[str]:
+    """Page-by-page text, parity with app.py:184-191 (PyPDF2 reader).
+
+    Uses pypdf/PyPDF2 when installed; otherwise the vendored pure-Python
+    parser (``ingest/pdftext.py`` — public PDF format, stdlib only), so
+    ``read_pdf`` runs end-to-end with no third-party dependency."""
     try:
         from io import BytesIO
 
@@ -160,25 +165,27 @@ def _default_pdf_extractor(raw: bytes) -> list[str]:
             from pypdf import PdfReader  # type: ignore
         except ImportError:
             from PyPDF2 import PdfReader  # type: ignore
-    except ImportError as exc:
-        raise NotImplementedError(
-            "PDF text extraction needs pypdf/PyPDF2 (not installed here); "
-            "pass extractor= to read_pdf (tests use a deterministic fake)"
-        ) from exc
-    return [page.extract_text() or "" for page in PdfReader(BytesIO(raw)).pages]
+        return [page.extract_text() or "" for page in PdfReader(BytesIO(raw)).pages]
+    except ImportError:
+        from .pdftext import extract_pdf_pages
+
+        return extract_pdf_pages(raw)
 
 
 def _default_docx_extractor(raw: bytes) -> list[str]:
+    """Paragraph texts, parity with app.py:194-197 (python-docx).
+
+    Uses python-docx when installed; otherwise the vendored stdlib
+    zipfile+ElementTree parser (``ingest/docxtext.py``)."""
     try:
         from io import BytesIO
 
         import docx  # type: ignore
-    except ImportError as exc:
-        raise NotImplementedError(
-            "DOCX extraction needs python-docx (not installed here); "
-            "pass extractor= to read_docx (tests use a deterministic fake)"
-        ) from exc
-    return [p.text for p in docx.Document(BytesIO(raw)).paragraphs]
+        return [p.text for p in docx.Document(BytesIO(raw)).paragraphs]
+    except ImportError:
+        from .docxtext import extract_docx_paragraphs
+
+        return extract_docx_paragraphs(raw)
 
 
 def _chunked_reader(unit_col: str,

@@ -308,3 +308,64 @@ def quality_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ))
         .orderBy("chk")
     )
+
+
+def _doc_fixture_dir() -> str:
+    """Write the deterministic PDF/DOCX fixtures to a stable temp dir
+    (idempotent — keyed by content, driver-side only, a few KB)."""
+    import pathlib
+    import tempfile
+
+    from ..ingest.docgen import build_classic_pdf, build_docx
+
+    d = pathlib.Path(tempfile.gettempdir()) / "depl_doc_fixtures"
+    d.mkdir(exist_ok=True)
+    for name, data in (("sample.pdf", build_classic_pdf()),
+                       ("sample.docx", build_docx())):
+        p = d / name
+        if not p.exists() or p.stat().st_size != len(data):
+            p.write_bytes(data)
+    return str(d)
+
+
+@query("pdf_extract_pages", oracle="""
+SELECT 0 AS page_no, 'Invoice (No. 42) for ACME Corp
+Total due: $1,234.56' AS content
+UNION ALL SELECT 1, 'Second page text
+Hex encoded line'
+UNION ALL SELECT 2, 'Third page first line
+quoted line'
+ORDER BY page_no
+""")
+def pdf_extract_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end PDF ingestion (reference app.py:184-191): a real PDF
+    file parsed page-by-page with the vendored pure-Python extractor
+    (binaryFile -> mapInPandas).  The oracle is the expected constant
+    table, so the whole xref/Flate/content-stream pipeline is
+    value-checked, not just row-counted."""
+    from ..ingest.readers import read_pdf
+
+    return (
+        read_pdf(spark, _doc_fixture_dir() + "/sample.pdf")
+        .select(F.col("page_no").cast("int").alias("page_no"), "content")
+        .orderBy("page_no")
+    )
+
+
+@query("docx_extract_paragraphs", oracle="""
+SELECT 0 AS para_no, 'First paragraph of the contract.' AS content
+UNION ALL SELECT 1, 'Amount:' || chr(9) || '1000 EUR' || chr(10) || 'net of taxes'
+UNION ALL SELECT 3, 'Signed in duplicate.'
+ORDER BY para_no
+""")
+def docx_extract_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end DOCX ingestion (reference app.py:194-197): OPC zip ->
+    w:p paragraphs via the stdlib extractor, blanks filtered like the
+    reference; table cell text excluded (python-docx semantics)."""
+    from ..ingest.readers import read_docx
+
+    return (
+        read_docx(spark, _doc_fixture_dir() + "/sample.docx")
+        .select(F.col("para_no").cast("int").alias("para_no"), "content")
+        .orderBy("para_no")
+    )

@@ -1,0 +1,244 @@
+"""Unit tests for the vendored pure-Python PDF/DOCX text extractors.
+
+These back the end-to-end reader parity with the reference's
+``ingest_pdf``/``ingest_docx`` (app.py:184-197) without pypdf/python-docx.
+"""
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from dynamic_etl_pipeline_spark.ingest.docxtext import extract_docx_paragraphs
+from dynamic_etl_pipeline_spark.ingest.pdftext import (
+    _apply_png_predictor,
+    _extract_text_from_content,
+    _Lexer,
+    extract_pdf_pages,
+)
+from dynamic_etl_pipeline_spark.ingest.docgen import (
+    EXPECTED_DOCX_PARAGRAPHS,
+    EXPECTED_PAGES,
+    build_classic_pdf,
+    build_docx,
+    build_objstm_pdf,
+)
+
+
+# ---------------------------------------------------------------------------
+# Lexer
+# ---------------------------------------------------------------------------
+
+def _parse(src: bytes):
+    return _Lexer(src).parse_object()
+
+
+def test_lexer_scalars_and_refs():
+    assert _parse(b"42") == 42
+    assert _parse(b"-3.5") == -3.5
+    assert _parse(b".5") == 0.5
+    assert _parse(b"true") is True
+    assert _parse(b"null") is None
+    ref = _parse(b"12 0 R")
+    assert (ref.num, ref.gen) == (12, 0)
+
+
+def test_lexer_names_with_hex_escape():
+    assert _parse(b"/Name#20With#23Hash") == "/Name With#Hash"
+
+
+def test_lexer_literal_string_escapes():
+    assert _parse(rb"(a\(b\)c)") == b"a(b)c"
+    assert _parse(rb"(tab\there)") == b"tab\there"
+    assert _parse(rb"(oct\101al)") == b"octAal"
+    assert _parse(b"(line\\\ncontinued)") == b"linecontinued"
+    assert _parse(b"(nested (parens) ok)") == b"nested (parens) ok"
+
+
+def test_lexer_hex_string_odd_digits_padded():
+    assert _parse(b"<48 65 6C6C 6F>") == b"Hello"
+    assert _parse(b"<414>") == b"A@"  # odd count -> pad with 0
+
+
+def test_lexer_dict_array_nesting():
+    d = _parse(b"<< /A [1 2 3] /B << /C (x) >> /D 4 0 R >>")
+    assert d["/A"] == [1, 2, 3]
+    assert d["/B"]["/C"] == b"x"
+    assert d["/D"].num == 4
+
+
+def test_lexer_comment_skipped():
+    assert _parse(b"% a comment\n 7") == 7
+
+
+# ---------------------------------------------------------------------------
+# PNG predictor (xref streams use Up=2 mainly; test all filters)
+# ---------------------------------------------------------------------------
+
+def test_png_predictor_up_roundtrip():
+    rows = [bytes([1, 2, 3, 4]), bytes([5, 6, 7, 8])]
+    enc = bytearray()
+    prev = bytes(4)
+    for r in rows:
+        enc.append(2)
+        enc.extend((r[i] - prev[i]) & 0xFF for i in range(4))
+        prev = r
+    assert _apply_png_predictor(bytes(enc), columns=4, colors=1, bpc=8) == b"".join(rows)
+
+
+def test_png_predictor_sub_and_none():
+    # none (0): passthrough
+    assert _apply_png_predictor(b"\x00abcd", 4, 1, 8) == b"abcd"
+    # sub (1): each byte += left neighbour
+    out = _apply_png_predictor(bytes([1, 10, 1, 1, 1]), 4, 1, 8)
+    assert out == bytes([10, 11, 12, 13])
+
+
+# ---------------------------------------------------------------------------
+# Content-stream text interpreter
+# ---------------------------------------------------------------------------
+
+def test_content_tj_and_td_newlines():
+    out = _extract_text_from_content(b"BT (a) Tj 0 -12 Td (b) Tj 5 0 Td (c) Tj ET")
+    assert out == "a\nbc"  # ty!=0 breaks, tx-only move does not
+
+
+def test_content_tj_array_concat():
+    out = _extract_text_from_content(b"BT [(He) -10 (llo) 250 ( world)] TJ ET")
+    assert out == "Hello world"
+
+
+def test_content_quote_operators():
+    out = _extract_text_from_content(b"BT (x) Tj (y) ' 1 2 (z) \" ET")
+    assert out == "x\ny\nz"
+
+
+def test_content_utf16_bom_string():
+    s = "café — ok".encode("utf-16-be")
+    content = b"BT <FEFF" + s.hex().encode() + b"> Tj ET"
+    assert _extract_text_from_content(content) == "café — ok"
+
+
+def test_content_ignores_graphics_operators():
+    out = _extract_text_from_content(
+        b"q 1 0 0 1 50 50 cm 0 0 100 100 re f Q BT (text) Tj ET 10 w S"
+    )
+    assert out == "text"
+
+
+# ---------------------------------------------------------------------------
+# Whole-document extraction
+# ---------------------------------------------------------------------------
+
+def test_classic_pdf_pages_exact():
+    assert extract_pdf_pages(build_classic_pdf()) == EXPECTED_PAGES
+
+
+def test_objstm_pdf_pages_exact():
+    # modern layout: catalog/pages/page dicts inside a compressed /ObjStm
+    assert extract_pdf_pages(build_objstm_pdf()) == EXPECTED_PAGES[:1]
+
+
+def test_fixture_files_match_builders(tmp_path):
+    # the committed fixtures must stay in sync with the builders
+    import pathlib
+
+    fix = pathlib.Path(__file__).parent / "fixtures"
+    assert (fix / "sample_classic.pdf").read_bytes() == build_classic_pdf()
+    assert (fix / "sample_objstm.pdf").read_bytes() == build_objstm_pdf()
+    assert (fix / "sample.docx").read_bytes() == build_docx()
+
+
+def test_non_pdf_raises():
+    with pytest.raises(ValueError, match="not a PDF"):
+        extract_pdf_pages(b"hello world")
+
+
+def test_incremental_update_last_definition_wins():
+    base = build_classic_pdf()
+    # append an incremental update redefining page 1's content stream
+    z = zlib.compress(b"BT (REVISED) Tj ET")
+    patched = (
+        base
+        + f"6 0 obj\n<< /Length {len(z)} /Filter /FlateDecode >>\nstream\n".encode()
+        + z
+        + b"\nendstream\nendobj\n"
+    )
+    pages = extract_pdf_pages(patched)
+    assert pages[0] == "REVISED"
+    assert pages[1:] == EXPECTED_PAGES[1:]
+
+
+def test_uncompressed_content_stream():
+    body = b"BT (plain) Tj ET"
+    pdf = (
+        b"%PDF-1.1\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        + f"4 0 obj\n<< /Length {len(body)} >>\nstream\n".encode()
+        + body
+        + b"\nendstream\nendobj\n"
+        b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+    assert extract_pdf_pages(pdf) == ["plain"]
+
+
+def test_contents_array_concatenated():
+    b1, b2 = b"BT (part one ) Tj", b"(part two) Tj ET"
+    pdf = (
+        b"%PDF-1.1\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents [4 0 R 5 0 R] >>\nendobj\n"
+        + f"4 0 obj\n<< /Length {len(b1)} >>\nstream\n".encode()
+        + b1
+        + b"\nendstream\nendobj\n"
+        + f"5 0 obj\n<< /Length {len(b2)} >>\nstream\n".encode()
+        + b2
+        + b"\nendstream\nendobj\n"
+        b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+    assert extract_pdf_pages(pdf) == ["part one part two"]
+
+
+def test_encrypted_pdf_refused():
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog >>\nendobj\n"
+        b"trailer\n<< /Root 1 0 R /Encrypt 9 0 R >>\n%%EOF\n"
+    )
+    with pytest.raises(ValueError, match="encrypted"):
+        extract_pdf_pages(pdf)
+
+
+# ---------------------------------------------------------------------------
+# DOCX
+# ---------------------------------------------------------------------------
+
+def test_docx_paragraphs_exact():
+    assert extract_docx_paragraphs(build_docx()) == EXPECTED_DOCX_PARAGRAPHS
+
+
+def test_docx_tab_and_break_rendering():
+    paras = extract_docx_paragraphs(build_docx())
+    assert paras[1] == "Amount:\t1000 EUR\nnet of taxes"
+
+
+def test_docx_table_text_excluded():
+    assert not any("cell text" in p for p in extract_docx_paragraphs(build_docx()))
+
+
+def test_docx_not_a_zip():
+    with pytest.raises(ValueError, match="not a DOCX"):
+        extract_docx_paragraphs(b"PKnot really")
+
+
+def test_docx_zip_without_document_part(tmp_path):
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("other.xml", "<a/>")
+    with pytest.raises(ValueError, match="not a DOCX"):
+        extract_docx_paragraphs(buf.getvalue())
