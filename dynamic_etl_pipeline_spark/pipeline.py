@@ -15,6 +15,7 @@ whole pipeline is a single Spark job and scales with partition count.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from dataclasses import dataclass
 from pathlib import Path
 
@@ -25,6 +26,32 @@ from .functions.extract import extract_patterns
 from .ingest import read_any
 from .quality import ISSUES_COL, validate, with_lineage
 from .schema_registry import SchemaRegistry
+
+
+_INT_RANK = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3}
+_FRACTIONAL = {"float", "double"}
+
+
+def _widen_dtype(a: str, b: str) -> str:
+    """Tightest common simple type for drifted record-store columns
+    (the store only ever holds ingest-shaped scalars; nested types
+    can't drift because they'd differ as whole columns). Integer pairs
+    widen to the larger integer, any integer/fractional or float/double
+    mix widens to double, anything else irreconcilable widens to
+    string — which every scalar casts to losslessly."""
+    if a == b:
+        return a
+    if a in _INT_RANK and b in _INT_RANK:
+        return a if _INT_RANK[a] >= _INT_RANK[b] else b
+    numeric = _FRACTIONAL | set(_INT_RANK) | {"decimal"}
+    if (a.split("(")[0] in numeric) and (b.split("(")[0] in numeric):
+        return "double"
+    return "string"
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer holds the store's mutation lock (and the caller's
+    ``lock_timeout`` expired). The store is untouched — retry later."""
 
 
 @dataclass
@@ -44,12 +71,64 @@ class EtlPipeline:
     versioning, pattern extraction, validation, and lineage."""
 
     def __init__(self, spark: SparkSession, store_dir: str,
-                 text_column: str = "content"):
+                 text_column: str = "content", lock_timeout: float = 60.0):
         self.spark = spark
         self.store = Path(store_dir)
         self.records_path = str(self.store / "records")
         self.registry = SchemaRegistry(spark, store_dir)
         self.text_column = text_column
+        self.lock_timeout = lock_timeout
+
+    # -- concurrent-writer safety ---------------------------------------
+    # The swap protocol (staging write -> _SUCCESS -> generation rename)
+    # is crash-recoverable for ONE writer; two concurrent mutations could
+    # interleave generation swaps or reap each other's staging dirs. All
+    # mutations therefore serialize on an exclusive flock over
+    # <store>/.store.lock: advisory, released automatically if the holder
+    # dies (no stale-lock janitor needed), and exclusive across both
+    # processes and threads (flock contends per open file description).
+    # This intentionally assumes the store lives on a POSIX filesystem —
+    # which the rename-based swap already requires; an object-store port
+    # would swap both for a CAS on a generation-pointer object.
+
+    @contextmanager
+    def _mutation_lock(self, timeout: float | None = None):
+        import fcntl
+        import os
+        import time
+
+        timeout = self.lock_timeout if timeout is None else timeout
+        self.store.mkdir(parents=True, exist_ok=True)
+        fd = os.open(self.store / ".store.lock", os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            deadline = time.monotonic() + timeout
+            while True:
+                try:
+                    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                    break
+                except OSError:
+                    if time.monotonic() >= deadline:
+                        raise ConcurrentWriteError(
+                            f"store {self.store} is locked by another writer "
+                            f"(waited {timeout:.1f}s)"
+                        ) from None
+                    time.sleep(0.05)
+            os.ftruncate(fd, 0)
+            os.write(fd, f"pid={os.getpid()}\n".encode())
+            yield
+        finally:
+            os.close(fd)  # closing the fd drops the flock
+
+    def _try_recover_records(self) -> None:
+        """Best-effort crash recovery on read paths: if another LIVE
+        writer holds the lock there is nothing to recover (its state is
+        consistent-by-protocol and must not be reaped from under it) —
+        skip instead of blocking the read."""
+        try:
+            with self._mutation_lock(timeout=0.0):
+                self._recover_records()
+        except ConcurrentWriteError:
+            pass
 
     def transform(self, df: DataFrame) -> tuple[DataFrame, int, bool]:
         """Extraction + schema registration + validation + lineage —
@@ -89,11 +168,12 @@ class EtlPipeline:
         # straight into the Hive-style partition dir — same on-disk
         # layout as partitionBy() without the dynamic-partition commit
         # machinery (mergeSchema is a read-side option; records() sets it).
-        (
-            df.drop("_schema_version")
-            .write.mode("append")
-            .parquet(f"{self.records_path}/_schema_version={version}")
-        )
+        with self._mutation_lock():
+            (
+                df.drop("_schema_version")
+                .write.mode("append")
+                .parquet(f"{self.records_path}/_schema_version={version}")
+            )
         n_records = obs.get["n_records"]
         n_bad = obs.get["n_bad"] or 0
         return IngestReport(
@@ -114,8 +194,11 @@ class EtlPipeline:
 
         Execution is the join-and-rewrite strategy (operators/merge.py):
         merge into a staging directory partitioned by schema version,
-        then swap into place. The swap is crash-RECOVERABLE (single
-        writer): Spark's _SUCCESS marker distinguishes a committed
+        then swap into place. Concurrent mutations serialize on the
+        store's exclusive flock (``_mutation_lock``; a second writer
+        waits up to ``lock_timeout`` then gets ``ConcurrentWriteError``
+        with the store untouched). The swap is crash-RECOVERABLE:
+        Spark's _SUCCESS marker distinguishes a committed
         staging dir from a half-written one, and ``_recover_records``
         (run before every upsert and read) either promotes a committed
         staging dir or rolls back to the previous store, so no crash
@@ -130,7 +213,6 @@ class EtlPipeline:
 
         if not keys:
             raise ValueError("upsert requires non-empty merge keys")
-        self._recover_records()
         src = df if df is not None else read_any(self.spark, path, **reader_kwargs)
         batch, version, changed = self.transform(src)
         # schema-alignment probe taken BEFORE observe so the Observation
@@ -143,31 +225,39 @@ class EtlPipeline:
             F.sum((F.size(F.col(ISSUES_COL)) > 0).cast("long")).alias("n_bad"),
         )
         store = Path(self.records_path)
-        if not store.exists():
-            (
-                batch.drop("_schema_version")
-                .write.mode("append")
-                .parquet(f"{self.records_path}/_schema_version={version}")
-            )
-        else:
-            target = self.records().unionByName(align, allowMissingColumns=True)
-            merged = merge_upsert(target, batch, keys)
-            tmp = store.with_name("records.upserting")
-            (
-                merged.write.mode("overwrite")
-                .partitionBy("_schema_version")
-                .parquet(str(tmp))
-            )
-            # commit point is the tmp write's _SUCCESS marker: every
-            # crash window after it is rolled FORWARD by
-            # _recover_records, every one before it rolled back.
-            # The displaced store is archived as a numbered generation
-            # (time travel): snapshot()/history()/vacuum() below.
-            archive = store.with_name(
-                f"records.gen-{self._next_generation():06d}"
-            )
-            store.rename(archive)
-            tmp.rename(store)
+        # the lock spans read-modify-write: the merge must see the store
+        # state it will replace, so no other writer may swap in between
+        with self._mutation_lock():
+            self._recover_records()
+            if not store.exists():
+                (
+                    batch.drop("_schema_version")
+                    .write.mode("append")
+                    .parquet(f"{self.records_path}/_schema_version={version}")
+                )
+            else:
+                target = (
+                    self.spark.read.option("mergeSchema", "true")
+                    .parquet(self.records_path)
+                    .unionByName(align, allowMissingColumns=True)
+                )
+                merged = merge_upsert(target, batch, keys)
+                tmp = store.with_name("records.upserting")
+                (
+                    merged.write.mode("overwrite")
+                    .partitionBy("_schema_version")
+                    .parquet(str(tmp))
+                )
+                # commit point is the tmp write's _SUCCESS marker: every
+                # crash window after it is rolled FORWARD by
+                # _recover_records, every one before it rolled back.
+                # The displaced store is archived as a numbered generation
+                # (time travel): snapshot()/history()/vacuum() below.
+                archive = store.with_name(
+                    f"records.gen-{self._next_generation():06d}"
+                )
+                store.rename(archive)
+                tmp.rename(store)
         n_records = obs.get["n_records"]
         n_bad = obs.get["n_bad"] or 0
         return IngestReport(
@@ -179,8 +269,11 @@ class EtlPipeline:
         )
 
     def _recover_records(self) -> None:
-        """Finish or roll back an interrupted upsert swap (single-writer
-        store). The commit point is Spark's _SUCCESS marker in the
+        """Finish or roll back an interrupted upsert swap. Callers must
+        hold ``_mutation_lock`` (mutations take it around their whole
+        read-modify-write; read paths go through ``_try_recover_records``
+        which skips when a live writer holds it).
+        The commit point is Spark's _SUCCESS marker in the
         staging dir: a committed merge is rolled FORWARD by completing
         the generation-archive swap (archive the displaced store as
         records.gen-NNNNNN if the crash hit before that rename, then
@@ -231,7 +324,7 @@ class EtlPipeline:
         ``version`` filters on the partition column, so the scan prunes
         to one schema-version directory instead of listing the store.
         """
-        self._recover_records()
+        self._try_recover_records()
         df = self.spark.read.option("mergeSchema", "true").parquet(self.records_path)
         if version is not None:
             df = df.filter(F.col("_schema_version") == version)
@@ -327,11 +420,12 @@ class EtlPipeline:
 
         if retain < 0:
             raise ValueError("retain must be >= 0")
-        gens = self._generation_dirs()
-        doomed = gens[:-retain] if retain else gens
-        for p in doomed:
-            shutil.rmtree(p)
-        return len(doomed)
+        with self._mutation_lock():
+            gens = self._generation_dirs()
+            doomed = gens[:-retain] if retain else gens
+            for p in doomed:
+                shutil.rmtree(p)
+            return len(doomed)
 
     def export_sqlite(self, db_path: str, batch_size: int = 10_000) -> int:
         """Export the record store + schema catalog into the reference's
@@ -423,10 +517,19 @@ class EtlPipeline:
         ``_schema_version=N`` partition with the column set of ITS
         batch; reads paper over the drift with mergeSchema, which at
         scale costs a footer sample per query and blocks plain
-        external readers. migrate() rewrites ONLY the partitions
-        missing union columns, NULL-padding each missing column with
-        the dtype of the partition that has it, with the same
-        atomic per-partition rename swap compact() uses. The
+        external readers. migrate() rewrites ONLY the partitions that
+        diverge from the union schema — a missing column is NULL-padded
+        with the union dtype, and a column whose TYPE drifted (e.g. an
+        int batch followed by a double batch) is cast to the widened
+        union dtype (ADVICE r5: padding alone left type conflicts).
+        The union schema is computed from the per-partition parquet
+        footers directly (NOT a mergeSchema read — Spark refuses to
+        merge long/double footers, so a type-drifted store can't even
+        be read until migrated; this makes migrate() the repair path),
+        with numeric widening: integers widen to the larger integer,
+        any integer/fractional mix widens to double, and a
+        numeric/string conflict widens to string. Swaps use the same
+        atomic per-partition rename as compact(). The
         ``_schema_version`` value is provenance and is preserved — a
         migrated row still says which schema ingested it.
 
@@ -437,31 +540,52 @@ class EtlPipeline:
         """
         import shutil
 
-        self._recover_records()
         store = Path(self.records_path)
-        if not store.exists():
-            return 0
-        merged = self.records()
-        union_cols = [c for c in merged.columns if c != "_schema_version"]
-        dtypes = dict(merged.dtypes)
-        rewritten = 0
-        for part_dir in sorted(store.glob("_schema_version=*")):
-            part = self.spark.read.parquet(str(part_dir))
-            missing = [c for c in union_cols if c not in part.columns]
-            if not missing:
-                continue
-            out = part
-            for c in missing:
-                out = out.withColumn(c, F.lit(None).cast(dtypes[c]))
-            out = out.select(*union_cols)
-            tmp = part_dir.with_name(part_dir.name + ".migrating")
-            out.write.mode("overwrite").parquet(str(tmp))
-            old = part_dir.with_name(part_dir.name + ".old")
-            part_dir.rename(old)
-            tmp.rename(part_dir)
-            shutil.rmtree(old)
-            rewritten += 1
-        return rewritten
+        with self._mutation_lock():
+            self._recover_records()
+            if not store.exists():
+                return 0
+            # union schema from per-partition footers with numeric
+            # widening (mergeSchema would refuse long/double drift)
+            part_schemas = {
+                part_dir: dict(self.spark.read.parquet(str(part_dir)).dtypes)
+                for part_dir in sorted(store.glob("_schema_version=*"))
+            }
+            union_cols: list[str] = []
+            dtypes: dict[str, str] = {}
+            for types in part_schemas.values():
+                for c, t in types.items():
+                    if c == "_schema_version":
+                        continue
+                    if c not in dtypes:
+                        union_cols.append(c)
+                        dtypes[c] = t
+                    else:
+                        dtypes[c] = _widen_dtype(dtypes[c], t)
+            rewritten = 0
+            for part_dir, part_types in part_schemas.items():
+                part = self.spark.read.parquet(str(part_dir))
+                missing = [c for c in union_cols if c not in part_types]
+                drifted = [
+                    c for c in union_cols
+                    if c in part_types and part_types[c] != dtypes[c]
+                ]
+                if not missing and not drifted:
+                    continue
+                out = part
+                for c in missing:
+                    out = out.withColumn(c, F.lit(None).cast(dtypes[c]))
+                for c in drifted:
+                    out = out.withColumn(c, F.col(c).cast(dtypes[c]))
+                out = out.select(*union_cols)
+                tmp = part_dir.with_name(part_dir.name + ".migrating")
+                out.write.mode("overwrite").parquet(str(tmp))
+                old = part_dir.with_name(part_dir.name + ".old")
+                part_dir.rename(old)
+                tmp.rename(part_dir)
+                shutil.rmtree(old)
+                rewritten += 1
+            return rewritten
 
     def compact(self, target_file_bytes: int = 128 * 1024 * 1024) -> int:
         """Compact each schema-version partition's micro-batch files.
@@ -475,26 +599,27 @@ class EtlPipeline:
         import math
         import shutil
 
-        self._recover_records()
         store = Path(self.records_path)
-        if not store.exists():
-            return 0
-        compacted = 0
-        for part_dir in sorted(store.glob("_schema_version=*")):
-            files = [f for f in part_dir.glob("*.parquet")]
-            if len(files) <= 1:
-                continue
-            total = sum(f.stat().st_size for f in files)
-            n_out = max(1, math.ceil(total / target_file_bytes))
-            tmp = part_dir.with_name(part_dir.name + ".compacting")
-            (
-                self.spark.read.parquet(str(part_dir))
-                .repartition(n_out)
-                .write.mode("overwrite").parquet(str(tmp))
-            )
-            old = part_dir.with_name(part_dir.name + ".old")
-            part_dir.rename(old)
-            tmp.rename(part_dir)
-            shutil.rmtree(old)
-            compacted += 1
-        return compacted
+        with self._mutation_lock():
+            self._recover_records()
+            if not store.exists():
+                return 0
+            compacted = 0
+            for part_dir in sorted(store.glob("_schema_version=*")):
+                files = [f for f in part_dir.glob("*.parquet")]
+                if len(files) <= 1:
+                    continue
+                total = sum(f.stat().st_size for f in files)
+                n_out = max(1, math.ceil(total / target_file_bytes))
+                tmp = part_dir.with_name(part_dir.name + ".compacting")
+                (
+                    self.spark.read.parquet(str(part_dir))
+                    .repartition(n_out)
+                    .write.mode("overwrite").parquet(str(tmp))
+                )
+                old = part_dir.with_name(part_dir.name + ".old")
+                part_dir.rename(old)
+                tmp.rename(part_dir)
+                shutil.rmtree(old)
+                compacted += 1
+            return compacted

@@ -376,3 +376,132 @@ def test_recovery_cleans_interrupted_partition_swaps(spark, tmp_path):
     # compact on the recovered store still works
     assert pipe.compact() in (0, 1)
     assert pipe.records().count() == n
+
+
+def test_concurrent_upserts_serialize_not_corrupt(spark, tmp_path):
+    """Two writers racing the same store (VERDICT r5 item 2): the
+    mutation flock serializes them — the final store holds BOTH
+    batches' keys, both generation swaps landed in order, and no
+    staging debris survives."""
+    import threading
+
+    store = str(tmp_path / "race_store")
+    seed = spark.createDataFrame(
+        [(f"k{i}", "seed") for i in range(8)], ["rec_id", "content"]
+    )
+    EtlPipeline(spark, store).upsert(df=seed, keys=["rec_id"])
+
+    errors: list[Exception] = []
+
+    def writer(tag: str):
+        try:
+            pipe = EtlPipeline(spark, store)  # own handle, shared dir
+            batch = spark.createDataFrame(
+                [(f"k{i}", tag) for i in range(4)]
+                + [(f"new_{tag}", tag)],
+                ["rec_id", "content"],
+            )
+            pipe.upsert(df=batch, keys=["rec_id"])
+        except Exception as exc:  # surfaced below
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(t,))
+               for t in ("alpha", "beta")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+    pipe = EtlPipeline(spark, store)
+    rows = {r["rec_id"]: r["content"] for r in pipe.records().collect()}
+    # both writers' inserts landed; k0-k3 holds whichever writer won
+    # the race LAST (serialized, so a complete batch — never a mix lost)
+    assert "new_alpha" in rows and "new_beta" in rows
+    assert set(rows) == {f"k{i}" for i in range(8)} | {"new_alpha", "new_beta"}
+    assert rows["k0"] in ("alpha", "beta")
+    # serialized swaps: seed + two upserts -> exactly 2 archived gens
+    assert [h["generation"] for h in pipe.history()] == [1, 2]
+    leftovers = [p.name for p in (tmp_path / "race_store").glob("records.*")
+                 if not p.name.startswith(("records.gen-",))
+                 and p.name != "records"]
+    assert leftovers == [], leftovers
+
+
+def test_locked_store_refuses_cleanly(spark, tmp_path):
+    """A writer that cannot get the lock inside lock_timeout raises
+    ConcurrentWriteError and leaves the store byte-identical."""
+    import pytest as _pytest
+
+    from dynamic_etl_pipeline_spark.pipeline import ConcurrentWriteError
+
+    store = str(tmp_path / "locked_store")
+    pipe = EtlPipeline(spark, store, lock_timeout=0.2)
+    pipe.upsert(
+        df=spark.createDataFrame([("k1", "v1")], ["rec_id", "content"]),
+        keys=["rec_id"],
+    )
+    before = sorted(
+        p.relative_to(store).as_posix()
+        for p in (tmp_path / "locked_store").rglob("*") if p.is_file()
+    )
+    holder = EtlPipeline(spark, store)
+    with holder._mutation_lock():
+        with _pytest.raises(ConcurrentWriteError, match="locked by another"):
+            pipe.upsert(
+                df=spark.createDataFrame(
+                    [("k2", "v2")], ["rec_id", "content"]),
+                keys=["rec_id"],
+            )
+        # reads stay available while the lock is held (recovery skipped)
+        assert pipe.records().count() == 1
+    after = sorted(
+        p.relative_to(store).as_posix()
+        for p in (tmp_path / "locked_store").rglob("*") if p.is_file()
+    )
+    assert before == after
+
+
+def test_migrate_casts_type_drifted_partitions(spark, tmp_path):
+    """ADVICE r5: migrate() must conform column TYPES, not just the
+    column set — after it runs a plain non-mergeSchema read works even
+    when a column's dtype drifted between batches."""
+    store_dir = tmp_path / "type_drift_store"
+    records = store_dir / "records"
+    # build the drifted layout directly (an upsert would have unified
+    # the types already; this mimics appends from older builds or an
+    # external writer): bigint in v1, double in v2 — a store Spark's
+    # mergeSchema refuses to read at all
+    spark.createDataFrame([("a", 1)], ["rec_id", "amount"]).write.parquet(
+        str(records / "_schema_version=1"))
+    spark.createDataFrame([("b", 2.5)], ["rec_id", "amount"]).write.parquet(
+        str(records / "_schema_version=2"))
+    pipe = EtlPipeline(spark, str(store_dir))
+    with _pytest_raises_any():
+        spark.read.option("mergeSchema", "true").parquet(str(records)).collect()
+    assert pipe.migrate() == 1  # only the bigint partition rewrites
+    plain = spark.read.parquet(str(records))
+    vals = {r["rec_id"]: r["amount"] for r in plain.collect()}
+    assert vals == {"a": 1.0, "b": 2.5}
+    assert dict(plain.dtypes)["amount"] == "double"
+    # and the normal records() read works again
+    assert pipe.records().count() == 2
+
+
+def _pytest_raises_any():
+    import pytest as _pytest
+
+    return _pytest.raises(Exception)
+
+
+def test_widen_dtype_lattice():
+    from dynamic_etl_pipeline_spark.pipeline import _widen_dtype
+
+    assert _widen_dtype("bigint", "bigint") == "bigint"
+    assert _widen_dtype("int", "bigint") == "bigint"
+    assert _widen_dtype("smallint", "tinyint") == "smallint"
+    assert _widen_dtype("bigint", "double") == "double"
+    assert _widen_dtype("float", "double") == "double"
+    assert _widen_dtype("decimal(12,2)", "bigint") == "double"
+    assert _widen_dtype("bigint", "string") == "string"
+    assert _widen_dtype("date", "timestamp") == "string"
