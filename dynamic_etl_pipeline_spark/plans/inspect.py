@@ -24,23 +24,25 @@ def data_sized_nested_loops(df: DataFrame) -> int:
     BNLJ condition references its marker column ``_stop_nd`` (an
     inner join against one row is O(n); Spark folds any synthetic equi
     key out of it, so BNLJ is the only plan shape it can take)."""
-    plan = formatted_plan(df)
+    return _nested_loops_in(formatted_plan(df))
+
+
+def _nested_loops_in(plan: str) -> int:
     bad = len(re.findall(r"^\(\d+\) CartesianProduct", plan, re.MULTILINE))
-    for m in re.finditer(
-        r"^\(\d+\) BroadcastNestedLoopJoin\n(?:.*\n){0,3}?"
-        r"Join condition: (.*)$",
-        plan, re.MULTILINE,
-    ):
-        if "_stop_nd" not in m.group(1):
+    # Each node's detail block runs from its "(N) OpName" header to the
+    # next header (ADVICE r5: a fixed 3-line window misclassified BNLJ
+    # blocks whose "Join condition:" sat below extra detail lines as
+    # condition-less cross joins).
+    headers = list(re.finditer(r"^\(\d+\) (\S+)", plan, re.MULTILINE))
+    for i, m in enumerate(headers):
+        if not m.group(1).startswith("BroadcastNestedLoopJoin"):
+            continue
+        end = headers[i + 1].start() if i + 1 < len(headers) else len(plan)
+        block = plan[m.start():end]
+        cond = re.search(r"^Join condition: (.*)$", block, re.MULTILINE)
+        allowed = cond is not None and "_stop_nd" in cond.group(1)
+        if not allowed:
             bad += 1
-    # BNLJ nodes with NO condition line (pure cross joins) also count
-    n_bnlj = len(re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan,
-                            re.MULTILINE))
-    n_cond = len(re.findall(
-        r"^\(\d+\) BroadcastNestedLoopJoin\n(?:.*\n){0,3}?Join condition:",
-        plan, re.MULTILINE,
-    ))
-    bad += n_bnlj - n_cond
     return bad
 
 

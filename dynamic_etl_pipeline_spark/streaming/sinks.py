@@ -13,10 +13,98 @@ same batch directory), arbitrarily parallel.
 from __future__ import annotations
 
 import uuid
+from pathlib import Path
 
 from pyspark.sql import DataFrame
 
 from ..materialize import materialize
+
+
+class FreshCheckpointError(RuntimeError):
+    """A stream with a FRESH checkpoint was pointed at an EXISTING
+    maintained store: batch ids restart at 0, so per-batch-id
+    idempotency would silently clobber (overwrite-by-batch-id sinks) or
+    skip (pointer-marker sinks) committed data. Raised loudly instead
+    (ADVICE r5)."""
+
+
+def _check_run_fingerprint(store: Path, checkpoint: str,
+                           on_fresh_checkpoint: str, what: str) -> None:
+    """The store remembers which stream run built it (``_STREAM_RUN``
+    holds the checkpoint's query id, which Structured Streaming keeps
+    stable across restarts of the SAME checkpoint and regenerates for a
+    fresh one). Same id -> normal recovery, proceed. Different id ->
+    the checkpoint is fresh but the store is not: raise (default) or,
+    with ``on_fresh_checkpoint='replay'``, adopt the new run id for a
+    deliberate idempotent re-drain of the same source."""
+    import json
+    import os
+
+    try:
+        qid = json.loads((Path(checkpoint) / "metadata").read_text())["id"]
+    except (OSError, ValueError, KeyError):  # non-standard checkpoint impl
+        return
+    marker = store / "_STREAM_RUN"
+    if marker.exists():
+        prev = marker.read_text().strip()
+        if prev == qid:
+            return
+        if on_fresh_checkpoint == "error":
+            raise FreshCheckpointError(
+                f"{what} store {store} was built by stream run {prev}, but "
+                f"this query runs under a fresh checkpoint (run {qid}). "
+                "Resume from the original checkpoint, rebuild the store, or "
+                "pass on_fresh_checkpoint='replay' for a deliberate "
+                "idempotent re-drain of the same source."
+            )
+    store.mkdir(parents=True, exist_ok=True)
+    tmp = store / f"_STREAM_RUN.tmp-{os.getpid()}"
+    tmp.write_text(qid)
+    os.replace(tmp, marker)
+
+
+def _drain_foreach_batch(stream_df: DataFrame, body, checkpoint: str, *,
+                         store_dir: str | None = None,
+                         on_fresh_checkpoint: str = "error",
+                         output_mode: str | None = None,
+                         timeout_s: int = 300, what: str = "sink") -> None:
+    """The one drain loop every maintain_* sink shares: wrap ``body``
+    with the fresh-checkpoint fingerprint guard (when the sink owns a
+    store), run an availableNow foreachBatch pass, stop the query."""
+    if on_fresh_checkpoint not in ("error", "replay"):
+        raise ValueError(
+            f"on_fresh_checkpoint must be error|replay, "
+            f"got {on_fresh_checkpoint!r}"
+        )
+    if store_dir is None:
+        guarded = body
+    else:
+        checked = False
+
+        def guarded(batch_df, batch_id, _body=body):
+            nonlocal checked
+            if not checked:  # once per drain; foreachBatch runs driver-side
+                _check_run_fingerprint(
+                    Path(store_dir), checkpoint, on_fresh_checkpoint, what
+                )
+                checked = True
+            _body(batch_df, batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(guarded)
+    if output_mode is not None:
+        writer = writer.outputMode(output_mode)
+    q = (
+        writer.option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_s):
+            raise TimeoutError(
+                f"{what} drain did not finish within {timeout_s}s"
+            )
+    finally:
+        q.stop()
 
 
 def run_available_now_to_memory(stream_df: DataFrame,
@@ -80,7 +168,8 @@ def foreach_batch_parquet(stream_df: DataFrame, path: str,
 
 def maintain_incremental_rollup(stream_df: DataFrame, store_dir: str,
                                 checkpoint: str, width: str = "1 hour",
-                                timeout_s: int = 300) -> DataFrame:
+                                timeout_s: int = 300,
+                on_fresh_checkpoint: str = "error") -> DataFrame:
     """Streaming materialized view: maintain an at-rest hourly rollup
     table under foreachBatch, merging each micro-batch's PARTIAL
     aggregates into the store instead of re-aggregating history.
@@ -157,17 +246,11 @@ def maintain_incremental_rollup(stream_df: DataFrame, store_dir: str,
         if last is not None:  # post-commit GC; orphans on crash are harmless
             shutil.rmtree(store / f"v-{last}", ignore_errors=True)
 
-    q = (
-        stream_df.writeStream.foreachBatch(merge_batch)
-        .outputMode("update")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    _drain_foreach_batch(
+        stream_df, merge_batch, checkpoint, store_dir=store_dir,
+        on_fresh_checkpoint=on_fresh_checkpoint,
+        output_mode="update", timeout_s=timeout_s, what="incremental-rollup",
     )
-    try:
-        q.awaitTermination(timeout_s)
-    finally:
-        q.stop()
     return spark.read.parquet(str(store / f"v-{current_version()}")).select(
         "bucket", "event_type", "n_events",
         F.col("total_value").cast("double").alias("total_value"),
@@ -177,7 +260,8 @@ def maintain_incremental_rollup(stream_df: DataFrame, store_dir: str,
 def maintain_keyed_store(stream_df: DataFrame, store_dir: str,
                          checkpoint: str, keys: list[str],
                          seq_col: str, op_col: str | None = None,
-                         timeout_s: int = 300) -> DataFrame:
+                         timeout_s: int = 300,
+                on_fresh_checkpoint: str = "error") -> DataFrame:
     """Streaming CDC apply: maintain an at-rest keyed table by MERGE-ing
     each micro-batch of change records into the store — the
     foreachBatch + merge_upsert composition that gives Spark the
@@ -253,17 +337,11 @@ def maintain_keyed_store(stream_df: DataFrame, store_dir: str,
         if last is not None:
             shutil.rmtree(store / f"v-{last}", ignore_errors=True)
 
-    q = (
-        stream_df.writeStream.foreachBatch(apply_batch)
-        .outputMode("update")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    _drain_foreach_batch(
+        stream_df, apply_batch, checkpoint, store_dir=store_dir,
+        on_fresh_checkpoint=on_fresh_checkpoint,
+        output_mode="update", timeout_s=timeout_s, what="keyed-store",
     )
-    try:
-        q.awaitTermination(timeout_s)
-    finally:
-        q.stop()
     ver = current_version()
     if ver is None:  # empty stream: nothing ever committed
         return spark.createDataFrame([], stream_df.select(*data_cols).schema)
@@ -272,7 +350,8 @@ def maintain_keyed_store(stream_df: DataFrame, store_dir: str,
 
 def maintain_join_view(stream_df: DataFrame, store_dir: str,
                        checkpoint: str, side_col: str, on: list[str],
-                       timeout_s: int = 300) -> DataFrame:
+                       timeout_s: int = 300,
+                on_fresh_checkpoint: str = "error") -> DataFrame:
     """Incremental JOIN view maintenance: keep J = A JOIN B up to date
     as rows for either side arrive on one tagged stream
     (``side_col`` = 'A' or 'B'), using the bilinear delta rule
@@ -361,17 +440,11 @@ def maintain_join_view(stream_df: DataFrame, store_dir: str,
         tmp.write_text(str(batch_id))
         os.replace(tmp, marker)  # single commit point, idempotent replays
 
-    q = (
-        stream_df.writeStream.foreachBatch(apply_batch)
-        .outputMode("update")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    _drain_foreach_batch(
+        stream_df, apply_batch, checkpoint, store_dir=store_dir,
+        on_fresh_checkpoint=on_fresh_checkpoint,
+        output_mode="update", timeout_s=timeout_s, what="join-view",
     )
-    try:
-        q.awaitTermination(timeout_s)
-    finally:
-        q.stop()
     jdir = store / "j"
     paths = [str(p) for p in jdir.glob("batch_id=*")]
     if not paths:
@@ -382,7 +455,8 @@ def maintain_join_view(stream_df: DataFrame, store_dir: str,
 def maintain_distinct_rollup(stream_df: DataFrame, store_dir: str,
                              checkpoint: str, width: str = "1 hour",
                              key_col: str = "user_id",
-                             timeout_s: int = 300) -> DataFrame:
+                             timeout_s: int = 300,
+                on_fresh_checkpoint: str = "error") -> DataFrame:
     """Streaming DISTINCT-COUNT materialized view: maintain an at-rest
     (bucket, event_type) -> distinct-``key_col`` rollup where the
     at-rest state is an HLL SKETCH column (DataSketches), merged per
@@ -443,17 +517,11 @@ def maintain_distinct_rollup(stream_df: DataFrame, store_dir: str,
         if last is not None:
             shutil.rmtree(store / f"v-{last}", ignore_errors=True)
 
-    q = (
-        stream_df.writeStream.foreachBatch(merge_batch)
-        .outputMode("update")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    _drain_foreach_batch(
+        stream_df, merge_batch, checkpoint, store_dir=store_dir,
+        on_fresh_checkpoint=on_fresh_checkpoint,
+        output_mode="update", timeout_s=timeout_s, what="distinct-rollup",
     )
-    try:
-        q.awaitTermination(timeout_s)
-    finally:
-        q.stop()
     return spark.read.parquet(str(store / f"v-{current_version()}")).select(
         "bucket", "event_type",
         F.hll_sketch_estimate("sketch").cast("bigint")
@@ -589,7 +657,8 @@ def apply_dedup_index_batch(batch_df, batch_id: int, store_dir: str,
 
 def maintain_dedup_index(stream_df, store_dir: str, checkpoint: str,
                          id_col: str = "doc_id", text_col: str = "text",
-                         timeout_s: int = 300, **lsh_kwargs):
+                         timeout_s: int = 300,
+                         on_fresh_checkpoint: str = "error", **lsh_kwargs):
     """Streaming near-dup index maintenance: each arriving micro-batch
     of documents is MinHash-indexed and paired against everything
     indexed before it — exact-once under replay via batch-addressed
@@ -605,19 +674,11 @@ def maintain_dedup_index(stream_df, store_dir: str, checkpoint: str,
             id_col=id_col, text_col=text_col, **lsh_kwargs,
         )
 
-    q = (
-        stream_df.writeStream.foreachBatch(_body)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    _drain_foreach_batch(
+        stream_df, _body, checkpoint, store_dir=store_dir,
+        on_fresh_checkpoint=on_fresh_checkpoint,
+        output_mode=None, timeout_s=timeout_s, what="dedup-index",
     )
-    try:
-        if not q.awaitTermination(timeout_s):
-            raise TimeoutError(
-                f"dedup-index drain did not finish within {timeout_s}s"
-            )
-    finally:
-        q.stop()
     pair_dirs = [
         str(d) for d in sorted((Path(store_dir) / "pairs").glob("batch-*"))
         if any(d.glob("*.parquet"))
@@ -637,7 +698,8 @@ def maintain_dedup_index(stream_df, store_dir: str, checkpoint: str,
 
 def maintain_quality_split(stream_df, store_dir: str, checkpoint: str,
                            issues_col: str = "_quality_issues",
-                           timeout_s: int = 300):
+                           timeout_s: int = 300,
+                on_fresh_checkpoint: str = "error"):
     """Streaming ingest with a dead-letter queue: each micro-batch
     splits on the quality annotation (quality.validate's issues column
     — the reference's per-record issue strings, app.py:355-360) and
@@ -667,19 +729,11 @@ def maintain_quality_split(stream_df, store_dir: str, checkpoint: str,
             str(store / "bad" / f"batch-{batch_id}")
         )
 
-    q = (
-        stream_df.writeStream.foreachBatch(_body)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    _drain_foreach_batch(
+        stream_df, _body, checkpoint, store_dir=store_dir,
+        on_fresh_checkpoint=on_fresh_checkpoint,
+        output_mode=None, timeout_s=timeout_s, what="quality-split",
     )
-    try:
-        if not q.awaitTermination(timeout_s):
-            raise TimeoutError(
-                f"quality-split drain did not finish within {timeout_s}s"
-            )
-    finally:
-        q.stop()
 
     def _read(side: str):
         dirs = [str(d) for d in sorted((store / side).glob("batch-*"))
@@ -798,7 +852,8 @@ def apply_decay_features_batch(batch_df, batch_id: int, store_dir: str,
 
 
 def maintain_decay_features(stream_df, store_dir: str, checkpoint: str,
-                            depth: int = 19, timeout_s: int = 300):
+                            depth: int = 19, timeout_s: int = 300,
+                on_fresh_checkpoint: str = "error"):
     """Streaming decay-feature maintenance: drain the event stream with
     availableNow, computing each arriving event's exponential-decay sum
     incrementally against per-user tail state. Returns the accumulated
@@ -810,19 +865,11 @@ def maintain_decay_features(stream_df, store_dir: str, checkpoint: str,
     def _body(batch_df, batch_id):
         apply_decay_features_batch(batch_df, batch_id, store_dir, depth=depth)
 
-    q = (
-        stream_df.writeStream.foreachBatch(_body)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    _drain_foreach_batch(
+        stream_df, _body, checkpoint, store_dir=store_dir,
+        on_fresh_checkpoint=on_fresh_checkpoint,
+        output_mode=None, timeout_s=timeout_s, what="decay-feature",
     )
-    try:
-        if not q.awaitTermination(timeout_s):
-            raise TimeoutError(
-                f"decay-feature drain did not finish within {timeout_s}s"
-            )
-    finally:
-        q.stop()
     feat_dirs = [
         str(d) for d in sorted((Path(store_dir) / "features").glob("batch-*"))
         if any(d.glob("*.parquet"))
@@ -842,7 +889,8 @@ def maintain_decay_features(stream_df, store_dir: str, checkpoint: str,
 
 
 def maintain_ols_trend(stream_df, store_dir: str, checkpoint: str,
-                       anchor_ts: str, timeout_s: int = 300):
+                       anchor_ts: str, timeout_s: int = 300,
+                on_fresh_checkpoint: str = "error"):
     """Streaming per-group OLS maintenance — the payoff of expressing
     regression as SUFFICIENT STATISTICS (queries/timeseries.py::
     events_ols_trend): (n, Σx, Σy, Σx², Σxy) are associative sums, so
@@ -913,20 +961,11 @@ def maintain_ols_trend(stream_df, store_dir: str, checkpoint: str,
         if last is not None:
             shutil.rmtree(store / f"v-{last}", ignore_errors=True)
 
-    q = (
-        stream_df.writeStream.foreachBatch(merge_batch)
-        .outputMode("update")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    _drain_foreach_batch(
+        stream_df, merge_batch, checkpoint, store_dir=store_dir,
+        on_fresh_checkpoint=on_fresh_checkpoint,
+        output_mode="update", timeout_s=timeout_s, what="OLS-trend",
     )
-    try:
-        if not q.awaitTermination(timeout_s):
-            raise TimeoutError(
-                f"OLS drain did not finish within {timeout_s}s"
-            )
-    finally:
-        q.stop()
     stats = spark.read.parquet(str(store / f"v-{current_version()}"))
     # cast to decimal(10,0) so n * sxy stays inside Spark's 38-digit cap
     # (same finisher as the batch query)
@@ -1049,7 +1088,9 @@ def apply_dup_clusters_batch(batch_df, batch_id: int, store_dir: str,
 
 def maintain_dup_clusters(stream_df, store_dir: str, checkpoint: str,
                           id_col: str = "doc_id", text_col: str = "text",
-                          timeout_s: int = 300, **index_kwargs):
+                          timeout_s: int = 300,
+                          on_fresh_checkpoint: str = "error",
+                          **index_kwargs):
     """Streaming duplicate-cluster maintenance: drains the doc stream
     through apply_dup_clusters_batch and returns the final (id,
     component) label store — the thing a curation pipeline joins onto
@@ -1066,19 +1107,11 @@ def maintain_dup_clusters(stream_df, store_dir: str, checkpoint: str,
             id_col=id_col, text_col=text_col, **index_kwargs,
         )
 
-    q = (
-        stream_df.writeStream.foreachBatch(_body)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    _drain_foreach_batch(
+        stream_df, _body, checkpoint, store_dir=store_dir,
+        on_fresh_checkpoint=on_fresh_checkpoint,
+        output_mode=None, timeout_s=timeout_s, what="dup-cluster",
     )
-    try:
-        if not q.awaitTermination(timeout_s):
-            raise TimeoutError(
-                f"dup-cluster drain did not finish within {timeout_s}s"
-            )
-    finally:
-        q.stop()
     labels_dir = Path(store_dir) / "labels"
     snaps = sorted(
         (d for d in labels_dir.glob("batch-*") if any(d.glob("*.parquet"))),
@@ -1118,7 +1151,13 @@ def init_ivf_stream_index(bootstrap_df: DataFrame, index_dir: str,
     streaming index layout: ``centroids/`` (tiny parquet) +
     ``lists/batch_id=-1/list_id=N/`` holding the bootstrap vectors.
     Every partition level is a real directory partition, so a probe
-    prunes on list_id across batch_id values for free."""
+    prunes on list_id across batch_id values for free.
+
+    A rebuild over an existing index dir (the periodic full-rebuild
+    lifecycle) wipes the old inverted lists and the stream-run
+    fingerprint first — stale ``batch_id=N`` dirs from the previous
+    run must not survive under new centroids."""
+    import shutil
     from pathlib import Path
 
     from pyspark.sql import functions as F
@@ -1126,6 +1165,12 @@ def init_ivf_stream_index(bootstrap_df: DataFrame, index_dir: str,
     from ..operators.knn import _centroid_assign_udf, kmeans_centroids
 
     spark = bootstrap_df.sparkSession
+    for stale in ("lists", "_STREAM_RUN"):
+        target = Path(index_dir) / stale
+        if target.is_dir():
+            shutil.rmtree(target)
+        elif target.exists():
+            target.unlink()
     centroids = kmeans_centroids(
         bootstrap_df, n_centroids, kmeans_iters=kmeans_iters, seed=seed,
         id_col=id_col, vec_col=vec_col,
@@ -1186,7 +1231,8 @@ def apply_ivf_append_batch(batch_df: DataFrame, batch_id: int,
 def maintain_ivf_index(stream_df: DataFrame, index_dir: str,
                        checkpoint: str, timeout_s: int = 300,
                        id_col: str = "vec_id",
-                       vec_col: str = "embedding"):
+                       vec_col: str = "embedding",
+                on_fresh_checkpoint: str = "error"):
     """Drain a vector stream into the streaming IVF index (frozen
     centroids — init_ivf_stream_index must have run). Per-batch cost is
     one map-only assign + one partitioned write of THAT batch; nothing
@@ -1199,16 +1245,11 @@ def maintain_ivf_index(stream_df: DataFrame, index_dir: str,
             batch_df, batch_id, index_dir, id_col=id_col, vec_col=vec_col
         )
 
-    q = (
-        stream_df.writeStream.foreachBatch(_body)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    _drain_foreach_batch(
+        stream_df, _body, checkpoint, store_dir=index_dir,
+        on_fresh_checkpoint=on_fresh_checkpoint,
+        output_mode=None, timeout_s=timeout_s, what="IVF-index",
     )
-    try:
-        q.awaitTermination(timeout_s)
-    finally:
-        q.stop()
 
 
 # ---------------------------------------------------------------------------
@@ -1227,7 +1268,8 @@ def maintain_scatter_stats(stream_df: DataFrame, store_dir: str,
                            checkpoint: str, scale: int = 1_000_000,
                            id_col: str = "vec_id",
                            vec_col: str = "embedding",
-                           timeout_s: int = 300) -> DataFrame:
+                           timeout_s: int = 300,
+                on_fresh_checkpoint: str = "error") -> DataFrame:
     """Maintain the d(d+1)/2 + d scatter cells of a vector stream under
     foreachBatch: each micro-batch contributes its own exact cell
     partials (one map-heavy pass over THAT batch), merged into the
@@ -1279,15 +1321,9 @@ def maintain_scatter_stats(stream_df: DataFrame, store_dir: str,
         if last is not None:  # post-commit GC; orphans on crash are harmless
             shutil.rmtree(store / f"v-{last}", ignore_errors=True)
 
-    q = (
-        stream_df.writeStream.foreachBatch(merge_batch)
-        .outputMode("update")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    _drain_foreach_batch(
+        stream_df, merge_batch, checkpoint, store_dir=store_dir,
+        on_fresh_checkpoint=on_fresh_checkpoint,
+        output_mode="update", timeout_s=timeout_s, what="scatter-stats",
     )
-    try:
-        q.awaitTermination(timeout_s)
-    finally:
-        q.stop()
     return spark.read.parquet(str(store / f"v-{current_version()}"))

@@ -44,12 +44,15 @@ def _update(key: tuple, pdfs: Iterator[pd.DataFrame],
         n += len(pdf)
         cents += int(pdf["_cents"].fillna(0).sum())
     state.update((n, cents))
-    # float(int)/float(int) with both operands exact in double is a
-    # single correctly-rounded division: bit-identical to a DECIMAL
-    # engine computing cents/10^4 and casting to DOUBLE.
+    # int/int true division in Python is correctly rounded at ANY
+    # magnitude (CPython computes it over the exact big-int ratio), so
+    # this is the single rounding a DECIMAL engine performs for
+    # CAST(cents/10^4 AS DOUBLE). float(cents)/SCALE would round twice
+    # once |cents| >= 2^53 (ADVICE r5) — pinned in
+    # tests/test_streaming.py::test_cents_division_single_rounding.
     yield pd.DataFrame(
         {"user_id": [key[0]], "n_events": [n],
-         "total_value": [float(cents) / _VALUE_SCALE]}
+         "total_value": [cents / _VALUE_SCALE]}
     )
 
 

@@ -148,7 +148,8 @@ def test_incremental_rollup_matches_batch_and_skips_replays(
     re_stream = stream_events_dir(spark, directory, schema,
                                   max_files_per_trigger=1)
     again = maintain_incremental_rollup(
-        re_stream, str(store), str(tmp_path / "ck_replay")
+        re_stream, str(store), str(tmp_path / "ck_replay"),
+        on_fresh_checkpoint="replay",
     )
     # fresh checkpoint -> batch ids restart at 0 -> all skipped by marker
     after = {key(r): (r["n_events"], r["total_value"])
@@ -214,6 +215,7 @@ def test_keyed_store_cdc_merge_and_replay(spark, tmp_path):
     again = maintain_keyed_store(
         re_stream, str(store), str(tmp_path / "ck_cdc2"),
         keys=["k"], seq_col="seq", op_col="op",
+        on_fresh_checkpoint="replay",
     )
     assert {r["k"]: (r["val"], r["seq"]) for r in again.collect()} == state
 
@@ -274,6 +276,7 @@ def test_join_view_incremental_equals_batch_join(spark, tmp_path):
     view2 = maintain_join_view(
         stream_parquet_dir(spark, str(src), schema, max_files_per_trigger=1),
         str(store), str(tmp_path / "jv_ck2"), side_col="side", on=["k"],
+        on_fresh_checkpoint="replay",
     )
     assert {(r["k"], r["v_a"], r["v_b"]) for r in view2.collect()} == want
 
@@ -1224,6 +1227,7 @@ def test_streaming_ivf_redrain_with_fresh_checkpoint_is_idempotent(
         stream_parquet_dir(spark, replay_dir, rest.schema,
                            max_files_per_trigger=1),
         idx, str(tmp_path / "ck2"),
+        on_fresh_checkpoint="replay",
     )
     after = {
         (r["vec_id"], r["list_id"])
@@ -1292,8 +1296,24 @@ def test_streaming_scatter_stats_bit_exact_vs_batch_pc1(spark, sf_dir,
         stream_parquet_dir(spark, replay_dir, e.schema,
                            max_files_per_trigger=1),
         store, str(tmp_path / "ck2"),
+        on_fresh_checkpoint="replay",
     )
     assert {
         (r["i"], r["j"]): (int(r["S"]), r["nn"])
         for r in again.collect()
     } == want_cells
+
+
+def test_cents_division_single_rounding():
+    """ADVICE r5: the stateful emitter's cents -> double conversion must
+    round ONCE, like CAST(sum(DECIMAL)/10^4 AS DOUBLE). Python int/int
+    true division is correctly rounded at any magnitude; the old
+    float(cents)/SCALE double-rounded past 2^53 — witness value pinned."""
+    from fractions import Fraction
+
+    from dynamic_etl_pipeline_spark.streaming.stateful import _VALUE_SCALE
+
+    cents = 9007199254740995  # 2^53 + 3: float(cents) already rounds
+    want = float(Fraction(cents, _VALUE_SCALE))  # exact ratio, one rounding
+    assert cents / _VALUE_SCALE == want
+    assert float(cents) / _VALUE_SCALE != want  # the bug the fix removes
