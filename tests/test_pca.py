@@ -141,3 +141,74 @@ def test_power_iteration_converges_on_planted_direction(spark):
     ref = c @ vecs[:, -1]
     a = np.array([got[i] for i in range(n)])
     assert abs(np.corrcoef(a, ref)[0, 1]) > 0.999
+
+
+def test_topk_deflation_first_component_equals_pc1(emb):
+    """topk_from_cells component 1 must be bit-identical to
+    pc1_from_cells (same folds, same start), and the deflated second
+    direction must be near-orthogonal to the first and carry less
+    Rayleigh variance."""
+    from dynamic_etl_pipeline_spark.operators.pca import (
+        pc1_from_cells,
+        scatter_cells,
+        topk_from_cells,
+    )
+
+    rows = scatter_cells(emb, scale=1_000_000).collect()
+    n1, mu1, v1 = pc1_from_cells(rows, iters=8)
+    nk, muk, vs = topk_from_cells(rows, k=2, iters=8)
+    assert n1 == nk and mu1 == muk
+    assert vs[0] == v1  # bit-identical first component
+
+    a, b = np.asarray(vs[0]), np.asarray(vs[1])
+    # deflation removes v1's subspace EXACTLY only when v1 is a true
+    # eigenvector; after 8 rounds on the near-isotropic fixture v1 is
+    # an approximation, so orthogonality is approximate too (the
+    # exactness contract lives in the DuckDB oracle, which replays the
+    # identical arithmetic). Random 64-dim unit pairs average |cos|
+    # ~0.1; require clearly-better-than-chance decorrelation.
+    assert abs(float(a @ b)) < 0.1
+    assert np.isclose(np.linalg.norm(b), 1.0)
+
+    # rebuild the scatter matrix: both directions must capture
+    # top-of-spectrum variance (strict ordering between them is not
+    # guaranteed on gapless data with finite rounds — v2 can edge out
+    # an under-converged v1; the pc1 docstring makes the same caveat)
+    s_lin = {r["i"]: int(r["S"]) for r in rows if r["j"] == -1}
+    d = len(s_lin)
+    M = np.zeros((d, d))
+    for r in rows:
+        if r["j"] >= 0:
+            c = float(nk * int(r["S"]) - s_lin[r["i"]] * s_lin[r["j"]])
+            M[r["i"], r["j"]] = M[r["j"], r["i"]] = c
+    lam_max = float(np.linalg.eigvalsh(M)[-1])
+    assert float(a @ M @ a) >= 0.8 * lam_max
+    assert float(b @ M @ b) >= 0.8 * lam_max
+
+
+def test_power_iteration_topk_projection_matches_driver_math(emb):
+    """The map-only pc1/pc2 projection equals the driver-side fold
+    replay for a sample of vectors."""
+    from dynamic_etl_pipeline_spark.operators.pca import (
+        power_iteration_topk,
+        scatter_cells,
+        topk_from_cells,
+    )
+
+    got = {
+        r["vec_id"]: (r["pc1"], r["pc2"])
+        for r in power_iteration_topk(emb, k=2, iters=8).collect()
+    }
+    rows = scatter_cells(emb, scale=1_000_000).collect()
+    _, mu, vs = topk_from_cells(rows, k=2, iters=8)
+    import math
+
+    for r in emb.limit(5).collect():
+        q = [math.floor(float(x) * 1_000_000) for x in r["embedding"]]
+        want = []
+        for v in vs:
+            acc = 0.0
+            for x, m, vv in zip(q, mu, v):
+                acc = acc + (float(x) - m) * vv
+            want.append(acc)
+        assert got[r["vec_id"]] == tuple(want)  # bit-exact
