@@ -89,3 +89,47 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path_factory):
         assert joined.count() == expected
     finally:
         spark.sql("DROP DATABASE IF EXISTS bucketdb CASCADE")
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark, skewed_df):
+    """VERDICT r5 item 6: runtime EVIDENCE that AQE's skew-join kicks
+    in — not just that the conf is set. One key holds ~99% of 100k
+    padded rows; with SMJ forced and test-scaled skew thresholds, the
+    executed adaptive plan must carry the skew=true marker (the
+    split-and-replicate rewrite). If skew handling regresses — conf
+    dropped, threshold broken, plan shape change — this fails."""
+    fact = skewed_df.withColumn("pad", F.repeat(F.lit("x"), 64))
+    dim = spark.range(8).select(
+        F.concat(F.lit("cold"), F.col("id").cast("string")).alias("k"),
+        (F.col("id") * 2).alias("w"),
+    ).union(spark.createDataFrame([("hot", -1)], ["k", "w"]))
+
+    overrides = {
+        # force the sort-merge path (broadcast would hide the skew)
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        # scale the 256MB production threshold down to test size
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "8KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        joined = fact.join(dim, "k")
+        # collect() (not count()) so THIS DataFrame's queryExecution is
+        # the one that runs — count() plans a separate aggregate query
+        # and leaves joined's adaptive plan unexecuted
+        n = len(joined.collect())
+        assert n == 100_000  # every fact row matches one dim row
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, (
+            "AQE did not split the skewed partition:\n" + plan[:2000]
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
