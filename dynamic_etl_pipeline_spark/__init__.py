@@ -25,3 +25,4 @@ __version__ = "0.1.0"
 
 from .session import get_spark, tune  # noqa: F401
 from .catalog import load_tables, register_views, TABLES  # noqa: F401
+from .pipeline import ConcurrentWriteError, EtlPipeline, IngestReport  # noqa: F401

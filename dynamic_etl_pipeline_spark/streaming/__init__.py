@@ -22,4 +22,8 @@ from .rollups import (  # noqa: F401
     tumbling_rollup,
 )
 from .stateful import user_running_totals  # noqa: F401
-from .sinks import foreach_batch_parquet, run_available_now_to_memory  # noqa: F401
+from .sinks import (  # noqa: F401
+    FreshCheckpointError,
+    foreach_batch_parquet,
+    run_available_now_to_memory,
+)

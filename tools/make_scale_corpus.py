@@ -1,0 +1,120 @@
+"""Build a 10x scale corpus (sf1.0-shaped) from the sf0.1 fixtures for
+SCALING evidence runs (VERDICT r5 item 3).
+
+Replicates each fact table R times with FOREIGN-KEY-CONSISTENT offsets:
+every key domain (custkey, orderkey, partkey, suppkey, event/user ids,
+doc ids, vec ids) is shifted by ``replica * (max_key + 1)`` in every
+table that references it, so join selectivities and per-key densities
+match the original — the corpus is 10x the rows with the same shape,
+which is exactly what a scaling measurement needs. Dimension tables
+(region, nation) keep their real-world cardinality.
+
+pyarrow end-to-end so column dtypes (including the events ts physical
+type) survive byte-exactly. Output is NOT an oracle fixture — the
+driver's correctness corpus stays /root/testdata; this exists only for
+``tools/bench_scale.py``.
+
+Usage: python tools/make_scale_corpus.py [replicas] [out_dir]
+"""
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+SRC = Path("/root/testdata/sf0.1")
+
+# table -> {column: key_domain}; every domain member shifts together
+_KEYED = {
+    "customer": {"c_custkey": "cust"},
+    "supplier": {"s_suppkey": "supp"},
+    "part": {"p_partkey": "part"},
+    "orders": {"o_orderkey": "order", "o_custkey": "cust"},
+    "lineitem": {"l_orderkey": "order", "l_partkey": "part",
+                 "l_suppkey": "supp"},
+    "events": {"event_id": "event", "user_id": "user"},
+    "documents": {"doc_id": "doc"},
+    "embeddings": {"vec_id": "vec"},
+}
+_DIMS = ["region", "nation"]
+
+
+def _domain_extents(tables: dict[str, pa.Table]) -> dict[str, int]:
+    extent: dict[str, int] = {}
+    for tname, cols in _KEYED.items():
+        for col, dom in cols.items():
+            mx = pc.max(tables[tname][col]).as_py()
+            extent[dom] = max(extent.get(dom, 0), int(mx) + 1)
+    return extent
+
+
+def build(replicas: int, out_dir: Path) -> None:
+    out_dir.mkdir(parents=True, exist_ok=True)
+    tables = {t: pq.read_table(SRC / f"{t}.parquet")
+              for t in list(_KEYED) + _DIMS}
+    extent = _domain_extents(tables)
+
+    for t in _DIMS:
+        pq.write_table(tables[t], out_dir / f"{t}.parquet")
+    for tname, cols in _KEYED.items():
+        base = tables[tname]
+        chunks = []
+        for r in range(replicas):
+            tbl = base
+            if r:
+                for col, dom in cols.items():
+                    idx = tbl.schema.get_field_index(col)
+                    shifted = pc.add(
+                        tbl[col], pa.scalar(r * extent[dom],
+                                            type=tbl.schema.field(idx).type)
+                    )
+                    tbl = tbl.set_column(idx, tbl.schema.field(idx), shifted)
+                tbl = _decorrelate(tname, tbl, r)
+            chunks.append(tbl)
+        pq.write_table(pa.concat_tables(chunks), out_dir / f"{tname}.parquet")
+        print(f"{tname}: {base.num_rows} -> {base.num_rows * replicas} rows")
+
+
+def _decorrelate(tname: str, tbl: pa.Table, r: int) -> pa.Table:
+    """Replicating text/vectors VERBATIM makes every row a near-dup of
+    its clones, inflating similarity-join output ~quadratically in the
+    replica count — a corpus artifact a real 10x corpus (more DISTINCT
+    docs) doesn't have. Decorrelate clones: suffix every word with the
+    replica tag (shingle sets become disjoint across replicas while
+    word counts / lengths keep their distribution) and shift embedding
+    coordinates by a deterministic per-replica pattern."""
+    if tname == "documents" and "text" in tbl.column_names:
+        idx = tbl.schema.get_field_index("text")
+        tag = f"·r{r}"  # one token-internal suffix, no new words
+        texts = [
+            None if t is None else " ".join(w + tag for w in t.split(" "))
+            for t in tbl["text"].to_pylist()
+        ]
+        tbl = tbl.set_column(idx, tbl.schema.field(idx),
+                             pa.array(texts, type=tbl.schema.field(idx).type))
+    if tname == "embeddings" and "embedding" in tbl.column_names:
+        idx = tbl.schema.get_field_index("embedding")
+        field = tbl.schema.field(idx)
+        vecs = tbl["embedding"].to_pylist()
+        out = []
+        for row_no, v in enumerate(vecs):
+            if v is None:
+                out.append(None)
+                continue
+            out.append([
+                x + (((r * 31 + row_no * 7 + i) % 11) - 5) * 0.03
+                for i, x in enumerate(v)
+            ])
+        tbl = tbl.set_column(idx, field, pa.array(out, type=field.type))
+    return tbl
+
+
+if __name__ == "__main__":
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out = Path(sys.argv[2]) if len(sys.argv) > 2 else Path(
+        "/tmp/sfscale/sf1.0")
+    build(replicas, out)
+    print("wrote", out)
