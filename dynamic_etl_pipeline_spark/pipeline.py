@@ -152,23 +152,26 @@ class EtlPipeline:
         """
         from pyspark.sql import Observation
 
-        df, version, changed = self.transform(
-            read_any(self.spark, path, **reader_kwargs)
-        )
-        obs = Observation()
-        df = df.observe(
-            obs,
-            F.count(F.lit(1)).alias("n_records"),
-            F.sum((F.size(F.col(ISSUES_COL)) > 0).cast("long")).alias("n_bad"),
-        )
-        # Record store is partitioned by schema version: batches with
-        # different shapes land in different directories, so reads with
-        # mergeSchema reconstruct the drifted union (SURVEY §1.4).
-        # The version is constant per batch by construction, so write
-        # straight into the Hive-style partition dir — same on-disk
-        # layout as partitionBy() without the dynamic-partition commit
-        # machinery (mergeSchema is a read-side option; records() sets it).
+        # the lock spans transform too: register_df mutates the schema
+        # catalog (version assignment must not race a concurrent ingest)
         with self._mutation_lock():
+            df, version, changed = self.transform(
+                read_any(self.spark, path, **reader_kwargs)
+            )
+            obs = Observation()
+            df = df.observe(
+                obs,
+                F.count(F.lit(1)).alias("n_records"),
+                F.sum((F.size(F.col(ISSUES_COL)) > 0).cast("long"))
+                .alias("n_bad"),
+            )
+            # Record store is partitioned by schema version: batches with
+            # different shapes land in different directories, so reads with
+            # mergeSchema reconstruct the drifted union (SURVEY §1.4).
+            # The version is constant per batch by construction, so write
+            # straight into the Hive-style partition dir — same on-disk
+            # layout as partitionBy() without the dynamic-partition commit
+            # machinery (mergeSchema is a read-side option; records() sets it).
             (
                 df.drop("_schema_version")
                 .write.mode("append")
@@ -214,21 +217,24 @@ class EtlPipeline:
         if not keys:
             raise ValueError("upsert requires non-empty merge keys")
         src = df if df is not None else read_any(self.spark, path, **reader_kwargs)
-        batch, version, changed = self.transform(src)
-        # schema-alignment probe taken BEFORE observe so the Observation
-        # node appears exactly once in the merged plan
-        align = batch.limit(0)
-        obs = Observation()
-        batch = batch.observe(
-            obs,
-            F.count(F.lit(1)).alias("n_records"),
-            F.sum((F.size(F.col(ISSUES_COL)) > 0).cast("long")).alias("n_bad"),
-        )
         store = Path(self.records_path)
-        # the lock spans read-modify-write: the merge must see the store
-        # state it will replace, so no other writer may swap in between
+        # the lock spans the whole read-modify-write INCLUDING transform:
+        # the merge must see the store state it will replace, and
+        # register_df's catalog version assignment must not race another
+        # writer's
         with self._mutation_lock():
             self._recover_records()
+            batch, version, changed = self.transform(src)
+            # schema-alignment probe taken BEFORE observe so the
+            # Observation node appears exactly once in the merged plan
+            align = batch.limit(0)
+            obs = Observation()
+            batch = batch.observe(
+                obs,
+                F.count(F.lit(1)).alias("n_records"),
+                F.sum((F.size(F.col(ISSUES_COL)) > 0).cast("long"))
+                .alias("n_bad"),
+            )
             if not store.exists():
                 (
                     batch.drop("_schema_version")
@@ -325,7 +331,21 @@ class EtlPipeline:
         to one schema-version directory instead of listing the store.
         """
         self._try_recover_records()
-        df = self.spark.read.option("mergeSchema", "true").parquet(self.records_path)
+        try:
+            df = self.spark.read.option("mergeSchema", "true").parquet(
+                self.records_path
+            )
+        except Exception as exc:
+            if "merge" in str(exc).lower():
+                raise RuntimeError(
+                    f"record store {self.records_path} has TYPE-drifted "
+                    "partitions parquet schema merge cannot reconcile "
+                    "(e.g. a column ingested as bigint in one batch and "
+                    "double in another); run EtlPipeline.migrate() to "
+                    "rewrite drifted partitions to the widened union "
+                    "schema, then re-read"
+                ) from exc
+            raise
         if version is not None:
             df = df.filter(F.col("_schema_version") == version)
         if latest_n is not None:

@@ -312,7 +312,11 @@ def quality_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _doc_fixture_dir() -> str:
     """Write the deterministic PDF/DOCX fixtures to a stable temp dir
-    (idempotent — keyed by content, driver-side only, a few KB)."""
+    (idempotent — keyed by content, driver-side only, a few KB).
+    local-mode harness path: on a real cluster binaryFile sources read
+    from shared storage, so a deployment would stage these to the
+    object store — the query exists to drive the reader end-to-end
+    under the driver's correctness gate."""
     import pathlib
     import tempfile
 

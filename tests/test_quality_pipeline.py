@@ -396,10 +396,12 @@ def test_concurrent_upserts_serialize_not_corrupt(spark, tmp_path):
     def writer(tag: str):
         try:
             pipe = EtlPipeline(spark, store)  # own handle, shared dir
+            # each writer DRIFTS the schema its own way, so the schema
+            # catalog's version assignment is part of the race too
             batch = spark.createDataFrame(
-                [(f"k{i}", tag) for i in range(4)]
-                + [(f"new_{tag}", tag)],
-                ["rec_id", "content"],
+                [(f"k{i}", tag, tag) for i in range(4)]
+                + [(f"new_{tag}", tag, tag)],
+                ["rec_id", "content", f"note_{tag}"],
             )
             pipe.upsert(df=batch, keys=["rec_id"])
         except Exception as exc:  # surfaced below
@@ -422,6 +424,12 @@ def test_concurrent_upserts_serialize_not_corrupt(spark, tmp_path):
     assert rows["k0"] in ("alpha", "beta")
     # serialized swaps: seed + two upserts -> exactly 2 archived gens
     assert [h["generation"] for h in pipe.history()] == [1, 2]
+    # and the schema catalog serialized too: strictly increasing
+    # versions, no duplicate version with conflicting field sets
+    hist = pipe.registry.history().orderBy("version").collect()
+    versions = [r["version"] for r in hist]
+    assert versions == sorted(set(versions)), versions
+    assert len(versions) == 3  # seed shape + one per drifting writer
     leftovers = [p.name for p in (tmp_path / "race_store").glob("records.*")
                  if not p.name.startswith(("records.gen-",))
                  and p.name != "records"]
@@ -479,6 +487,10 @@ def test_migrate_casts_type_drifted_partitions(spark, tmp_path):
     pipe = EtlPipeline(spark, str(store_dir))
     with _pytest_raises_any():
         spark.read.option("mergeSchema", "true").parquet(str(records)).collect()
+    # records() turns the raw merge failure into a pointed repair hint
+    import pytest as _pt
+    with _pt.raises(RuntimeError, match="migrate"):
+        pipe.records()
     assert pipe.migrate() == 1  # only the bigint partition rewrites
     plain = spark.read.parquet(str(records))
     vals = {r["rec_id"]: r["amount"] for r in plain.collect()}
