@@ -242,3 +242,94 @@ def test_docx_zip_without_document_part(tmp_path):
         zf.writestr("other.xml", "<a/>")
     with pytest.raises(ValueError, match="not a DOCX"):
         extract_docx_paragraphs(buf.getvalue())
+
+
+# ---------------------------------------------------------------------------
+# Property-based round trip: random text -> built PDF -> extracted text
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYPOTHESIS = False
+
+if _HAVE_HYPOTHESIS:
+    import zlib as _zlib
+
+    def _escape_literal(s: str) -> bytes:
+        out = s.encode("latin-1")
+        return (out.replace(b"\\", rb"\\")
+                   .replace(b"(", rb"\(")
+                   .replace(b")", rb"\)"))
+
+    def _page_pdf(lines_per_page: list[list[str]],
+                  compress: bool, use_hex: bool) -> bytes:
+        """Minimal classic-xref PDF with one content stream per page,
+        each line shown via Tj after a T* advance (first via Td)."""
+        objs: list[bytes] = []
+        n_pages = len(lines_per_page)
+        kids = " ".join(f"{3 + i} 0 R" for i in range(n_pages))
+        objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+        objs.append(
+            f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode())
+        for i in range(n_pages):
+            objs.append(
+                f"<< /Type /Page /Parent 2 0 R "
+                f"/Contents {3 + n_pages + i} 0 R >>".encode())
+        for lines in lines_per_page:
+            parts = [b"BT 12 TL 72 720 Td"]
+            for k, line in enumerate(lines):
+                if use_hex:
+                    shown = b"<" + line.encode("latin-1").hex().encode() + b">"
+                else:
+                    shown = b"(" + _escape_literal(line) + b")"
+                if k:
+                    parts.append(b"T*")
+                parts.append(shown + b" Tj")
+            parts.append(b"ET")
+            body = b" ".join(parts)
+            if compress:
+                z = _zlib.compress(body)
+                objs.append(
+                    f"<< /Length {len(z)} /Filter /FlateDecode >>"
+                    f"\nstream\n".encode() + z + b"\nendstream")
+            else:
+                objs.append(
+                    f"<< /Length {len(body)} >>\nstream\n".encode()
+                    + body + b"\nendstream")
+        out = bytearray(b"%PDF-1.4\n")
+        offsets = []
+        for num, objdata in enumerate(objs, start=1):
+            offsets.append(len(out))
+            out += f"{num} 0 obj\n".encode() + objdata + b"\nendobj\n"
+        xref = len(out)
+        out += f"xref\n0 {len(objs) + 1}\n".encode()
+        out += b"0000000000 65535 f \n"
+        for off in offsets:
+            out += f"{off:010d} 00000 n \n".encode()
+        out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+                f"startxref\n{xref}\n%%EOF\n").encode()
+        return bytes(out)
+
+    # printable latin-1 text incl. the PDF delimiters that need escapes,
+    # with no leading/trailing whitespace-only lines (the extractor
+    # collapses blank lines by design)
+    _LINE = st.text(
+        st.characters(min_codepoint=32, max_codepoint=255,
+                      blacklist_characters="\x7f\xad"),
+        min_size=1, max_size=40,
+    ).filter(lambda s: s.strip() == s and s)
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        pages=st.lists(st.lists(_LINE, min_size=1, max_size=5),
+                       min_size=1, max_size=3),
+        compress=st.booleans(),
+        use_hex=st.booleans(),
+    )
+    def test_roundtrip_random_text(pages, compress, use_hex):
+        pdf = _page_pdf(pages, compress, use_hex)
+        assert extract_pdf_pages(pdf) == ["\n".join(p) for p in pages]
