@@ -186,13 +186,13 @@ def corpus_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     the surviving boilerplate set joins back onto the position stream
     — no self-join, no quadratic stage. Gram keys are NOT uniform (a
     true boilerplate gram appears in millions of docs — that's the
-    definition), but countDistinct plans as TWO aggregations: a
-    dedup keyed by (gram, doc_id) — doc_id spreads the hot gram — then
-    a count keyed by gram whose map-side partials deliver at most one
-    row per gram per partition, so no task ever holds a hot gram's
-    full posting list. The broadcast-back is bounded by
-    |positions| / df_threshold grams; at corpus scale raise the
-    threshold (boilerplate by definition has high df) or drop the
+    definition), but the df count dedupes within-doc repeats MAP-SIDE
+    (array_distinct before the explode), so count(*) by gram equals
+    count(DISTINCT doc_id) in a single exchange whose map-side
+    partials deliver at most one row per gram per partition — no task
+    ever holds a hot gram's full posting list. The broadcast-back is
+    bounded by |positions| / df_threshold grams; at corpus scale raise
+    the threshold (boilerplate by definition has high df) or drop the
     hint and let AQE pick a shuffle join — both sides stay linear."""
     return boilerplate_ngrams(load_table(spark, sf_dir, "documents"))
 
@@ -219,8 +219,30 @@ def boilerplate_ngrams(d: DataFrame, n: int = _BOILER_N,
             )
         ).alias("gram"),
     )
-    df_ = pos.groupBy("gram").agg(
-        F.countDistinct("doc_id").alias("n_docs")
+    # Distinct-doc counts via map-side per-doc dedup: array_distinct
+    # collapses a gram's within-doc repeats BEFORE the explode, so a
+    # plain count(*) by gram equals count(DISTINCT doc_id) — one
+    # exchange with map-side partial counts instead of countDistinct's
+    # two (the (gram, doc_id) expand + the gram re-agg). Hot grams stay
+    # safe: partial aggregation delivers at most one row per gram per
+    # map partition, so no task ever holds a hot gram's posting list.
+    df_ = (
+        base.select(
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+                        lambda i: F.concat_ws(
+                            " ",
+                            *[F.element_at(F.col("toks"), i + j)
+                              for j in range(n)],
+                        ),
+                    )
+                )
+            ).alias("gram")
+        )
+        .groupBy("gram")
+        .agg(F.count("*").alias("n_docs"))
     )
     boiler = df_.filter(F.col("n_docs") >= df_threshold).select(
         "gram", F.lit(True).alias("is_boiler")
@@ -335,9 +357,31 @@ def corpus_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s"),
     ).select("doc_id", "s.i", "s.gram")
+    # df-count branch: dedupe grams WITHIN each doc map-side
+    # (array_distinct over the per-doc gram array), then a plain
+    # count(*) by gram — count-distinct-docs without countDistinct's
+    # second exchange, and with map-side partial aggregation the
+    # (gram, doc_id) expand never gets. This branch also skips the
+    # positional struct entirely; positions are only materialized on
+    # the (much smaller post-broadcast-filter) hits path below.
     boiler = (
-        pos.groupBy("gram")
-        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        t.filter(F.size("toks") >= n)
+        .select(
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+                        lambda i: F.concat_ws(
+                            " ",
+                            *[F.element_at(F.col("toks"), i + j)
+                              for j in range(n)],
+                        ),
+                    )
+                )
+            ).alias("gram")
+        )
+        .groupBy("gram")
+        .agg(F.count("*").alias("n_docs"))
         .filter(F.col("n_docs") >= thr)
         .select("gram")
     )

@@ -559,15 +559,30 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     feat = grams.select(
         "doc_id", "lang", F.expr(_DSIR_F).cast("int").alias("f")
     )
-    per = feat.groupBy("doc_id", "f").agg(F.count("*").alias("c"))
-    raw = feat.groupBy("f").agg(F.count("*").alias("r"))
-    tgt = (
-        feat.where(F.col("lang") == "en")
-        .groupBy("f").agg(F.count("*").alias("t"))
+    # One tokenize+md5+explode pass total: `per` (keyed by doc_id, lang,
+    # f — lang is functionally dependent on doc_id, so the cardinality
+    # is unchanged) is the only aggregation that reads the exploded
+    # grams, and it is materialized because its two consumers (the
+    # 256-bucket stats pass and the final per-doc weight join) prune
+    # different columns, which defeats Catalyst's exchange reuse — the
+    # "three consumers, one explode" case materialize() exists for.
+    # raw/tgt/tots collapse into ONE conditional aggregation over per
+    # (r and t per bucket; the corpus totals are just sums of the
+    # 256-row stats frame), so the corpus-sized tokenize/hash map
+    # stage runs once instead of four times.
+    from ..materialize import materialize
+
+    per = materialize(
+        feat.groupBy("doc_id", "lang", "f").agg(F.count("*").alias("c"))
     )
-    tots = feat.agg(
-        F.count("*").cast("double").alias("r_tot"),
-        F.count(F.when(F.col("lang") == "en", 1)).cast("double").alias("t_tot"),
+    stats = per.groupBy("f").agg(
+        F.sum("c").alias("r"),
+        F.sum(F.when(F.col("lang") == "en", F.col("c"))).alias("t"),
+    )
+    tots = stats.agg(
+        F.sum("r").cast("double").alias("r_tot"),
+        # no-'en'-slice corpora: SQL count(*) FILTER gives 0, not NULL
+        F.coalesce(F.sum("t"), F.lit(0)).cast("double").alias("t_tot"),
     )
     b = float(_DSIR_B)
     contrib = (
@@ -580,8 +595,7 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).cast("decimal(27,12)")
     return (
-        per.join(F.broadcast(raw), "f")
-        .join(F.broadcast(tgt), "f", "left")
+        per.join(F.broadcast(stats), "f")
         .crossJoin(F.broadcast(tots))
         .groupBy("doc_id")
         .agg(
