@@ -22,7 +22,8 @@ from ..materialize import materialize
 
 def cosine_topk(candidates: DataFrame, queries: DataFrame, k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding",
-                query_id_col: str = "query_id") -> DataFrame:
+                query_id_col: str = "query_id",
+                round_to: int | None = None) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     ``queries`` must carry (query_id_col, vec_col); it is broadcast —
@@ -32,17 +33,24 @@ def cosine_topk(candidates: DataFrame, queries: DataFrame, k: int = 10,
     an OOM; for corpus-x-corpus top-k use semantic_dedup's bucketed
     shape or the ANN paths. Self-matches (same id) are excluded when
     ids share a domain.
+
+    ``round_to`` ranks on the ROUNDED similarity (with id tie-break)
+    so pool membership is reproducible across engines — the
+    engine-portability convention the exact-oracle queries use.
     """
     q = queries.select(
         F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qv")
     )
+    sim = cosine(F.col("_qv"), F.col(vec_col))
+    if round_to is not None:
+        sim = F.round(sim, round_to)
     scored = (
         candidates.crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col("_qid"))
         .select(
             F.col("_qid").alias(query_id_col),
             F.col(id_col),
-            cosine(F.col("_qv"), F.col(vec_col)).alias("cos_sim"),
+            sim.alias("cos_sim"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
@@ -586,6 +594,21 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.3,
 # retrieval and dedup-aware search UIs.
 
 
+def _round_half_up(x: float, digits: int = 6) -> float:
+    """Spark's Round(double) semantics: HALF_UP on the value's shortest
+    decimal representation (java BigDecimal.valueOf == Python repr) —
+    the rounding both engine and oracle apply, so rounding a
+    bit-identical double gives a bit-identical result."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if not math.isfinite(x):
+        return x
+    return float(
+        Decimal(repr(x)).quantize(Decimal(1).scaleb(-digits), ROUND_HALF_UP)
+    )
+
+
 def mmr_rerank(candidates: DataFrame, queries: DataFrame, k: int = 10,
                pool: int = 32, lam: float = 0.7,
                id_col: str = "vec_id", vec_col: str = "embedding",
@@ -601,7 +624,15 @@ def mmr_rerank(candidates: DataFrame, queries: DataFrame, k: int = 10,
 
     Selection rule per step: argmax over remaining i of
     ``lam * rel(i) - (1 - lam) * max_{j selected} cos(i, j)``,
-    ties broken by id so the output is deterministic.
+    ties broken by (score, relevance, id) so the output is
+    deterministic AND engine-portable: relevance ranks on the rounded
+    cosine, the pairwise similarity matrix is computed with the same
+    left-associated dimension fold as functions.vectors.dot (so its
+    doubles are bit-identical to an oracle's list_dot_product) and
+    rounded with Spark's HALF_UP convention — every quantity the
+    greedy compares is therefore identical in any engine running the
+    same recipe, which is what lets the full rerank carry an exact
+    value oracle (queries/northstar.py::_mmr_oracle).
 
     Returns (query_id, id, cos_sim, mmr_rank 1..k, mmr_score); the
     rank-1 row is always the plain-cosine argmax.
@@ -616,6 +647,7 @@ def mmr_rerank(candidates: DataFrame, queries: DataFrame, k: int = 10,
     pooled = cosine_topk(
         candidates, queries, k=pool,
         id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+        round_to=6,
     ).drop("rn")
     vecs = candidates.select(
         F.col(id_col), F.col(vec_col).alias("_cv")
@@ -633,12 +665,23 @@ def mmr_rerank(candidates: DataFrame, queries: DataFrame, k: int = 10,
             ["cos_sim", id_col], ascending=[False, True]
         ).reset_index(drop=True)
         v = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf["_cv"]])
-        nrm = np.linalg.norm(v, axis=1)
-        nrm[nrm == 0.0] = 1.0
-        v = v / nrm[:, None]
-        sim = v @ v.T
-        rel = pdf["cos_sim"].to_numpy()
         n = len(pdf)
+        # pairwise cosine via the engine-portable recipe: dot products
+        # accumulate dimension-by-dimension (left-associated adds, the
+        # functions.vectors.dot order), then d_ab / (sqrt(d_aa) *
+        # sqrt(d_bb)) — the exact op sequence an oracle's
+        # list_dot_product expression performs, so the doubles match
+        # bit for bit before HALF_UP rounding collapses them to 6dp.
+        dots = np.zeros((n, n))
+        nrm2 = np.zeros(n)
+        for d_ in range(v.shape[1]):
+            col = v[:, d_]
+            dots += np.multiply.outer(col, col)
+            nrm2 += col * col
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sim = dots / np.outer(np.sqrt(nrm2), np.sqrt(nrm2))
+        sim = np.vectorize(_round_half_up)(sim)
+        rel = pdf["cos_sim"].to_numpy()
         kk = min(k, n)
         selected: list[int] = []
         max_sim = np.full(n, -np.inf)
@@ -649,9 +692,12 @@ def mmr_rerank(candidates: DataFrame, queries: DataFrame, k: int = 10,
             else:
                 mmr = rel.copy()
             mmr[selected] = -np.inf
-            best = int(np.argmax(mmr))  # ties -> lowest index = lowest id
+            # ties -> lowest index = highest rel, then lowest id (the
+            # input sort order) — mirrored by the oracle's ORDER BY
+            # score DESC, rel DESC, id ASC
+            best = int(np.argmax(mmr))
             selected.append(best)
-            scores.append(float(mmr[best]))
+            scores.append(_round_half_up(float(mmr[best])))
             max_sim = np.maximum(max_sim, sim[best])
         out = pdf.iloc[selected][[query_id_col, id_col, "cos_sim"]].copy()
         out["mmr_rank"] = np.arange(1, kk + 1, dtype=np.int32)
@@ -828,7 +874,16 @@ def kmeans_exact_assign(df: DataFrame, n_centroids: int = 8,
     qv = F.transform(
         F.col(vec_col), lambda x: F.floor(x.cast("double") * F.lit(scale))
     )
-    base = (
+    # Materialize the quantized base ONCE: Lloyd's consumes it
+    # iters+1 assignment passes plus iters update aggregates plus the
+    # seed collect, and without pinning, every pass re-runs the source
+    # scan + both quantize transforms (MLlib's KMeans caches its
+    # normalized input for the same reason). materialize() keeps this
+    # cluster-safe: localCheckpoint locally, DISK_ONLY/reliable
+    # checkpoint under the session's cluster flag.
+    from ..materialize import materialize
+
+    base = materialize(
         df.filter(F.col(vec_col).isNotNull())
         .select(F.col(id_col), qv.alias("qv"))
         .withColumn("qd", F.transform(F.col("qv"), lambda x: x.cast("double")))

@@ -150,15 +150,23 @@ def extract_features(df: DataFrame, id_col: str = "media_id",
     import numpy as np
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # engine-portable arithmetic (lets the kNN query over these
+        # features carry an exact SQL oracle): explicit little-endian
+        # u16 lanes, the division in float64, HALF_UP rounding (the
+        # Spark/DuckDB round convention — numpy's .round is half-even
+        # and diverges on boundary values), then one float32 quantize
+        # matching the output schema's CAST
+        from .knn import _round_half_up
+
         for pdf in batches:
             rows = []
             for mid, raw in zip(pdf[id_col], pdf[payload_col]):
                 digest = hashlib.sha256(bytes(raw)).digest()
-                vec = (
-                    np.frombuffer(digest[:FEATURE_DIM * 2], dtype=np.uint16)
-                    .astype(np.float32)
+                u = np.frombuffer(digest[:FEATURE_DIM * 2], dtype="<u2")
+                vec = np.asarray(
+                    [_round_half_up(float(x)) for x in u.astype(np.float64) / 65535.0],
+                    dtype=np.float32,
                 )
-                vec = (vec / 65535.0).round(6)
                 rows.append((mid, vec.tolist()))
             yield pd.DataFrame(rows, columns=["media_id", "feature"])
 

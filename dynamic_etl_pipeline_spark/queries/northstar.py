@@ -111,11 +111,72 @@ def lsh_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(e, queries, k=10)
 
 
-@query("ann_mmr_rerank")  # rows-only: greedy selection is engine-specific
+def _mmr_oracle(k: int = 10, pool: int = 32, lam: float = 0.7) -> str:
+    """The greedy MMR unrolled into k declarative selection steps (the
+    kmeans-oracle technique): pool + pairwise sims once, then each step
+    picks argmax(lam*rel - (1-lam)*max_sim_to_selected) over the
+    not-yet-selected pool with (score, rel, id) tie-break. Every
+    compared quantity is a 6dp-rounded double built from the same
+    left-associated dot-product fold the engine uses, so the oracle is
+    value-exact, not just shape-equivalent."""
+    lam_r, om_r = repr(lam), repr(1.0 - lam)
+    cos = ("round(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+           " * sqrt(list_dot_product({b}, {b}))), 6)")
+    parts = [f"""q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5 AND embedding IS NOT NULL),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+      WHERE embedding IS NOT NULL),
+scored AS (
+  SELECT query_id, vec_id, {cos.format(a='qv', b='cv')} AS rel
+  FROM q CROSS JOIN c WHERE vec_id <> query_id),
+pool AS MATERIALIZED (
+  SELECT query_id, vec_id, rel FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rel DESC, vec_id) AS rn
+    FROM scored) WHERE rn <= {pool}),
+pv AS (SELECT p.query_id, p.vec_id, p.rel, c.cv
+       FROM pool p JOIN c USING (vec_id)),
+sims AS MATERIALIZED (
+  SELECT a.query_id, a.vec_id AS id_a, b.vec_id AS id_b,
+         {cos.format(a='a.cv', b='b.cv')} AS s
+  FROM pv a JOIN pv b ON a.query_id = b.query_id),
+s1 AS (
+  SELECT query_id, vec_id, rel, rel AS score, 1 AS mmr_rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rel DESC, vec_id) AS rn
+    FROM pool) WHERE rn = 1),
+sel1 AS MATERIALIZED (SELECT * FROM s1)"""]
+    for i in range(2, k + 1):
+        parts.append(f"""s{i} AS (
+  SELECT query_id, vec_id, rel, score, {i} AS mmr_rank FROM (
+    SELECT cand.query_id, cand.vec_id, cand.rel,
+           {lam_r} * cand.rel - {om_r} * pen.mx AS score,
+           row_number() OVER (PARTITION BY cand.query_id
+             ORDER BY ({lam_r} * cand.rel - {om_r} * pen.mx) DESC,
+                      cand.rel DESC, cand.vec_id) AS rn
+    FROM (SELECT p.* FROM pool p
+          ANTI JOIN sel{i - 1} t USING (query_id, vec_id)) cand
+    JOIN (SELECT s.query_id, s.id_a AS vec_id, max(s.s) AS mx
+          FROM sims s JOIN sel{i - 1} t
+            ON t.query_id = s.query_id AND t.vec_id = s.id_b
+          GROUP BY s.query_id, s.id_a) pen
+      USING (query_id, vec_id)) WHERE rn = 1),
+sel{i} AS MATERIALIZED (SELECT * FROM sel{i - 1} UNION ALL SELECT * FROM s{i})""")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT query_id, vec_id, rel AS cos_sim,
+       CAST(mmr_rank AS INT) AS mmr_rank, round(score, 6) AS mmr_score
+FROM sel{k}""")
+
+
+@query("ann_mmr_rerank", oracle=_mmr_oracle())
 def ann_mmr_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversity-aware retrieval: exact top-32 cosine pool per probe,
-    re-ranked to 10 by maximal marginal relevance (numpy-parity and
-    diversity properties tested in tests/test_operators.py)."""
+    re-ranked to 10 by maximal marginal relevance, under a full exact
+    value oracle — the greedy runs declaratively in the oracle as k
+    unrolled argmax steps over the same rounded, fold-order-matched
+    similarities the engine computes (numpy-parity and diversity
+    properties additionally tested in tests/test_operators.py)."""
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -287,50 +348,77 @@ def corpus_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     those tests for the seeded-centroid path).
 
     Exact oracle since round 5: clustering is the integer-exact
-    Lloyd's (kmeans_exact_assign), the intra-cluster prune is the
-    similar_pairs cosine construction whose unrounded-threshold parity
-    vs DuckDB is already driver-proven. Scale shape unchanged: the
-    pairwise stage is an equi-join on cluster_id, sum over clusters of
-    |c|^2 instead of n^2."""
-    from ..functions.vectors import dot, l2_norm
+    Lloyd's (kmeans_exact_assign), the intra-cluster prune computes
+    each cosine with the identical dot-product fold order as the
+    oracle's list_dot_product, so the unrounded 0.3 threshold agrees
+    bit for bit. Scale shape: pairwise work is confined within
+    clusters — sum over clusters of |c|^2 instead of n^2 — and runs
+    as block-tiled numpy inside one Arrow group per cluster."""
     from ..materialize import materialize
     from ..operators.knn import kmeans_exact_assign
 
     e = load_table(spark, sf_dir, "embeddings")
     # materialize the enriched per-vector frame (id, cluster, label,
-    # vector, NORM): it feeds BOTH self-join sides and the anti-join
-    # tail (else the k-means lineage recomputes three times), and the
-    # precomputed norm cuts the per-pair cosine from three array folds
-    # to one — sqrt(dot(v,v)) per vector is the identical double
-    # whether computed once or per pair, so values are unchanged
+    # vector): it feeds both the per-cluster dup stage and the
+    # anti-join tail (else the k-means lineage recomputes twice)
     m = materialize(
         kmeans_exact_assign(e, n_centroids=8, iters=2)
         .select("vec_id", "cluster_id")
         .join(e.select("vec_id", "label", "embedding"), "vec_id")
-        .withColumn("_norm", l2_norm(F.col("embedding")))
     )
-    a = m.select(
-        "cluster_id", F.col("vec_id").alias("_ida"),
-        F.col("embedding").alias("_va"), F.col("_norm").alias("_na"),
-    )
-    b = m.select(
-        "cluster_id", F.col("vec_id").alias("_idb"),
-        F.col("embedding").alias("_vb"), F.col("_norm").alias("_nb"),
-    )
-    cos = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
-    # spread between pair enumeration and the fold-heavy cosine eval:
-    # the equi-join leaves only n_clusters tasks (8 here); at corpus
-    # scale parallelism comes from ~sqrt(n) clusters, locally a row
-    # shuffle of the candidate pairs restores it
-    from ._helpers import spread
+    # Per-cluster pairwise via ONE Arrow group per cluster instead of a
+    # materialized pair join: the self-join shape shipped ~|c|^2 pairs
+    # (each carrying both 64-dim vectors) through an interpreted
+    # higher-order fold — ~1.6B lambda evals at 20k vectors, the whole
+    # 3-minute wall at the 10x scale run. Here each cluster's vectors
+    # cross the Arrow boundary ONCE and the |c|^2 stage is block-tiled
+    # numpy (bounded 2048^2 tiles, so group memory stays O(|c|*dim +
+    # tile)), accumulating dot products dimension-at-a-time — the same
+    # left-associated fold functions.vectors.dot and DuckDB's
+    # list_dot_product perform, so every cosine is bit-identical to
+    # the oracle's and the unrounded 0.3 threshold stays exact. A
+    # vector is a dup iff ANY lower-id vector in its cluster clears
+    # the threshold (keep-first, the oracle's a.vec_id < b.vec_id).
+    # At corpus scale k ~ sqrt(n) bounds |c|; parallelism = n_clusters
+    # groups (plus AQE splitting nothing here — one group per task).
+    def _cluster_dups(pdf):
+        import numpy as np
+        import pandas as pd
 
-    pairs = spread(
-        a.join(b, "cluster_id").filter(F.col("_ida") < F.col("_idb"))
-    )
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"_dup_id": pd.Series([], dtype="int64")})
+        v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["_v"]])
+        nrm2 = np.zeros(n)
+        for d_ in range(v.shape[1]):
+            nrm2 += v[:, d_] * v[:, d_]
+        nrm = np.sqrt(nrm2)
+        dup = np.zeros(n, dtype=bool)
+        B = 2048
+        for jb in range(0, n, B):
+            vj = v[jb:jb + B]
+            nj = nrm[jb:jb + B]
+            wj = vj.shape[0]
+            for ib in range(0, jb + wj, B):
+                vi = v[ib:ib + B]
+                ni = nrm[ib:ib + B]
+                acc = np.zeros((vi.shape[0], wj))
+                for d_ in range(v.shape[1]):
+                    acc += np.multiply.outer(vi[:, d_], vj[:, d_])
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cosm = acc / np.outer(ni, nj)
+                # strict upper triangle in GLOBAL index (= vec_id) order
+                gi = np.arange(ib, ib + vi.shape[0])[:, None]
+                gj = np.arange(jb, jb + wj)[None, :]
+                hits = (cosm >= 0.3) & (gi < gj)
+                dup[jb:jb + wj] |= hits.any(axis=0)
+        return pd.DataFrame({"_dup_id": pdf.loc[dup, "vec_id"].to_numpy()})
+
     dups = (
-        pairs.filter(cos >= 0.3)
-        .select(F.col("_idb").alias("_dup_id"))
-        .distinct()
+        m.select("cluster_id", "vec_id", F.col("embedding").alias("_v"))
+        .groupBy("cluster_id")
+        .applyInPandas(_cluster_dups, "_dup_id long")
     )
     return (
         m.join(dups, F.col("vec_id") == F.col("_dup_id"), "left_anti")
@@ -338,7 +426,47 @@ def corpus_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_feature_knn")  # rows-only: Python featurize stage
+def _mm_knn_oracle(k: int = 5, dim: int = 16) -> str:
+    """SQL twin of the sha256 content-hash featurizer + cosine top-k:
+    DuckDB's sha256(VARCHAR) hashes the payload's UTF-8 bytes — the
+    identical bytes the engine's binary payload holds for text media —
+    then each little-endian u16 lane parses out of the hex digest,
+    divides in double, HALF_UP-rounds to 6dp and quantizes through
+    FLOAT exactly as extract_features does."""
+    def hexbyte(kb: int) -> str:
+        return (f"((instr('0123456789abcdef', substr(h, {2 * kb + 1}, 1)) - 1)"
+                f" * 16 + instr('0123456789abcdef', substr(h, {2 * kb + 2}, 1))"
+                " - 1)")
+
+    elems = ",\n         ".join(
+        f"CAST(CAST(round(CAST({hexbyte(2 * i)} + 256 * {hexbyte(2 * i + 1)}"
+        f" AS DOUBLE) / 65535.0, 6) AS FLOAT) AS DOUBLE)"
+        for i in range(dim)
+    )
+    cos = ("round(list_dot_product(qv, fv) / (sqrt(list_dot_product(qv, qv))"
+           " * sqrt(list_dot_product(fv, fv))), 6)")
+    return f"""
+WITH media AS (
+  SELECT doc_id AS media_id,
+         'MM1|' || CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END
+         || '|' || CAST(n_chars % 640 AS VARCHAR)
+         || 'x' || CAST(n_chars % 480 AS VARCHAR)
+         || '|' || text AS payload
+  FROM documents),
+hx AS (SELECT media_id, sha256(payload) AS h FROM media),
+feat AS MATERIALIZED (SELECT media_id, [{elems}] AS fv FROM hx),
+q AS (SELECT media_id AS query_id, fv AS qv FROM feat WHERE media_id < 3),
+scored AS (
+  SELECT query_id, media_id, {cos} AS cos_sim
+  FROM q CROSS JOIN feat WHERE media_id <> query_id)
+SELECT query_id, media_id, cos_sim, CAST(rn AS INT) AS rn
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, media_id) AS rn
+      FROM scored)
+WHERE rn <= {k}"""
+
+
+@query("multimodal_feature_knn", oracle=_mm_knn_oracle())
 def multimodal_feature_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full multimodal retrieval pipeline, end to end: binary
     payloads -> Arrow-batched feature extraction (the deterministic
@@ -346,7 +474,10 @@ def multimodal_feature_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape, schema, and partitioning a real model UDF uses) -> exact
     cosine top-5 per probe via the shared kNN operator. Proves the
     media surface COMPOSES with the similarity-search surface with no
-    glue: extract_features output feeds cosine_topk unchanged."""
+    glue: extract_features output feeds cosine_topk unchanged — and
+    since round 6 the whole composition carries an exact value oracle
+    (sha256 featurization + fold-order-matched cosine, valid for any
+    UTF-8 text payload)."""
     from ..operators.knn import cosine_topk
     from ..operators.multimodal import extract_features
 
@@ -369,5 +500,6 @@ def multimodal_feature_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("media_id").alias("query_id"), F.col("feature")
     )
     return cosine_topk(
-        feats, probes, k=5, id_col="media_id", vec_col="feature"
+        feats, probes, k=5, id_col="media_id", vec_col="feature",
+        round_to=6,
     ).orderBy("query_id", "rn")
