@@ -166,10 +166,23 @@ def _sig_udf(num_perm: int, seed: int, shingle_n: int):
     return sig
 
 
+def portable_token_hash(t: Column) -> Column:
+    """Engine-portable token hash: the first 15 hex digits of the
+    token's md5 as an integer in [0, 2^60) — reproducible in any
+    engine with md5 (DuckDB parses the same digits with a digit fold),
+    unlike Spark's murmur3 ``hash``. Feeding this into the signature
+    kernel makes the whole MinHash pipeline value-checkable against a
+    SQL oracle."""
+    return F.conv(
+        F.substring(F.md5(t.cast("binary")), 1, 15), 16, 10
+    ).cast("long")
+
+
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        num_perm: int = 64, shingle_n: int = 3,
                        seed: int = 42,
-                       udf_partitions: int | None = None) -> DataFrame:
+                       udf_partitions: int | None = None,
+                       portable_hash: bool = False) -> DataFrame:
     """(id, sig: array<bigint>[num_perm]) — ZERO-shuffle map-side
     signatures: JVM-side shingle hashing feeds an Arrow-batched numpy
     kernel that takes all permutation minima per batch. (An explode +
@@ -191,29 +204,36 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
         # At corpus scale leave None — partitions are already data-sized.
         df = df.repartition(udf_partitions)
     c = F.col(text_col)
-    token_hashes = F.transform(
-        F.split(F.trim(c), r"\s+"), lambda t: F.hash(t).cast("long")
+    tok_hash = (
+        portable_token_hash if portable_hash
+        else (lambda t: F.hash(t).cast("long"))
     )
+    token_hashes = F.transform(F.split(F.trim(c), r"\s+"), tok_hash)
     return (
         df.select(F.col(id_col), sig(token_hashes).alias("sig"))
         .filter(F.col("sig").isNotNull())
     )
 
 
-def band_postings(sigs: DataFrame, id_col: str, bands: int, r: int) -> DataFrame:
+def band_postings(sigs: DataFrame, id_col: str, bands: int, r: int,
+                  portable: bool = False) -> DataFrame:
     """(_id, band_id, band_hash) LSH postings from a signature frame —
     the skinny rows every band join (batch self-join or incremental
     index probe) moves; the num_perm-long signature array never enters
-    a shuffle."""
+    a shuffle. ``portable`` keys bands on the joined minima string
+    instead of xxhash64 of it: band-key equality is then EXACTLY
+    minima-tuple equality (no 2^-64 hash-collision candidates), which
+    an exact SQL oracle can reproduce; the compact hashed key stays
+    the default for the engine-hash mode's narrower shuffle."""
+    bkey = (
+        (lambda b: F.concat_ws(",", F.slice("sig", b * r + 1, r)))
+        if portable
+        else (lambda b: F.xxhash64(F.concat_ws(",", F.slice("sig", b * r + 1, r))))
+    )
     return sigs.select(
         F.col(id_col).alias("_id"),
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(",", F.slice("sig", b * r + 1, r))
-                ),
-            )
+            F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), bkey)
         ).alias("band_id", "band_hash"),
     ).select("_id", "band_id", "band_hash")
 
@@ -336,7 +356,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       udf_partitions: int | None = None,
                       collapse_identical: bool = True,
                       max_group_expand: int = 32,
-                      max_postings_per_band: int | None = 4096) -> DataFrame:
+                      max_postings_per_band: int | None = 4096,
+                      portable_hash: bool = False) -> DataFrame:
     """Near-dup pairs (id_a, id_b, est_jaccard) via banded MinHash-LSH.
 
     bands=16 over 64 perms -> rows-per-band r=4; the LSH S-curve puts
@@ -366,7 +387,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     # both sides, and without this the whole shingle+UDF pipeline runs
     # twice (at cluster scale: persist signatures, join the stored table).
     sigs = minhash_signatures(
-        df, id_col, text_col, num_perm, shingle_n, seed, udf_partitions
+        df, id_col, text_col, num_perm, shingle_n, seed, udf_partitions,
+        portable_hash=portable_hash,
     ).transform(materialize)
 
     if collapse_identical:
@@ -396,7 +418,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     # join shuffle (measured ~2x the whole pipeline at sf0.1, and pure
     # dead weight at corpus scale). Signatures are re-attached to the
     # few surviving candidate pairs afterwards.
-    band_entries = band_postings(band_src, id_col, bands, r)
+    band_entries = band_postings(band_src, id_col, bands, r,
+                                 portable=portable_hash)
     if max_postings_per_band is not None:
         band_entries = _cap_postings(
             band_entries.transform(materialize), max_postings_per_band
@@ -467,17 +490,26 @@ def _simhash_votes(hs: pd.Series) -> pd.Series:
     return pd.Series(out, dtype="Int64")
 
 
-def simhash64(col: Column | str) -> Column:
+def simhash64(col: Column | str, portable_hash: bool = False) -> Column:
     """64-bit SimHash of whitespace tokens: per-token xxhash64 JVM-side
     (one higher-order pass), bit-majority vote in an Arrow-batched
-    numpy kernel. No explode, no shuffle — map-side per row."""
+    numpy kernel. No explode, no shuffle — map-side per row.
+
+    ``portable_hash`` votes over the md5-fold token hash instead
+    (60 live bits — the top 4 fingerprint bits become constant-0,
+    which preserves Hamming/pigeonhole semantics), making the
+    fingerprint reproducible in a SQL oracle."""
     c = col if isinstance(col, Column) else F.col(col)
     # split(trim('')) is [''] not [], so blank out NULL/whitespace-only
     # text explicitly: those docs get a NULL fingerprint (no tokens).
     toks = F.when(
         F.length(F.trim(c)) > 0, F.split(F.trim(c), r"\s+")
     )
-    return _simhash_votes(F.transform(toks, lambda t: F.xxhash64(t)))
+    tok_hash = (
+        portable_token_hash if portable_hash
+        else (lambda t: F.xxhash64(t))
+    )
+    return _simhash_votes(F.transform(toks, tok_hash))
 
 
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -485,7 +517,8 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
                   udf_partitions: int | None = None,
                   collapse_identical: bool = True,
                   max_group_expand: int = 32,
-                  max_postings_per_chunk: int | None = 4096) -> DataFrame:
+                  max_postings_per_chunk: int | None = 4096,
+                  portable_hash: bool = False) -> DataFrame:
     """Candidate pairs within a Hamming radius via the pigeonhole band
     trick: a pair within distance k<=3 must agree exactly on at least
     one of 4 16-bit chunks, so candidates come from an equi-join on
@@ -501,7 +534,8 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
     if udf_partitions is not None:
         df = df.repartition(udf_partitions)  # see minhash_signatures
     fp = (
-        df.select(F.col(id_col).alias("_id"), simhash64(text_col).alias("fp"))
+        df.select(F.col(id_col).alias("_id"),
+                  simhash64(text_col, portable_hash=portable_hash).alias("fp"))
         .filter(F.col("fp").isNotNull())  # null/empty text has no fingerprint
         .transform(materialize)  # fingerprint once, not once per join side
     )

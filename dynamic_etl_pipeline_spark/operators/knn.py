@@ -92,7 +92,7 @@ def lsh_ann_topk(candidates: DataFrame, queries: DataFrame, k: int = 10,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  query_id_col: str = "query_id", dim: int = 64,
                  n_planes: int = 8, n_tables: int = 4,
-                 seed: int = 42) -> DataFrame:
+                 seed: int = 42, round_to: int | None = None) -> DataFrame:
     """Approximate top-k: n_tables independent hyperplane signatures;
     candidates that share a bucket with the query in ANY table are
     scored exactly, then ranked.
@@ -100,6 +100,12 @@ def lsh_ann_topk(candidates: DataFrame, queries: DataFrame, k: int = 10,
     The cross join of brute force becomes an equi-join on
     (table_id, bucket) — at 100 TB the scored candidate set is
     ~corpus/2^n_planes per table instead of the full corpus.
+
+    Every arithmetic step is already engine-portable (the bucket bits
+    are signs of left-fold dot products against literal planes);
+    ``round_to`` additionally ranks on the rounded similarity so the
+    full pipeline can be value-checked against a SQL oracle embedding
+    the same plane literals.
     """
     def with_buckets(df: DataFrame, idc: str) -> DataFrame:
         buckets = F.array(*[
@@ -124,10 +130,10 @@ def lsh_ann_topk(candidates: DataFrame, queries: DataFrame, k: int = 10,
         .select(F.col("_qid").alias(query_id_col), id_col, vec_col, "_qv")
         .dropDuplicates([query_id_col, id_col])
     )
-    scored = matched.select(
-        query_id_col, id_col,
-        cosine(F.col("_qv"), F.col(vec_col)).alias("cos_sim"),
-    )
+    sim = cosine(F.col("_qv"), F.col(vec_col))
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    scored = matched.select(query_id_col, id_col, sim.alias("cos_sim"))
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("int"))
@@ -821,10 +827,23 @@ def _kmeans_exact_assign(base: DataFrame, mu: list[list[float]]) -> DataFrame:
     ``t1 + t2 + ... + tn``: the fold runs left-to-right over the
     dimension order, per-term squares use x*x (never pow), and the
     0.0 accumulator start is exact because every term is >= +0.0."""
-    # ONE parsed SQL string instead of k*dim F.lit() Column objects:
-    # building the literal tree through py4j cost ~1.5 s per assignment
-    # pass in round-trips alone; repr() emits the shortest round-trip
-    # decimal, which a SQL double literal parses back to identical bits
+    return _kmeans_exact_dists(base, mu).withColumn(
+        "cluster_id",
+        F.expr(
+            "CAST(array_position(_dists, array_min(_dists)) - 1 AS INT)"
+        ),
+    ).drop("_dists")
+
+
+def _kmeans_exact_dists(base: DataFrame, mu: list[list[float]]) -> DataFrame:
+    """``_dists``: exact squared-L2 distance of the row's ``qd`` array
+    to every centroid literal (the shared kernel of assignment and
+    IVF probe selection).
+
+    ONE parsed SQL string instead of k*dim F.lit() Column objects:
+    building the literal tree through py4j cost ~1.5 s per assignment
+    pass in round-trips alone; repr() emits the shortest round-trip
+    decimal, which a SQL double literal parses back to identical bits."""
     cents = "array(" + ", ".join(
         "array(" + ", ".join(f"{m!r}D" for m in mu_j) + ")"
         for mu_j in mu
@@ -834,18 +853,14 @@ def _kmeans_exact_assign(base: DataFrame, mu: list[list[float]]) -> DataFrame:
         "zip_with(qd, c, (x, m) -> (x - m) * (x - m)), "
         "0.0D, (a, t) -> a + t))"
     )
-    return base.withColumn("_dists", F.expr(dists)).withColumn(
-        "cluster_id",
-        F.expr(
-            "CAST(array_position(_dists, array_min(_dists)) - 1 AS INT)"
-        ),
-    ).drop("_dists")
+    return base.withColumn("_dists", F.expr(dists))
 
 
-def kmeans_exact_assign(df: DataFrame, n_centroids: int = 8,
-                        iters: int = 2, scale: int = 1_000_000,
-                        id_col: str = "vec_id",
-                        vec_col: str = "embedding") -> DataFrame:
+def kmeans_exact_fit(df: DataFrame, n_centroids: int = 8,
+                     iters: int = 2, scale: int = 1_000_000,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding"
+                     ) -> "tuple[DataFrame, list[list[float]]]":
     """Distributed Lloyd's k-means with bit-deterministic, engine-
     portable arithmetic — the variant a verification gate can hold to
     an *exact* oracle (kmeans_centroids above is the float/numpy twin
@@ -869,7 +884,9 @@ def kmeans_exact_assign(df: DataFrame, n_centroids: int = 8,
     shuffle of k*(dim+1) longs per partition. Empty clusters keep
     their previous centroid.
 
-    Returns (id_col, cluster_id INT) plus the quantized columns.
+    Returns (assigned frame with id_col, cluster_id INT plus the
+    quantized columns, final centroid list) — the centroid list is
+    what IVF's probe assignment reuses.
     """
     qv = F.transform(
         F.col(vec_col), lambda x: F.floor(x.cast("double") * F.lit(scale))
@@ -914,4 +931,82 @@ def kmeans_exact_assign(df: DataFrame, n_centroids: int = 8,
             )
         for j, row in new_mu.items():
             mu[j] = row
-    return _kmeans_exact_assign(base, mu)
+    return _kmeans_exact_assign(base, mu), mu
+
+
+def kmeans_exact_assign(df: DataFrame, n_centroids: int = 8,
+                        iters: int = 2, scale: int = 1_000_000,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """kmeans_exact_fit's assignment frame alone (the original API)."""
+    return kmeans_exact_fit(df, n_centroids, iters, scale, id_col, vec_col)[0]
+
+
+def ivf_exact_topk(candidates: DataFrame, queries: DataFrame, k: int = 10,
+                   n_centroids: int = 16, n_probe: int = 4,
+                   iters: int = 2, scale: int = 1_000_000,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   query_id_col: str = "query_id",
+                   round_to: int = 6) -> DataFrame:
+    """IVF approximate nearest neighbors on the INTEGER-EXACT coarse
+    quantizer — the variant a verification gate can hold to an exact
+    SQL oracle end to end (ivf_ann_topk above keeps the float/numpy
+    quantizer + recall tests).
+
+    Every stage is engine-portable: Lloyd's over floor-quantized
+    BIGINTs (kmeans_exact_fit), probe selection as the n_probe
+    smallest exact centroid distances (dist, j tie-break), candidate
+    retrieval as an equi-join on the inverted-list id, scoring as the
+    fold-ordered cosine rounded to ``round_to``. Scale shape matches
+    ivf_ann_topk: map-only assignment against centroid literals, one
+    list-keyed equi-join touching ~n_probe/n_centroids of the corpus,
+    top-k per query."""
+    from ..materialize import materialize
+
+    assigned, mu = kmeans_exact_fit(
+        candidates, n_centroids=n_centroids, iters=iters, scale=scale,
+        id_col=id_col, vec_col=vec_col,
+    )
+    lists = materialize(
+        assigned.select(id_col, "cluster_id")
+        .join(candidates.select(id_col, vec_col), id_col)
+    )
+    q = queries.filter(F.col(vec_col).isNotNull()).select(
+        F.col(query_id_col).alias("_qid"),
+        F.col(vec_col).alias("_qv"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * F.lit(scale)).cast("double"),
+        ).alias("qd"),
+    )
+    probes = (
+        _kmeans_exact_dists(q, mu)
+        .select(
+            "_qid", "_qv",
+            F.posexplode("_dists").alias("cluster_id", "_dist"),
+        )
+        .withColumn(
+            "_pr",
+            F.row_number().over(
+                Window.partitionBy("_qid").orderBy(
+                    F.asc("_dist"), F.asc("cluster_id")
+                )
+            ),
+        )
+        .filter(F.col("_pr") <= n_probe)
+        .select("_qid", "_qv", "cluster_id")
+    )
+    sim = cosine(F.col("_qv"), F.col(vec_col))
+    scored = (
+        lists.join(F.broadcast(probes), "cluster_id")
+        .filter(F.col(id_col) != F.col("_qid"))
+        .select(
+            F.col("_qid").alias(query_id_col), id_col,
+            F.round(sim, round_to).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= k)
+    )

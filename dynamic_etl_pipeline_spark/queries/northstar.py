@@ -63,11 +63,117 @@ def asof_join_events_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
                      direction="forward")
 
 
-@query("minhash_near_dups")  # rows-only: engine-specific hashing
+def _minhash_cte(num_perm: int = 64, bands: int = 16,
+                 shingle_n: int = 3, threshold: float = 0.5,
+                 seed: int = 42) -> str:
+    """Declarative twin of the full banded MinHash-LSH pipeline in
+    portable-hash mode: md5-fold token hashes, the rolling 8191-
+    polynomial shingle values, all Carter-Wegman permutation minima
+    (the same seeded (a, b) constants embedded as literals), 16-band
+    posting join on the minima tuple, and the agreeing-permutation
+    estimate — every intermediate an exact integer, so the oracle is
+    value-exact, not a recall property. Boundary: valid while no
+    identical-signature group exceeds max_group_expand (above that the
+    engine emits the documented representative-star shape instead of
+    the quadratic pair list)."""
+    from ..operators.dedup import _M31, _perm_coeffs
+
+    r = num_perm // bands
+    coeffs = _perm_coeffs(num_perm, seed)
+    pows = [8191 ** (shingle_n - 1 - j) for j in range(shingle_n)]
+    fold = "instr('0123456789abcdef', substr(h, 1, 1)) - 1"
+    for kk in range(2, 16):
+        fold = (f"({fold}) * 16 + "
+                f"instr('0123456789abcdef', substr(h, {kk}, 1)) - 1")
+    gram = " + ".join(f"th[i + {j}] * {pows[j]}" for j in range(shingle_n))
+    mins = ",\n         ".join(
+        f"min((g * {a} + {b}) % {_M31}) AS m{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    bkeys = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        + " || ',' || ".join(
+            f"CAST(m{b * r + j} AS VARCHAR)" for j in range(r)
+        )
+        + " AS bkey FROM sigs"
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END"
+        for i in range(num_perm)
+    )
+    return f"""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(tk[1:len(tk) - 1], ' ') AS text
+  FROM (SELECT doc_id, string_split(text, ' ') AS tk
+        FROM documents WHERE doc_id % 5 = 0)
+),
+toks AS (
+  SELECT doc_id,
+         list_transform(
+           list_transform(string_split_regex(trim(text), '\\s+'),
+                          t -> md5(t)),
+           h -> ({fold}) % {_M31}) AS th
+  FROM corpus),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(th) - {shingle_n - 2}),
+                               i -> ({gram}) % {_M31})) AS g
+  FROM toks WHERE len(th) >= {shingle_n}),
+sigs AS MATERIALIZED (
+  SELECT doc_id,
+         {mins}
+  FROM grams GROUP BY doc_id),
+postings AS MATERIALIZED (
+  {bkeys}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM postings a JOIN postings b
+    ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+near_pairs AS MATERIALIZED (
+  SELECT id_a, id_b,
+         CAST({agree} AS DOUBLE) / {num_perm} AS est_jaccard
+  FROM cand
+  JOIN sigs sa ON sa.doc_id = id_a
+  JOIN sigs sb ON sb.doc_id = id_b
+  WHERE CAST({agree} AS DOUBLE) / {num_perm} >= {threshold})"""
+
+
+def _minhash_oracle(**kw) -> str:
+    return _minhash_cte(**kw) + "\nSELECT id_a, id_b, est_jaccard FROM near_pairs"
+
+
+def _minhash_clusters_oracle(**kw) -> str:
+    """Min-label transitive closure over the exact LSH pair graph (the
+    dedup_keep_best_exact recursive-CTE pattern), so even the
+    iterative connected-components stage is value-checked."""
+    return _minhash_cte(**kw) + """
+, bidir AS (
+  SELECT id_a AS src, id_b AS dst FROM near_pairs
+  UNION ALL SELECT id_b, id_a FROM near_pairs),
+cc AS (
+  SELECT DISTINCT src AS id, src AS comp FROM bidir
+  UNION
+  SELECT b.dst AS id, cc.comp FROM cc JOIN bidir b ON b.src = cc.id
+  WHERE cc.comp < b.dst)
+SELECT id, min(comp) AS component FROM cc GROUP BY id"""
+
+
+@query("minhash_near_dups", oracle=_minhash_oracle())
 def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs over documents + synthesized mutants
     (fixture texts are all distinct, so high-similarity pairs are
-    created by re-unioning lightly truncated copies)."""
+    created by re-unioning lightly truncated copies).
+
+    Runs in portable-hash mode (md5-fold token hashes, minima-tuple
+    band keys) so the ENTIRE LSH pipeline — shingling, permutation
+    minima, banding, candidate join, agreement estimate — is held to
+    an exact DuckDB value oracle; the engine-hash mode (murmur3 +
+    xxhash64 band keys, narrower shuffles) keeps its recall-property
+    coverage in tests/test_operators.py and tests/test_dedup_fuzz.py."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     mutated = d.filter(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
@@ -76,20 +182,78 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     corpus = d.unionByName(mutated)
-    return minhash_lsh_pairs(corpus, "doc_id", "text", threshold=0.5, udf_partitions=32)
+    return minhash_lsh_pairs(corpus, "doc_id", "text", threshold=0.5,
+                             udf_partitions=32, portable_hash=True,
+                             max_postings_per_band=None)
 
 
-@query("minhash_dup_clusters")  # rows-only: iterative algorithm
+@query("minhash_dup_clusters", oracle=_minhash_clusters_oracle())
 def minhash_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the near-dup pair graph -> cluster id
-    per duplicated doc (the keep-one-per-cluster dedup decision)."""
+    per duplicated doc (the keep-one-per-cluster dedup decision) —
+    exact since round 6: the pair graph is the portable-hash LSH
+    oracle's, and the O(log n) distributed component rounds are held
+    to a recursive-CTE min-label fixpoint."""
     pairs = minhash_near_dups(spark, sf_dir)
     return connected_components(pairs).orderBy("id")
 
 
-@query("simhash_near_dups")  # rows-only: engine-specific hashing
+def _simhash_oracle(max_hamming: int = 3, live_bits: int = 60) -> str:
+    """SQL twin of the portable-hash SimHash pipeline: md5-fold token
+    hashes (60 live bits), strict-majority vote per bit position, the
+    4 x 16-bit pigeonhole chunk join, bit_count(xor) verification."""
+    fold = "instr('0123456789abcdef', substr(h, 1, 1)) - 1"
+    for kk in range(2, 16):
+        fold = (f"({fold}) * 16 + "
+                f"instr('0123456789abcdef', substr(h, {kk}, 1)) - 1")
+    fp = " + ".join(
+        f"CASE WHEN 2 * sum((th >> {b}) & 1) > count(*)"
+        f" THEN {1 << b} ELSE 0 END"
+        for b in range(live_bits)
+    )
+    chunks = "\n  UNION ALL ".join(
+        f"SELECT doc_id, fp, {i} AS chunk_id,"
+        f" (fp >> {i * 16}) & 65535 AS chunk_val FROM fps"
+        for i in range(4)
+    )
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(tk[1:len(tk) - 1], ' ') AS text
+  FROM (SELECT doc_id, string_split(text, ' ') AS tk
+        FROM documents WHERE doc_id % 5 = 0)
+),
+toks AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           list_transform(string_split_regex(trim(text), '\\s+'),
+                          t -> md5(t)),
+           h -> {fold})) AS th
+  FROM corpus WHERE len(trim(text)) > 0),
+fps AS MATERIALIZED (
+  SELECT doc_id, CAST({fp} AS BIGINT) AS fp
+  FROM toks GROUP BY doc_id),
+chunks AS MATERIALIZED (
+  {chunks})
+SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+FROM (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.fp, b.fp)) AS hamming
+  FROM chunks a JOIN chunks b
+    ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+   AND a.doc_id < b.doc_id)
+WHERE hamming <= {max_hamming}"""
+
+
+@query("simhash_near_dups", oracle=_simhash_oracle())
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash Hamming-radius pairs over the mutant corpus."""
+    """SimHash Hamming-radius pairs over the mutant corpus — in
+    portable-hash mode (md5-fold token hashes), so fingerprints,
+    pigeonhole chunk candidates, and Hamming verdicts are all held to
+    an exact DuckDB value oracle; the xxhash64 mode keeps its
+    property coverage in tests/test_operators.py."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     mutated = d.filter(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
@@ -97,18 +261,65 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return simhash_pairs(d.unionByName(mutated), "doc_id", "text", max_hamming=3,
-                         udf_partitions=32)
+                         udf_partitions=32, portable_hash=True,
+                         max_postings_per_chunk=None)
 
 
-@query("lsh_ann_topk")  # rows-only: seeded-hyperplane bucketing
+def _lsh_ann_oracle(k: int = 10, dim: int = 64, n_planes: int = 8,
+                    n_tables: int = 4, seed: int = 42) -> str:
+    """SQL twin of the hyperplane-LSH search: the same seeded plane
+    constants as literal DOUBLE[] arrays, bucket bits from the sign of
+    the (sequential-fold) dot product, the (table, bucket) candidate
+    equi-join, and rounded-cosine ranking."""
+    from ..operators.knn import _hyperplanes
+
+    def bucket(t: int) -> str:
+        planes = _hyperplanes(dim, n_planes, seed + t)
+        return " + ".join(
+            "CASE WHEN list_dot_product(v, ["
+            + ", ".join(repr(float(x)) for x in plane)
+            + f"]) >= 0 THEN {1 << i} ELSE 0 END"
+            for i, plane in enumerate(planes)
+        )
+
+    buckets = "\n  UNION ALL ".join(
+        f"SELECT vec_id, v, {t} AS table_id,"
+        f" CAST({bucket(t)} AS BIGINT) AS bucket FROM e"
+        for t in range(n_tables)
+    )
+    cos = ("round(list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv))"
+           " * sqrt(list_dot_product(v, v))), 6)")
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE embedding IS NOT NULL),
+cb AS MATERIALIZED (
+  {buckets}),
+qb AS (SELECT vec_id AS query_id, v AS qv, table_id, bucket
+       FROM cb WHERE vec_id < 5),
+matched AS (
+  SELECT DISTINCT qb.query_id, cb.vec_id, qb.qv, cb.v
+  FROM cb JOIN qb ON cb.table_id = qb.table_id AND cb.bucket = qb.bucket
+  WHERE cb.vec_id <> qb.query_id),
+scored AS (SELECT query_id, vec_id, {cos} AS cos_sim FROM matched)
+SELECT query_id, vec_id, cos_sim, CAST(rn AS INT) AS rn
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM scored)
+WHERE rn <= {k}"""
+
+
+@query("lsh_ann_topk", oracle=_lsh_ann_oracle())
 def lsh_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate nearest neighbors for 5 probe vectors via
-    random-hyperplane LSH (recall vs exact kNN is property-tested)."""
+    random-hyperplane LSH — under a full exact value oracle since
+    round 6 (the plane constants embed as SQL literals and every
+    arithmetic step is fold-order-matched; recall vs exact kNN stays
+    property-tested in tests/test_operators.py)."""
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_ann_topk(e, queries, k=10)
+    return lsh_ann_topk(e, queries, k=10, round_to=6)
 
 
 def _mmr_oracle(k: int = 10, pool: int = 32, lam: float = 0.7) -> str:
@@ -231,18 +442,63 @@ def multimodal_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_stats(extract_media_meta(media))
 
 
-@query("ivf_ann_topk")  # rows-only: sampled-centroid quantizer is engine-specific
+def _ivf_oracle(k: int = 10, n_centroids: int = 16, n_probe: int = 4,
+                iters: int = 2) -> str:
+    """SQL twin of the integer-exact IVF: the parameterized exact
+    k-means chain trains the coarse quantizer (af = inverted lists,
+    c{iters} = centroids), probes are the n_probe smallest exact
+    centroid distances per query, and scoring is the rounded
+    fold-ordered cosine over the probed lists only."""
+    from .vectors import _KM_DIM, _km_cte_chain
+
+    d = _KM_DIM
+    dist = " + ".join(
+        f"(q.qd[{i + 1}] - c.m[{i + 1}]) * (q.qd[{i + 1}] - c.m[{i + 1}])"
+        for i in range(d)
+    )
+    cos = ("round(list_dot_product(qev.qv, ev.v)"
+           " / (sqrt(list_dot_product(qev.qv, qev.qv))"
+           " * sqrt(list_dot_product(ev.v, ev.v))), 6)")
+    return _km_cte_chain(k=n_centroids, iters=iters) + f"""
+, qp AS (
+  SELECT query_id, cluster_id FROM (
+    SELECT q.vec_id AS query_id, c.j AS cluster_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {dist}, c.j) AS rn
+    FROM qq q CROSS JOIN c{iters} c WHERE q.vec_id < 5) WHERE rn <= {n_probe}),
+ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       FROM embeddings WHERE embedding IS NOT NULL),
+qev AS (SELECT vec_id AS query_id, v AS qv FROM ev WHERE vec_id < 5),
+scored AS (
+  SELECT p.query_id, af.vec_id, {cos} AS cos_sim
+  FROM qp p
+  JOIN af ON af.cluster_id = p.cluster_id
+  JOIN ev ON ev.vec_id = af.vec_id
+  JOIN qev ON qev.query_id = p.query_id
+  WHERE af.vec_id <> p.query_id)
+SELECT query_id, vec_id, cos_sim, CAST(rn AS INT) AS rn
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM scored)
+WHERE rn <= {k}"""
+
+
+@query("ivf_ann_topk", oracle=_ivf_oracle())
 def ivf_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate nearest neighbors for 5 probe vectors (k-means
-    coarse quantizer + inverted-list equi-join; recall vs exact kNN is
-    property-tested in tests/test_operators.py)."""
-    from ..operators.knn import ivf_ann_topk
+    """IVF approximate nearest neighbors for 5 probe vectors — on the
+    integer-exact coarse quantizer, so quantizer training, probe
+    selection, inverted-list retrieval, and rounded-cosine ranking are
+    ALL held to an exact DuckDB value oracle. The float/numpy-
+    quantizer ivf_ann_topk operator (Arrow matmul assignment) remains
+    the production scale path with recall coverage in
+    tests/test_operators.py."""
+    from ..operators.knn import ivf_exact_topk
 
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_ann_topk(e, queries, k=10, n_centroids=16, n_probe=4)
+    return ivf_exact_topk(e, queries, k=10, n_centroids=16, n_probe=4)
 
 
 @query("corpus_curation_e2e", oracle="""

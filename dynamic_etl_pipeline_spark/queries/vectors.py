@@ -687,11 +687,12 @@ def embedding_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def _km_cte_chain() -> str:
+def _km_cte_chain(k: int = _KM_K, iters: int = _KM_ITERS) -> str:
     """The WITH-body shared by every oracle built on the exact k-means:
     quantize -> seed -> [assign -> update] x iters -> final assign
-    (``af``)."""
-    d, k = _KM_DIM, _KM_K
+    (``af``); the last centroid frame is ``c{iters}``. Parameterized
+    (round 6) so the IVF oracle can train its own k."""
+    d = _KM_DIM
     qv = "[" + ", ".join(
         f"CAST(floor(CAST(embedding[{i+1}] AS DOUBLE) * {_KM_SCALE}) AS BIGINT)"
         for i in range(d)
@@ -732,10 +733,10 @@ def _km_cte_chain() -> str:
         f"       FROM (SELECT qv, row_number() OVER (ORDER BY vec_id) AS rn\n"
         f"             FROM q0 ORDER BY vec_id LIMIT {k}))",
     ]
-    for t in range(_KM_ITERS):
+    for t in range(iters):
         ctes.append(assign("qq", f"c{t}", f"a{t + 1}"))
         ctes.append(update(f"a{t + 1}", f"c{t}", f"u{t + 1}", f"c{t + 1}"))
-    ctes.append(assign("qq", f"c{_KM_ITERS}", "af"))
+    ctes.append(assign("qq", f"c{iters}", "af"))
     return "WITH " + ",\n".join(ctes) + "\n"
 
 
