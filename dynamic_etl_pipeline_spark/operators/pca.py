@@ -212,6 +212,17 @@ def pc1_from_cells(rows, iters: int = 3):
     n = int(rows[0]["nn"])
     s_lin = {r["i"]: int(r["S"]) for r in rows if r["j"] == -1}
     d = len(s_lin)
+    # explicit driver-size contract (the pq_ann_topk max_queries
+    # convention): the collected frame is the d(d+1)/2 + d statistics
+    # grid, NEVER data-sized — a violation means a caller collected
+    # something that isn't a scatter-cell frame
+    expected = d * (d + 1) // 2 + d
+    if len(rows) != expected:
+        raise ValueError(
+            f"pc1_from_cells: got {len(rows)} rows for dim {d}; a "
+            f"scatter-cell frame has exactly {expected} (fixed-size "
+            "statistics, not data) — refusing a data-sized collect"
+        )
     M = [[0.0] * d for _ in range(d)]
     for r in rows:
         if r["j"] < 0:
