@@ -63,9 +63,18 @@ def asof_join_events_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
                      direction="forward")
 
 
+_MUTANT_CORPUS_SQL = """SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(tk[1:len(tk) - 1], ' ') AS text
+  FROM (SELECT doc_id, string_split(text, ' ') AS tk
+        FROM documents WHERE doc_id % 5 = 0)"""
+
+
 def _minhash_cte(num_perm: int = 64, bands: int = 16,
                  shingle_n: int = 3, threshold: float = 0.5,
-                 seed: int = 42) -> str:
+                 seed: int = 42,
+                 corpus_sql: str = _MUTANT_CORPUS_SQL) -> str:
     """Declarative twin of the full banded MinHash-LSH pipeline in
     portable-hash mode: md5-fold token hashes, the rolling 8191-
     polynomial shingle values, all Carter-Wegman permutation minima
@@ -104,12 +113,7 @@ def _minhash_cte(num_perm: int = 64, bands: int = 16,
     )
     return f"""
 WITH RECURSIVE corpus AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + 1000000 AS doc_id,
-         array_to_string(tk[1:len(tk) - 1], ' ') AS text
-  FROM (SELECT doc_id, string_split(text, ' ') AS tk
-        FROM documents WHERE doc_id % 5 = 0)
+  {corpus_sql}
 ),
 toks AS (
   SELECT doc_id,
@@ -198,7 +202,8 @@ def minhash_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).orderBy("id")
 
 
-def _simhash_oracle(max_hamming: int = 3, live_bits: int = 60) -> str:
+def _simhash_oracle(max_hamming: int = 3, live_bits: int = 60,
+                    corpus_sql: str = _MUTANT_CORPUS_SQL) -> str:
     """SQL twin of the portable-hash SimHash pipeline: md5-fold token
     hashes (60 live bits), strict-majority vote per bit position, the
     4 x 16-bit pigeonhole chunk join, bit_count(xor) verification."""
@@ -218,12 +223,7 @@ def _simhash_oracle(max_hamming: int = 3, live_bits: int = 60) -> str:
     )
     return f"""
 WITH corpus AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + 1000000 AS doc_id,
-         array_to_string(tk[1:len(tk) - 1], ' ') AS text
-  FROM (SELECT doc_id, string_split(text, ' ') AS tk
-        FROM documents WHERE doc_id % 5 = 0)
+  {corpus_sql}
 ),
 toks AS (
   SELECT doc_id,
