@@ -76,7 +76,10 @@ _FRONT = [
     "corpus_pack_sequences", "doc_quality_classifier", "doc_duplicate_spans",
     # streaming drains (real micro-batch engine, exact oracles) + the
     # newly-oracled custom stateful op (exact fixed-point state, r5)
-    "streaming_tumbling_rollup", "streaming_chained_windows",
+    # + the incremental near-dup index drain under the exact portable-
+    # hash MinHash oracle (r6 — newest work, rotated in over
+    # streaming_chained_windows which had been green since r4)
+    "streaming_tumbling_rollup", "streaming_minhash_index",
     "streaming_stream_stream_left_join", "streaming_user_running_totals",
     # UDTF / UDAF / grouping
     "udtf_doc_sentences", "udtf_session_summary", "udaf_geo_mean_price",

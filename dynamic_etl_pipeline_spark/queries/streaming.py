@@ -771,3 +771,80 @@ def streaming_scatter_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, mu, v = pc1_from_cells(cells, iters=_PC1_ITERS)
     e = load_table(spark, sf_dir, "embeddings")
     return project_pc1(_quantized(e, scale=_KM_SCALE), mu, v)
+
+
+def _streaming_minhash_oracle() -> str:
+    from .northstar import _minhash_oracle
+
+    return _minhash_oracle()
+
+
+@query("streaming_minhash_index", oracle=_streaming_minhash_oracle())
+def streaming_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental near-dup INDEX as a streaming drain under the
+    exact MinHash oracle: the mutant corpus (documents + truncated
+    copies, the minhash_near_dups construction) arrives as three
+    id-ordered micro-batches; each batch is signature-indexed and its
+    postings probe everything indexed before it (plus a batch-internal
+    self-join), so the accumulated pair set after the drain must equal
+    the one-shot batch LSH — which is exactly what the portable-hash
+    oracle computes declaratively. This is the "dedup new data against
+    the existing corpus" shape a streaming ingest pipeline runs: the
+    index accretes per batch (batch-addressed dirs, replay =
+    overwrite) and the old corpus is never re-signed.
+
+    Batches are staged id-ordered, so cross-batch pairs keep the
+    oracle's id_a < id_b orientation; batch-addressed output plus the
+    _STREAM_RUN fingerprint give exactly-once accumulation, covered by
+    the parametrized re-drain test in tests/test_sink_redrain.py."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+    from pathlib import Path
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..catalog import table_path
+    from ..streaming.sinks import maintain_dedup_index
+
+    src = table_path(sf_dir, "documents")
+    pdf = (
+        pq.read_table(src, columns=["doc_id", "text"])
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    mut = pdf[pdf["doc_id"] % 5 == 0].copy()
+    mut["doc_id"] += 1000000
+    # drop the last word — Python split(' ') keeps empty fields exactly
+    # like the oracle's string_split, so '' in == '' out
+    mut["text"] = mut["text"].map(lambda t: " ".join(t.split(" ")[:-1]))
+    half = len(pdf) // 2
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    stage = Path(tempfile.mkdtemp(prefix="mh_index_stage_"))
+    work = tempfile.mkdtemp(prefix="mh_index_store_")
+    try:
+        for i, b in enumerate((pdf.iloc[:half], pdf.iloc[half:], mut)):
+            tbl = pa.Table.from_pandas(
+                b[["doc_id", "text"]], schema=schema, preserve_index=False
+            )
+            dest = stage / f"{i:03d}_docs.parquet"
+            pq.write_table(tbl, str(dest))
+            now = _time.time() + i  # file source orders by mtime
+            os.utime(dest, (now, now))
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(stage))
+        )
+        pairs = maintain_dedup_index(
+            stream, f"{work}/store", f"{work}/ck",
+            portable_hash=True, max_postings_per_band=None,
+        )
+        rows = pairs.select("id_a", "id_b", "est_jaccard").collect()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "id_a long, id_b long, est_jaccard double"
+    )

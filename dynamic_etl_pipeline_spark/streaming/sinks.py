@@ -534,7 +534,8 @@ def apply_dedup_index_batch(batch_df, batch_id: int, store_dir: str,
                             num_perm: int = 64, bands: int = 16,
                             shingle_n: int = 3, threshold: float = 0.5,
                             seed: int = 42,
-                            max_postings_per_band: int | None = 4096) -> None:
+                            max_postings_per_band: int | None = 4096,
+                            portable_hash: bool = False) -> None:
     """One micro-batch of the incremental near-dup index (the
     foreachBatch body of maintain_dedup_index, callable directly for
     batch backfills).
@@ -579,9 +580,11 @@ def apply_dedup_index_batch(batch_df, batch_id: int, store_dir: str,
 
     sigs = minhash_signatures(
         batch_df, id_col, text_col, num_perm, shingle_n, seed,
-        udf_partitions=8,
+        udf_partitions=8, portable_hash=portable_hash,
     ).transform(materialize)
-    posts = band_postings(sigs, id_col, bands, r).transform(materialize)
+    posts = band_postings(
+        sigs, id_col, bands, r, portable=portable_hash
+    ).transform(materialize)
     probe = (
         _cap_postings(posts, max_postings_per_band)
         if max_postings_per_band is not None else posts

@@ -314,6 +314,59 @@ def test_distinct_rollup_sketch_equals_batch_twin(spark, sf_dir,
         assert abs(est - b_exact) <= max(1, 0.05 * b_exact), k
 
 
+@pytest.mark.parametrize("split_seed", [7, 19, 101])
+def test_incremental_dedup_index_split_invariance(spark, tmp_path, split_seed):
+    """Batch-boundary invariance: however a corpus is split into
+    micro-batches, the accumulated incremental index must emit exactly
+    the one-shot batch LSH pair set (same pairs, same est_jaccard) —
+    the incremental probe-against-store decomposition is an identity,
+    not an approximation. Pairs are orientation-normalized because the
+    incremental path orients cross-batch pairs (stored, new) while the
+    one-shot path sorts by id."""
+    import random
+
+    from dynamic_etl_pipeline_spark.operators.dedup import minhash_lsh_pairs
+    from dynamic_etl_pipeline_spark.streaming.sinks import apply_dedup_index_batch
+
+    rng = random.Random(split_seed)
+    words = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+             "juliet kilo lima mike november oscar papa quebec").split()
+    docs = []
+    for i in range(40):
+        base = rng.sample(words, 12)
+        docs.append((i, " ".join(base)))
+        if i % 4 == 0:  # near-dup: same doc with one word swapped
+            mut = list(base)
+            mut[rng.randrange(len(mut))] = "zulu"
+            docs.append((1000 + i, " ".join(mut)))
+    kw = dict(threshold=0.3, max_postings_per_band=None)
+
+    oneshot = minhash_lsh_pairs(
+        spark.createDataFrame(docs, "doc_id long, text string"),
+        "doc_id", "text", **kw,
+    )
+    want = {
+        tuple(sorted((r["id_a"], r["id_b"]))): r["est_jaccard"]
+        for r in oneshot.collect()
+    }
+
+    rng.shuffle(docs)
+    cuts = sorted(rng.sample(range(1, len(docs)), 2))
+    store = str(tmp_path / f"idx_{split_seed}")
+    for bid, (lo, hi) in enumerate(
+        zip((0, *cuts), (*cuts, len(docs)))
+    ):
+        batch = spark.createDataFrame(
+            docs[lo:hi], "doc_id long, text string")
+        apply_dedup_index_batch(batch, bid, store, **kw)
+    acc = spark.read.parquet(f"{store}/pairs/*")
+    got = {
+        tuple(sorted((r["id_a"], r["id_b"]))): r["est_jaccard"]
+        for r in acc.collect()
+    }
+    assert got == want
+
+
 def test_incremental_dedup_index_pairs_across_batches(spark, tmp_path):
     """Docs arriving in different micro-batches must still pair: batch 2
     contains a near-dup of a batch-1 doc — the index probe against the

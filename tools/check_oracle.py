@@ -29,6 +29,17 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # Bound the oracle's memory and give it a spill dir: the sweep runs
+    # next to a 32-thread Spark JVM, and DuckDB's default limit (80% of
+    # RAM) assumes it owns the host — under concurrent pressure a heavy
+    # oracle (corpus_semdedup at sf0.1) can abort with an allocator OOM
+    # instead of spilling. With an explicit limit + temp_directory it
+    # spills and finishes.
+    import tempfile
+
+    spill = tempfile.mkdtemp(prefix="duck_spill_")
+    con.execute("SET memory_limit='24GB'")
+    con.execute(f"SET temp_directory='{spill}'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
