@@ -11,6 +11,8 @@ bucketing depends on seeded hyperplanes.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -1009,4 +1011,152 @@ def ivf_exact_topk(candidates: DataFrame, queries: DataFrame, k: int = 10,
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("int"))
         .filter(F.col("rn") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Integer-exact product quantization: PQ-ADC where every stage —
+# subspace Lloyd's, code assignment, the asymmetric-distance LUT, and
+# the per-candidate distance sum — is exact BIGINT arithmetic, so the
+# full index + search pipeline can be held to a DuckDB value oracle
+# (pq_ann_topk above keeps the float codebooks + driver LUT matmul as
+# the production path, recall-tested).
+
+
+def _pq_books_literal(books: "list[list[list[int]]]") -> str:
+    """m x ksub x dsub integer codebooks as ONE parsed SQL literal
+    (array of arrays of arrays of BIGINT) — same py4j-avoidance trick
+    as the k-means centroid literal."""
+    return "array(" + ", ".join(
+        "array(" + ", ".join(
+            "array(" + ", ".join(f"{int(v)}L" for v in c) + ")"
+            for c in sub
+        ) + ")"
+        for sub in books
+    ) + ")"
+
+
+def _pq_exact_dists(base: DataFrame, books: "list[list[list[int]]]",
+                    sv_col: str = "sv") -> DataFrame:
+    """``_dists``: exact squared-L2 BIGINT distance of the row's
+    quantized subvector to every centroid of ITS subspace (``sid``
+    selects the codebook inside the literal) — integer zip_with fold,
+    whole-stage codegen, no UDF."""
+    lit = _pq_books_literal(books)
+    dists = (
+        f"transform(element_at({lit}, sid + 1), c -> aggregate("
+        f"zip_with({sv_col}, c, (x, m) -> (x - m) * (x - m)), "
+        "0L, (a, t) -> a + t))"
+    )
+    return base.withColumn("_dists", F.expr(dists))
+
+
+def _pq_exact_assign(base: DataFrame, books) -> DataFrame:
+    return _pq_exact_dists(base, books).withColumn(
+        "code",
+        F.expr("CAST(array_position(_dists, array_min(_dists)) - 1 AS INT)"),
+    ).drop("_dists")
+
+
+def _pq_subvector_rows(df: DataFrame, m: int, dsub: int, id_alias: str,
+                       id_col: str, vec_col: str, scale: int) -> DataFrame:
+    """(id, sid, sv) rows: the vector floor-quantized to BIGINTs and
+    split into m contiguous dsub-wide subvectors (one posexplode, no
+    shuffle)."""
+    qv = F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * F.lit(scale))
+    )
+    return (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias(id_alias), qv.alias("_qv"))
+        .select(
+            id_alias,
+            F.posexplode(F.array(*[
+                F.slice("_qv", j * dsub + 1, dsub) for j in range(m)
+            ])).alias("sid", "sv"),
+        )
+    )
+
+
+def pq_exact_topk(candidates: DataFrame, queries: DataFrame, k: int = 10,
+                  m: int = 8, ksub: int = 16, dim: int = 64,
+                  iters: int = 2, scale: int = 1_000_000,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  query_id_col: str = "query_id") -> DataFrame:
+    """PQ-ADC top-k with bit-deterministic, engine-portable arithmetic.
+
+    Determinism recipe (extends kmeans_exact_fit to m subspaces):
+    - vectors quantize to ``floor(x * scale)`` BIGINTs and split into m
+      dsub-wide subvectors;
+    - per-subspace seeds are the ksub lowest ids' quantized subvectors;
+    - Lloyd's updates keep centroids ON the integer grid:
+      ``floor(double(s) / double(c))`` — the operands are exact below
+      2**53 (asserted), the division is one correctly-rounded IEEE op,
+      so Python here and CAST-divide-floor in SQL produce the same
+      BIGINT;
+    - with integer centroids, assignment distances, the query-side ADC
+      LUT, and the per-candidate sum over subspaces are ALL exact
+      BIGINTs — no float appears anywhere after quantization, so there
+      is no fold-order or summation-order concern at all (unlike the
+      cosine queries, which need fold-matched rounding).
+
+    Scale shape: training is iters map passes (codebook literals inline
+    in codegen) + one (m*ksub*dsub)-cell hash aggregate each; encoding
+    is the same map pass; search touches candidates ONLY through their
+    (sid, code) rows — an equi-join against the (nq*m*ksub)-row LUT
+    frame and a (query, candidate) hash aggregate of m BIGINTs. The
+    float pq_ann_topk stays the high-throughput path (Arrow gather-sum,
+    per-batch top-k); this variant is its verification twin, the same
+    split as kmeans_centroids / kmeans_exact_fit."""
+    dsub = dim // m
+    assert dsub * m == dim, "dim must divide evenly into m subspaces"
+    base = materialize(_pq_subvector_rows(
+        candidates, m, dsub, id_col, id_col, vec_col, scale))
+
+    w = Window.partitionBy("sid").orderBy(id_col)
+    seed_rows = (
+        base.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= ksub)
+        .select("sid", "_rn", "sv")
+        .collect()
+    )
+    books: list[list[list[int]]] = [
+        [[0] * dsub for _ in range(ksub)] for _ in range(m)
+    ]
+    for r in seed_rows:
+        books[r["sid"]][r["_rn"] - 1] = [int(v) for v in r["sv"]]
+
+    for _ in range(iters):
+        assigned = _pq_exact_assign(base, books)
+        cells = (
+            assigned.select("sid", "code", F.posexplode("sv").alias("i", "x"))
+            .groupBy("sid", "code", "i")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("c"))
+            .collect()
+        )
+        for r in cells:  # empty cells keep their previous centroid
+            s, c = int(r["s"]), int(r["c"])
+            assert abs(s) < 2**53 and c < 2**53, (
+                "pq_exact_topk centroid update operands exceed exact "
+                "double range; lower `scale` or shard the corpus"
+            )
+            books[r["sid"]][r["code"]][r["i"]] = math.floor(s / c)
+
+    codes = _pq_exact_assign(base, books).select(id_col, "sid", "code")
+    qsub = _pq_subvector_rows(queries, m, dsub, "_qid", query_id_col,
+                              vec_col, scale)
+    lut = _pq_exact_dists(qsub, books).select(
+        "_qid", "sid", F.posexplode("_dists").alias("code", "d2")
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["sid", "code"])
+        .filter(F.col(id_col) != F.col("_qid"))
+        .groupBy("_qid", id_col)
+        .agg(F.sum("d2").alias("d2"))
+    )
+    wk = Window.partitionBy("_qid").orderBy(F.asc("d2"), F.asc(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(wk).cast("int"))
+        .filter(F.col("rn") <= k)
+        .select(F.col("_qid").alias(query_id_col), id_col, "d2", "rn")
     )

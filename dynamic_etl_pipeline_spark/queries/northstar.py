@@ -575,6 +575,106 @@ def pq_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_ann_topk(e, queries, k=10, m=16, ksub=32, dim=64)
 
 
+def _pq_oracle(k: int = 10, m: int = 8, ksub: int = 16, dim: int = 64,
+               iters: int = 2) -> str:
+    """SQL twin of the integer-exact PQ: quantize -> split into m
+    subvectors -> per-subspace Lloyd's with INTEGER-GRID centroids
+    (floor of the same IEEE division the engine computes) -> codes ->
+    query-side ADC LUT -> per-candidate BIGINT distance sum -> top-k.
+    All-integer after quantization, so no fold/summation order can
+    differ between engines."""
+    from .vectors import _KM_SCALE
+
+    dsub = dim // m
+    qv = "[" + ", ".join(
+        f"CAST(floor(CAST(embedding[{i + 1}] AS DOUBLE) * {_KM_SCALE}) AS BIGINT)"
+        for i in range(dim)
+    ) + "]"
+    dist = " + ".join(
+        f"(q.sv[{i + 1}] - c.cm[{i + 1}]) * (q.sv[{i + 1}] - c.cm[{i + 1}])"
+        for i in range(dsub)
+    )
+
+    def assign(src: str, cent: str, out: str, keep_sv: bool) -> str:
+        cols = "vec_id, sid" + (", sv" if keep_sv else "") + ", code"
+        return (
+            f"{out} AS (\n"
+            f"  SELECT {cols} FROM (\n"
+            f"    SELECT q.vec_id, q.sid, q.sv, c.j AS code,\n"
+            f"           row_number() OVER (PARTITION BY q.vec_id, q.sid\n"
+            f"                              ORDER BY {dist}, c.j) AS rn\n"
+            f"    FROM {src} q JOIN {cent} c ON c.sid = q.sid)\n"
+            f"  WHERE rn = 1)"
+        )
+
+    def update(src: str, prev: str, upd: str, cent: str) -> str:
+        sums = ", ".join(f"sum(sv[{i + 1}]) AS s{i}" for i in range(dsub))
+        mu = "[" + ", ".join(
+            f"CAST(floor(CAST(u.s{i} AS DOUBLE) / CAST(u.c AS DOUBLE)) AS BIGINT)"
+            for i in range(dsub)
+        ) + "]"
+        return (
+            f"{upd} AS (SELECT sid, code AS j, count(*) AS c, {sums}\n"
+            f"        FROM {src} GROUP BY sid, code),\n"
+            f"{cent} AS (SELECT p.sid, p.j, CASE WHEN u.j IS NULL THEN p.cm\n"
+            f"                            ELSE {mu} END AS cm\n"
+            f"        FROM {prev} p LEFT JOIN {upd} u\n"
+            f"          ON p.sid = u.sid AND p.j = u.j)"
+        )
+
+    ctes = [
+        f"q0 AS (SELECT vec_id, {qv} AS qv FROM embeddings\n"
+        f"       WHERE embedding IS NOT NULL)",
+        f"sq AS (SELECT vec_id, s.sid,\n"
+        f"              list_slice(qv, s.sid * {dsub} + 1,\n"
+        f"                         s.sid * {dsub} + {dsub}) AS sv\n"
+        f"       FROM q0 CROSS JOIN (SELECT unnest(range({m})) AS sid) s)",
+        f"c0 AS (SELECT sid, CAST(rn - 1 AS INT) AS j, sv AS cm FROM (\n"
+        f"         SELECT sid, sv,\n"
+        f"                row_number() OVER (PARTITION BY sid\n"
+        f"                                   ORDER BY vec_id) AS rn\n"
+        f"         FROM sq) WHERE rn <= {ksub})",
+    ]
+    for t in range(iters):
+        ctes.append(assign("sq", f"c{t}", f"a{t + 1}", keep_sv=True))
+        ctes.append(update(f"a{t + 1}", f"c{t}", f"u{t + 1}", f"c{t + 1}"))
+    ctes.append(assign("sq", f"c{iters}", "codes", keep_sv=False))
+    return "WITH " + ",\n".join(ctes) + f""",
+lut AS (
+  SELECT q.vec_id AS query_id, c.sid, c.j AS code, {dist} AS d2
+  FROM sq q JOIN c{iters} c ON c.sid = q.sid
+  WHERE q.vec_id < 5),
+scored AS (
+  SELECT l.query_id, cd.vec_id, CAST(sum(l.d2) AS BIGINT) AS d2
+  FROM codes cd
+  JOIN lut l ON l.sid = cd.sid AND l.code = cd.code
+  WHERE cd.vec_id <> l.query_id
+  GROUP BY l.query_id, cd.vec_id)
+SELECT query_id, vec_id, d2, CAST(rn AS INT) AS rn
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY d2, vec_id) AS rn
+      FROM scored)
+WHERE rn <= {k}"""
+
+
+@query("pq_ann_topk_exact", oracle=_pq_oracle())
+def pq_ann_topk_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC nearest neighbors on the INTEGER-EXACT quantizer — the
+    last ANN family member gets a full value oracle: subspace Lloyd's,
+    code assignment, the asymmetric-distance LUT, and the per-candidate
+    distance sum are all exact BIGINT arithmetic, so DuckDB re-derives
+    the entire index + search pipeline bit-for-bit (operators/knn.py::
+    pq_exact_topk; the float/Arrow pq_ann_topk above remains the
+    production scale path with recall coverage)."""
+    from ..operators.knn import pq_exact_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_exact_topk(e, queries, k=10, m=8, ksub=16, dim=64)
+
+
 def _semdedup_oracle() -> str:
     from .vectors import _km_cte_chain
 

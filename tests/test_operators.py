@@ -481,6 +481,41 @@ def test_pq_codes_shape_and_determinism(spark, sf_dir):
     assert rows == rows2
 
 
+def test_pq_exact_finds_planted_duplicate_at_rank_one(spark, sf_dir):
+    """A query whose exact duplicate exists in the corpus must retrieve
+    it at rank 1: identical vectors quantize to identical subvectors,
+    which encode to the query's own argmin codes — so the duplicate
+    attains the minimum possible ADC distance in every subspace
+    simultaneously (ties go to lower vec_id, and sharing all m codes by
+    chance is ~16^-8 per pair on iid embeddings). Also pins re-run
+    determinism — integer arithmetic leaves no room for drift."""
+    from dynamic_etl_pipeline_spark.operators.knn import pq_exact_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # plant duplicates: vec_ids 0..4 copied under ids 9000..9004
+    dup = e.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 9000).alias("vec_id"), "embedding",
+        *[c for c in e.columns if c not in ("vec_id", "embedding")],
+    )
+    corpus = e.unionByName(dup)
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = pq_exact_topk(corpus, queries, k=3, m=8, ksub=16, dim=64)
+    rows = got.collect()
+    top1 = {r["query_id"]: (r["vec_id"], r["d2"]) for r in rows
+            if r["rn"] == 1}
+    for q in range(5):
+        v, d2 = top1[q]
+        assert v == q + 9000, (q, v, d2)
+        # and nothing in the corpus scores strictly below the duplicate
+        assert all(r["d2"] >= d2 for r in rows if r["query_id"] == q)
+    rows2 = pq_exact_topk(corpus, queries, k=3, m=8, ksub=16, dim=64).collect()
+    key = lambda rs: sorted((r["query_id"], r["vec_id"], r["d2"], r["rn"])
+                            for r in rs)
+    assert key(rows) == key(rows2)
+
+
 # ---------------------------------------------------------------------------
 # SemDeDup
 # ---------------------------------------------------------------------------
