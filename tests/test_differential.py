@@ -1009,3 +1009,54 @@ def test_random_ignore_nulls_navigation_agrees(spark, duck, null_tables,
     ).fetchone()
     assert (int(s_row["cs"]), s_row["nv"]) == (int(d_row[0]), d_row[1]), (
         s_fn, part, frame)
+
+
+# ---------------------------------------------------------------------------
+# Integer-exact PQ-ADC: random hyperparameters vs the generated oracle
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def embeddings_duck_view(sf_dir, duck):
+    duck.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+
+
+@pytest.mark.parametrize("seed", [3, 17, 29])
+def test_random_pq_exact_specs_agree(spark, duck, embeddings_duck_view,
+                                     sf_dir, seed):
+    """The integer-exact PQ pipeline under RANDOM hyperparameters must
+    match the parameterized oracle generator bit-for-bit — the gate
+    pins one (m, ksub, iters) configuration; this catches bugs that
+    only appear at other subspace widths / codebook sizes / iteration
+    counts (slice indexing, seed windows, empty-cell carry)."""
+    import random as _random
+
+    from dynamic_etl_pipeline_spark.operators.knn import pq_exact_topk
+    from dynamic_etl_pipeline_spark.queries.northstar import _pq_oracle
+
+    rng = _random.Random(seed)
+    m = rng.choice([4, 8, 16])
+    ksub = rng.choice([4, 8, 16])
+    iters = rng.choice([1, 2, 3])
+    k = rng.choice([3, 10])
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {
+        (r["query_id"], r["vec_id"]): (r["d2"], r["rn"])
+        for r in pq_exact_topk(
+            e, queries, k=k, m=m, ksub=ksub, dim=64, iters=iters
+        ).collect()
+    }
+    want = {
+        (q, v): (d2, rn)
+        for q, v, d2, rn in duck.execute(
+            _pq_oracle(k=k, m=m, ksub=ksub, dim=64, iters=iters)
+        ).fetchall()
+    }
+    assert got == want, (m, ksub, iters, k)
