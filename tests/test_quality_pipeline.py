@@ -78,6 +78,20 @@ def test_pipeline_end_to_end_with_evolution(spark, tmp_path, fixtures_dir):
     assert r3.schema_version == 3
     assert r3.n_with_issues >= 1  # rows missing 'tag'/'extra' flagged
 
+    # the document formats flow through the SAME pipeline end to end —
+    # vendored extractors, no injected fakes (reference app.py handles
+    # all six formats through one upload path; rounds 1-5 could only
+    # test txt/csv/json/xml here)
+    before_docs = pipe.records().count()
+    r4 = pipe.ingest(str(fixtures_dir / "sample_classic.pdf"))
+    assert r4.n_records == 3  # one record per page
+    r5 = pipe.ingest(str(fixtures_dir / "sample.docx"))
+    assert r5.n_records == 3  # one record per non-empty paragraph
+    pdf_rec = pipe.records().filter(
+        F.col("content").contains("Invoice (No. 42)")).first()
+    assert pdf_rec is not None
+    assert pipe.records().count() == before_docs + 3 + 3
+
 
 def test_pipeline_browse_latest(spark, tmp_path, fixtures_dir):
     pipe = EtlPipeline(spark, str(tmp_path / "store"))
