@@ -431,3 +431,16 @@ def test_kmeans_exact_assignment_jvm_only_no_cartesian(spark, sf_dir):
     assert not has_operator(df, "CartesianProduct"), plan
     assert not has_operator(df, "BroadcastNestedLoopJoin"), plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pq_exact_search_jvm_only_equi_join(spark, sf_dir):
+    """The integer-exact PQ query's search stage must stay JVM-side
+    (codebook literals in codegen, no PythonUDF) and the codes-vs-LUT
+    join must be a broadcast equi-join on (sid, code) — never a
+    cartesian/BNLJ over the corpus."""
+    df = QUERIES["pq_ann_topk_exact"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert python_eval_count(df) == 0, plan
+    assert not has_operator(df, "CartesianProduct"), plan
+    assert not has_operator(df, "BroadcastNestedLoopJoin"), plan
+    assert "BroadcastHashJoin" in plan, plan
