@@ -1120,8 +1120,15 @@ def pq_exact_topk(candidates: DataFrame, queries: DataFrame, k: int = 10,
         .select("sid", "_rn", "sv")
         .collect()
     )
+    if not seed_rows:
+        raise ValueError("pq_exact_topk: no non-null vectors")
+    # a corpus smaller than ksub seeds fewer centroids — size the
+    # codebooks to the seeds actually found (the oracle's seed CTE
+    # materializes only existing rows; zero-padded phantom centroids
+    # would diverge from it)
+    n_seeds = max(r["_rn"] for r in seed_rows)
     books: list[list[list[int]]] = [
-        [[0] * dsub for _ in range(ksub)] for _ in range(m)
+        [[0] * dsub for _ in range(n_seeds)] for _ in range(m)
     ]
     for r in seed_rows:
         books[r["sid"]][r["_rn"] - 1] = [int(v) for v in r["sv"]]

@@ -1060,3 +1060,38 @@ def test_random_pq_exact_specs_agree(spark, duck, embeddings_duck_view,
         ).fetchall()
     }
     assert got == want, (m, ksub, iters, k)
+
+
+def test_pq_exact_tiny_corpus_fewer_vectors_than_codebook(spark, sf_dir):
+    """Corpus smaller than ksub: only as many centroids exist as seed
+    rows — the engine must not rank against zero-padded phantom
+    centroids the oracle never materializes (regression: the codebook
+    array was preallocated at ksub)."""
+    from dynamic_etl_pipeline_spark.operators.knn import pq_exact_topk
+    from dynamic_etl_pipeline_spark.queries.northstar import _pq_oracle
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 6
+    )
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {
+        (r["query_id"], r["vec_id"]): (r["d2"], r["rn"])
+        for r in pq_exact_topk(
+            e, queries, k=3, m=8, ksub=16, dim=64, iters=2
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet') WHERE vec_id < 6"
+    )
+    want = {
+        (q, v): (d2, rn)
+        for q, v, d2, rn in con.execute(
+            _pq_oracle(k=3, m=8, ksub=16, dim=64, iters=2)
+        ).fetchall()
+    }
+    con.close()
+    assert got == want
