@@ -1095,3 +1095,34 @@ def test_pq_exact_tiny_corpus_fewer_vectors_than_codebook(spark, sf_dir):
     }
     con.close()
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [5, 23])
+def test_random_kmeans_exact_specs_agree(spark, duck, embeddings_duck_view,
+                                         sf_dir, seed):
+    """The exact k-means chain under RANDOM (k, iters) — the registered
+    query pins one configuration and the IVF/PQ oracles exercise two
+    more, all fixed; this fuzzes the parameterized CTE generator
+    itself (seed-window width, iteration unrolling, empty-cluster
+    carry at small k / high iters)."""
+    import random as _random
+
+    from dynamic_etl_pipeline_spark.operators.knn import kmeans_exact_assign
+    from dynamic_etl_pipeline_spark.queries.vectors import _km_cte_chain
+
+    rng = _random.Random(seed)
+    k = rng.choice([2, 5, 12])
+    iters = rng.choice([1, 3, 4])
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = {
+        r["vec_id"]: r["cluster_id"]
+        for r in kmeans_exact_assign(
+            e, n_centroids=k, iters=iters
+        ).select("vec_id", "cluster_id").collect()
+    }
+    want = dict(duck.execute(
+        _km_cte_chain(k=k, iters=iters)
+        + "SELECT vec_id, cluster_id FROM af"
+    ).fetchall())
+    assert got == want, (k, iters)
