@@ -1126,3 +1126,38 @@ def test_random_kmeans_exact_specs_agree(spark, duck, embeddings_duck_view,
         + "SELECT vec_id, cluster_id FROM af"
     ).fetchall())
     assert got == want, (k, iters)
+
+
+@pytest.mark.parametrize("seed", [11, 41])
+def test_random_mmr_specs_agree(spark, duck, embeddings_duck_view,
+                                sf_dir, seed):
+    """Greedy MMR under RANDOM (k, pool, lam): the oracle unrolls the
+    selection into k argmax CTEs from the same parameters — fuzzing
+    the generator catches unroll-depth and lambda-literal bugs beyond
+    the registered query's single (10, 32, 0.7) configuration."""
+    import random as _random
+
+    from dynamic_etl_pipeline_spark.operators.knn import mmr_rerank
+    from dynamic_etl_pipeline_spark.queries.northstar import _mmr_oracle
+
+    rng = _random.Random(seed)
+    k = rng.choice([2, 4, 7])
+    pool = rng.choice([8, 16, 24])
+    lam = rng.choice([0.3, 0.5, 0.9])
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {
+        (r["query_id"], r["mmr_rank"]): (r["vec_id"], r["cos_sim"],
+                                         r["mmr_score"])
+        for r in mmr_rerank(e, queries, k=k, pool=pool, lam=lam).collect()
+    }
+    want = {
+        (q, rk): (v, cs, sc)
+        for q, v, cs, rk, sc in duck.execute(
+            _mmr_oracle(k=k, pool=pool, lam=lam)
+        ).fetchall()
+    }
+    assert got == want, (k, pool, lam)
