@@ -597,8 +597,10 @@ def _pq_oracle(k: int = 10, m: int = 8, ksub: int = 16, dim: int = 64,
 
     def assign(src: str, cent: str, out: str, keep_sv: bool) -> str:
         cols = "vec_id, sid" + (", sv" if keep_sv else "") + ", code"
+        # MATERIALIZED throughout the chain: same multiplicative CTE
+        # re-inlining hazard as _km_cte_chain (see the note there)
         return (
-            f"{out} AS (\n"
+            f"{out} AS MATERIALIZED (\n"
             f"  SELECT {cols} FROM (\n"
             f"    SELECT q.vec_id, q.sid, q.sv, c.j AS code,\n"
             f"           row_number() OVER (PARTITION BY q.vec_id, q.sid\n"
@@ -614,22 +616,22 @@ def _pq_oracle(k: int = 10, m: int = 8, ksub: int = 16, dim: int = 64,
             for i in range(dsub)
         ) + "]"
         return (
-            f"{upd} AS (SELECT sid, code AS j, count(*) AS c, {sums}\n"
+            f"{upd} AS MATERIALIZED (SELECT sid, code AS j, count(*) AS c, {sums}\n"
             f"        FROM {src} GROUP BY sid, code),\n"
-            f"{cent} AS (SELECT p.sid, p.j, CASE WHEN u.j IS NULL THEN p.cm\n"
+            f"{cent} AS MATERIALIZED (SELECT p.sid, p.j, CASE WHEN u.j IS NULL THEN p.cm\n"
             f"                            ELSE {mu} END AS cm\n"
             f"        FROM {prev} p LEFT JOIN {upd} u\n"
             f"          ON p.sid = u.sid AND p.j = u.j)"
         )
 
     ctes = [
-        f"q0 AS (SELECT vec_id, {qv} AS qv FROM embeddings\n"
+        f"q0 AS MATERIALIZED (SELECT vec_id, {qv} AS qv FROM embeddings\n"
         f"       WHERE embedding IS NOT NULL)",
-        f"sq AS (SELECT vec_id, s.sid,\n"
+        f"sq AS MATERIALIZED (SELECT vec_id, s.sid,\n"
         f"              list_slice(qv, s.sid * {dsub} + 1,\n"
         f"                         s.sid * {dsub} + {dsub}) AS sv\n"
         f"       FROM q0 CROSS JOIN (SELECT unnest(range({m})) AS sid) s)",
-        f"c0 AS (SELECT sid, CAST(rn - 1 AS INT) AS j, sv AS cm FROM (\n"
+        f"c0 AS MATERIALIZED (SELECT sid, CAST(rn - 1 AS INT) AS j, sv AS cm FROM (\n"
         f"         SELECT sid, sv,\n"
         f"                row_number() OVER (PARTITION BY sid\n"
         f"                                   ORDER BY vec_id) AS rn\n"

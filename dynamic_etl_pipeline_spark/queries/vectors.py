@@ -703,8 +703,14 @@ def _km_cte_chain(k: int = _KM_K, iters: int = _KM_ITERS) -> str:
     )
 
     def assign(src: str, cent: str, out: str) -> str:
+        # MATERIALIZED: every a{t}/c{t} is referenced by the next
+        # iteration's assign AND update — without the hint DuckDB
+        # inlines single-use CTEs and the chain's evaluation tree
+        # grows multiplicatively with iteration depth (observed as an
+        # allocator OOM at iters=3 in the fuzz; the frames themselves
+        # are k- or n-row tiny)
         return (
-            f"{out} AS (\n"
+            f"{out} AS MATERIALIZED (\n"
             f"  SELECT vec_id, qv, qd, cluster_id FROM (\n"
             f"    SELECT q.vec_id, q.qv, q.qd, c.j AS cluster_id,\n"
             f"           row_number() OVER (PARTITION BY q.vec_id\n"
@@ -718,18 +724,20 @@ def _km_cte_chain(k: int = _KM_K, iters: int = _KM_ITERS) -> str:
             f"CAST(u.s{i} AS DOUBLE) / CAST(u.c AS DOUBLE)" for i in range(d)
         ) + "]"
         return (
-            f"{upd} AS (SELECT cluster_id AS j, count(*) AS c, {sums}\n"
+            f"{upd} AS MATERIALIZED (SELECT cluster_id AS j, count(*) AS c, {sums}\n"
             f"        FROM {src} GROUP BY cluster_id),\n"
-            f"{cent} AS (SELECT p.j, CASE WHEN u.j IS NULL THEN p.m\n"
+            f"{cent} AS MATERIALIZED (SELECT p.j, CASE WHEN u.j IS NULL THEN p.m\n"
             f"                            ELSE {mu} END AS m\n"
             f"        FROM {prev} p LEFT JOIN {upd} u ON p.j = u.j)"
         )
 
     ctes = [
-        f"q0 AS (SELECT vec_id, {qv} AS qv FROM embeddings\n"
+        f"q0 AS MATERIALIZED (SELECT vec_id, {qv} AS qv FROM embeddings\n"
         f"       WHERE embedding IS NOT NULL)",
-        "qq AS (SELECT vec_id, qv, CAST(qv AS DOUBLE[]) AS qd FROM q0)",
-        f"c0 AS (SELECT CAST(rn - 1 AS INT) AS j, CAST(qv AS DOUBLE[]) AS m\n"
+        "qq AS MATERIALIZED (SELECT vec_id, qv, CAST(qv AS DOUBLE[]) AS qd"
+        " FROM q0)",
+        f"c0 AS MATERIALIZED (SELECT CAST(rn - 1 AS INT) AS j,"
+        f" CAST(qv AS DOUBLE[]) AS m\n"
         f"       FROM (SELECT qv, row_number() OVER (ORDER BY vec_id) AS rn\n"
         f"             FROM q0 ORDER BY vec_id LIMIT {k}))",
     ]

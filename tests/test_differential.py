@@ -47,8 +47,17 @@ def _predicate(rng: random.Random, depth: int = 0) -> str:
 
 
 @pytest.fixture(scope="module")
-def duck(sf_dir):
+def duck(sf_dir, tmp_path_factory):
     con = duckdb.connect()
+    # bounded memory + spill dir: the suite runs next to a 32-thread
+    # Spark JVM, and DuckDB's default limit (80% of RAM) assumes it
+    # owns the host — heavy oracles (unrolled IVF/PQ chains) abort
+    # with allocator OOMs under concurrent pressure instead of
+    # spilling (same hardening as tools/check_oracle.py)
+    con.execute("SET memory_limit='8GB'")
+    con.execute(
+        f"SET temp_directory='{tmp_path_factory.mktemp('duck_spill')}'"
+    )
     con.execute(
         f"CREATE VIEW orders AS SELECT * FROM "
         f"read_parquet('{sf_dir}/orders.parquet')"
@@ -1161,3 +1170,70 @@ def test_random_mmr_specs_agree(spark, duck, embeddings_duck_view,
         ).fetchall()
     }
     assert got == want, (k, pool, lam)
+
+
+@pytest.mark.parametrize("seed", [13, 37])
+def test_random_pca_topk_specs_agree(spark, duck, embeddings_duck_view,
+                                     sf_dir, seed):
+    """Deflated power iteration under RANDOM (k, iters): every pc value
+    must be bit-identical to the oracle generated from the same
+    parameters — fuzzing the deflation unroll beyond the registered
+    (2, 8) configuration."""
+    import random as _random
+
+    from dynamic_etl_pipeline_spark.operators.pca import power_iteration_topk
+    from dynamic_etl_pipeline_spark.queries.vectors import _pca_topk_oracle
+
+    rng = _random.Random(seed)
+    k = rng.choice([1, 3])
+    iters = rng.choice([2, 5, 8])
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cols = [f"pc{i + 1}" for i in range(k)]
+    got = {
+        r["vec_id"]: tuple(r[c] for c in cols)
+        for r in power_iteration_topk(e, k=k, iters=iters).collect()
+    }
+    # oracle selects (vec_id, label, pc1..pck) — drop the label column
+    want = {
+        row[0]: tuple(row[2:])
+        for row in duck.execute(_pca_topk_oracle(k=k, iters=iters)).fetchall()
+    }
+    assert got == want, (k, iters)
+
+
+@pytest.mark.parametrize("seed", [7, 31])
+def test_random_ivf_exact_specs_agree(spark, duck, embeddings_duck_view,
+                                      sf_dir, seed):
+    """Integer-exact IVF under RANDOM (k, n_centroids, n_probe, iters):
+    quantizer training, probe selection and rounded-cosine ranking all
+    re-derived by the oracle at the same parameters."""
+    import random as _random
+
+    from dynamic_etl_pipeline_spark.operators.knn import ivf_exact_topk
+    from dynamic_etl_pipeline_spark.queries.northstar import _ivf_oracle
+
+    rng = _random.Random(seed)
+    k = rng.choice([3, 10])
+    n_centroids = rng.choice([4, 8, 16])
+    n_probe = rng.choice([1, 2, min(4, n_centroids)])
+    iters = rng.choice([1, 3])
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {
+        (r["query_id"], r["rn"]): (r["vec_id"], r["cos_sim"])
+        for r in ivf_exact_topk(
+            e, queries, k=k, n_centroids=n_centroids,
+            n_probe=n_probe, iters=iters,
+        ).collect()
+    }
+    want = {
+        (q, rn): (v, cs)
+        for q, v, cs, rn in duck.execute(_ivf_oracle(
+            k=k, n_centroids=n_centroids, n_probe=n_probe, iters=iters,
+        )).fetchall()
+    }
+    assert got == want, (k, n_centroids, n_probe, iters)
