@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..catalog import load_table
+from ..operators.sessionize import sessionize_events
 from ..operators.twolevel import two_level_running_sum
 from ._helpers import dsum
 from .registry import query
@@ -123,6 +124,45 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(0),
     )
     numbered = flagged.withColumn("session_seq", F.sum("new_session").over(w_run))
+    return (
+        numbered.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+
+
+@query("events_sessionize_skew_safe", oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_seq
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM numbered GROUP BY user_id, session_seq
+""")
+def events_sessionize_skew_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`events_sessionize` under the skew-resilient decomposition
+    (operators/sessionize.py): identical sessions from the identical
+    oracle, but no window is ever partitioned by user_id alone over
+    the event frame — lag and the session counter both decompose over
+    the epoch-day bucket, so one hot user parallelizes across days
+    instead of serializing into one task. The hot-key stall this
+    removes is measured in SCALING.md (50%-hot-key corpus)."""
+    ev = load_table(spark, sf_dir, "events")
+    numbered = sessionize_events(ev, "30 minutes")
     return (
         numbered.groupBy("user_id", "session_seq")
         .agg(
