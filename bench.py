@@ -73,6 +73,7 @@ HEADLINE = [
     "embedding_kmeans_exact",   # integer-exact Lloyd's k-means, full oracle (round 5)
     "embedding_pc1_power_iteration",  # exact scatter aggregate + driver power rounds (round 5)
     "copurchase_communities",   # unrolled label-propagation rounds, all-integer (round 5)
+    "events_sessionize_skew_safe",  # bucket-decomposed hot-key sessionization (round 6)
 ]
 
 
