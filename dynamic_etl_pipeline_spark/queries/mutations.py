@@ -146,8 +146,19 @@ def sql_recursive_supplier_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier's ancestor chain in the implicit binary tree key/2 until
     the root — an iterative fixpoint the ENGINE drives (each recursion
     step is a distributed join/union, no driver loop). The only SQL
-    dialect difference is integer division spelling (DIV vs //)."""
+    dialect difference is integer division spelling (DIV vs //).
+
+    Scale note: Spark guards recursive CTEs with a TOTAL-row safety
+    limit (spark.sql.cteRecursionRowLimit, default 1M) — an
+    interactive-mistake tripwire, not a semantic bound, and the first
+    thing the 100x corpus run broke (100k suppliers x ~16 levels =
+    1.57M chain rows). This recursion provably terminates (the
+    ancestor halves every level, so depth <= 64 << the 100-level
+    limit, which stays in force as the real runaway guard) and its
+    row count is linear in |supplier| x key width, so the row guard
+    is raised to keep the level guard as the only backstop."""
     register_views(spark, sf_dir)
+    spark.conf.set("spark.sql.cteRecursionRowLimit", 2_000_000_000)
     return spark.sql(_RECURSIVE_SPARK)
 
 

@@ -479,3 +479,33 @@ Output [1]: [a]
         plan.replace("Join condition: (_stop_nd > 3)", "")) == 1
     assert _nested_loops_in(
         plan + "\n(4) CartesianProduct\n") == 1
+
+
+def test_recursive_cte_scales_past_default_row_limit(spark, monkeypatch):
+    """100x-corpus catch (round 6): Spark's recursive-CTE row guard
+    (spark.sql.cteRecursionRowLimit, default 1M) killed
+    sql_recursive_supplier_chain at 100k suppliers (~1.57M chain
+    rows). The query function must raise the guard itself — the
+    driver runs it on a vanilla session, so a session-builder conf
+    would not survive. 120k synthetic suppliers ≈ 1.99M chain rows
+    exceed the default; the depth bound (<= 64 halvings) keeps the
+    level guard in force."""
+    from dynamic_etl_pipeline_spark.queries import mutations
+
+    old = spark.conf.get("spark.sql.cteRecursionRowLimit")
+    spark.conf.set("spark.sql.cteRecursionRowLimit", 1_000_000)
+    monkeypatch.setattr(
+        mutations, "register_views",
+        lambda s, d: s.range(1, 120_001)
+        .selectExpr("id AS s_suppkey")
+        .createOrReplaceTempView("supplier"),
+    )
+    try:
+        out = mutations.sql_recursive_supplier_chain(spark, "ignored")
+        from pyspark.sql import functions as F
+
+        total = out.agg(F.sum("n_chain_rows").alias("t")).collect()[0]["t"]
+        assert total > 1_000_000  # would have tripped the default guard
+    finally:
+        spark.conf.set("spark.sql.cteRecursionRowLimit", old)
+        spark.catalog.dropTempView("supplier")
