@@ -12,11 +12,19 @@ Streaming drains are included (they run real micro-batches over temp
 checkpoints); anything raising is reported with its root exception
 line. Exit 1 if any query fails.
 
+A per-query watchdog (SPARK_SMOKE_TIMEOUT seconds, default 900)
+cancels the query's job group and records TIMEOUT instead of letting
+one known-quadratic baseline (e.g. embedding_near_dup_dedup, whose
+docstring routes corpus scale to the LSH candidate path) stall the
+whole pass.
+
 Usage: python tools/scale_smoke.py [sf_dir] [name_filter...]
 """
 from __future__ import annotations
 
+import os
 import sys
+import threading
 import time
 import traceback
 from pathlib import Path
@@ -27,16 +35,23 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfscale/sf10"
     only = set(sys.argv[2:])
+    limit = float(os.environ.get("SPARK_SMOKE_TIMEOUT", "900"))
 
     import __spark_entry__ as entry
     from dynamic_etl_pipeline_spark.session import get_spark
 
     spark = get_spark("scale-smoke")
+    sc = spark.sparkContext
     qs = entry.queries()
     names = [n for n in sorted(qs) if not only or n in only]
     failed: list[str] = []
+    timed_out: list[str] = []
     for i, name in enumerate(names, 1):
         t0 = time.monotonic()
+        sc.setJobGroup(name, f"scale_smoke:{name}", interruptOnCancel=True)
+        watchdog = threading.Timer(limit, sc.cancelJobGroup, [name])
+        watchdog.daemon = True
+        watchdog.start()
         try:
             qs[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
@@ -46,14 +61,21 @@ def main() -> int:
                   flush=True)
         except Exception as exc:  # noqa: BLE001 — report and continue
             dt = time.monotonic() - t0
-            root = traceback.format_exception_only(type(exc), exc)[-1]
-            print(f"FAIL  {name}: {dt:.1f}s  {root.strip()[:300]}",
-                  flush=True)
-            failed.append(name)
+            if dt >= limit:
+                print(f"TIME  {name}: cancelled at {dt:.0f}s  "
+                      f"[{i}/{len(names)}]", flush=True)
+                timed_out.append(name)
+            else:
+                root = traceback.format_exception_only(type(exc), exc)[-1]
+                print(f"FAIL  {name}: {dt:.1f}s  {root.strip()[:300]}",
+                      flush=True)
+                failed.append(name)
         finally:
+            watchdog.cancel()
+            sc.setJobGroup("", "")
             spark.catalog.clearCache()
-    print(f"\n{len(names) - len(failed)}/{len(names)} ok; "
-          f"failed: {failed or 'none'}")
+    print(f"\n{len(names) - len(failed) - len(timed_out)}/{len(names)} ok; "
+          f"failed: {failed or 'none'}; timed out: {timed_out or 'none'}")
     return 1 if failed else 0
 
 
