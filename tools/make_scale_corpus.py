@@ -74,8 +74,18 @@ def build(replicas: int, out_dir: Path) -> None:
                     tbl = tbl.set_column(idx, tbl.schema.field(idx), shifted)
                 tbl = _decorrelate(tname, tbl, r)
             chunks.append(tbl)
-        pq.write_table(pa.concat_tables(chunks), out_dir / f"{tname}.parquet")
-        print(f"{tname}: {base.num_rows} -> {base.num_rows * replicas} rows")
+        out = pa.concat_tables(chunks)
+        # >=32 row groups per fact table (capped at pyarrow's 1Mi-row
+        # default): a single-row-group file cannot split, so every
+        # scan and map-only stage before the first exchange runs in
+        # ONE task — the round-6 smoke found embeddings/documents
+        # written as one 200k/500k-row group, serializing the whole
+        # text/embedding family's first stage on one core and
+        # masking real scan parallelism in the 100x measurements.
+        rg = max(1024, min(out.num_rows // 32 + 1, 1 << 20))
+        pq.write_table(out, out_dir / f"{tname}.parquet", row_group_size=rg)
+        print(f"{tname}: {base.num_rows} -> {base.num_rows * replicas} rows "
+              f"({rg} rows/group)")
 
 
 def _decorrelate(tname: str, tbl: pa.Table, r: int) -> pa.Table:
