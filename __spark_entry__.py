@@ -55,13 +55,15 @@ _FRONT = [
     # PCA, end-to-end PDF/DOCX ingest
     "copurchase_communities", "bpe_train_merges",
     "embedding_pca_project", "pdf_extract_pages", "docx_extract_paragraphs",
-    # TPC-H battery
-    "q9_product_profit", "q21_waiting_suppliers",
+    # TPC-H battery (q21 rotated out r6-late for the skew-safe
+    # sessionizer — green since r1, still swept + benched)
+    "q9_product_profit",
     # windows
     "window_topk_per_group", "window_ignore_nulls", "window_exclude_current",
-    # events (batch twins)
+    # events (batch twins) — sessionize rides with its hot-key-safe
+    # twin (r6 late: bucket-decomposed windows, identical oracle)
     "events_hourly_rollup", "events_sessionize",
-    "events_max_concurrent_sessions",
+    "events_sessionize_skew_safe", "events_max_concurrent_sessions",
     # text / exact dedup
     "exact_dedup", "ngram_jaccard_pairs", "dedup_keep_best_exact",
     "jaccard_prefix_filter_pairs", "doc_tf_idf_top",
