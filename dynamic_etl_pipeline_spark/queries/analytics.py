@@ -1388,7 +1388,17 @@ def part_name_jw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison needs no rounding. Blocking on (p_brand, p_size) keeps
     the candidate join sum-of-squared-block-sizes, same ER shape as
     ``part_name_blocked_pairs`` (levenshtein) — two verifiers over one
-    blocking strategy."""
+    blocking strategy.
+
+    Scale boundary: (brand, size) is a FIXED vocabulary (~1250
+    blocks), so block sizes grow linearly with the catalog and the
+    pair space quadratically — the sf10 smoke records this query as
+    the fixed-vocab ER baseline (same role as
+    embedding_near_dup_dedup's exact pairwise scan). At corpus scale
+    the blocking key must scale with the data: compose it with a
+    name-derived key (first token, prefix q-grams) or hand the
+    candidate generation to the MinHash-LSH path in
+    operators/dedup.py, keeping this UDF as the verifier."""
     from ..functions.strsim import jaro_winkler_udf
 
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand", "p_size")

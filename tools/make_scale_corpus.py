@@ -96,6 +96,22 @@ def _decorrelate(tname: str, tbl: pa.Table, r: int) -> pa.Table:
     replica tag (shingle sets become disjoint across replicas while
     word counts / lengths keep their distribution) and shift embedding
     coordinates by a deterministic per-replica pattern."""
+    if tname == "part" and "p_name" in tbl.column_names:
+        # Same clone-density artifact as documents, via entity names:
+        # TPC-H p_name draws 5 words from a ~92-color vocabulary, so
+        # verbatim replicas multiply every name-blocked ER block by
+        # the replica count and the within-block pair space by its
+        # square (the sf10 smoke measured part_name_blocked_pairs at
+        # 10,000x work). A real 100x catalog has ~100x more DISTINCT
+        # entities; tag name words per replica to model that.
+        idx = tbl.schema.get_field_index("p_name")
+        tag = f"·r{r}"
+        names = [
+            None if t is None else " ".join(w + tag for w in t.split(" "))
+            for t in tbl["p_name"].to_pylist()
+        ]
+        tbl = tbl.set_column(idx, tbl.schema.field(idx),
+                             pa.array(names, type=tbl.schema.field(idx).type))
     if tname == "documents" and "text" in tbl.column_names:
         idx = tbl.schema.get_field_index("text")
         tag = f"·r{r}"  # one token-internal suffix, no new words
