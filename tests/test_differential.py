@@ -1237,3 +1237,50 @@ def test_random_ivf_exact_specs_agree(spark, duck, embeddings_duck_view,
         )).fetchall()
     }
     assert got == want, (k, n_centroids, n_probe, iters)
+
+
+@pytest.mark.parametrize("seed", [11, 47, 83, 129])
+def test_random_sessionize_gap_specs_agree(spark, duck, events_views, seed):
+    """Skew-safe sessionization under RANDOM inactivity gaps and bucket
+    granularities vs DuckDB running the serial lag/cumsum formulation —
+    the decomposition must be invariant to both parameters."""
+    from dynamic_etl_pipeline_spark.operators.sessionize import (
+        sessionize_events,
+    )
+
+    rng = random.Random(160_000 + seed)
+    gap_min = rng.choice([2, 11, 45, 180])
+    bucket = rng.choice([None, F.date_trunc("hour", F.col("ts"))])
+
+    ev = spark.table("events_diff")
+    got = {
+        (r["user_id"], r["s"], r["e"], r["n"])
+        for r in sessionize_events(ev, f"{gap_min} minutes", bucket=bucket)
+        .groupBy("user_id", "session_seq")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"),
+             F.count("*").alias("n"))
+        .collect()
+    }
+    want = {
+        tuple(row)
+        for row in duck.execute(f"""
+            WITH flagged AS (
+              SELECT user_id, ts,
+                     CASE WHEN ts - lag(ts) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id)
+                          > INTERVAL '{gap_min} minutes'
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+            ), numbered AS (
+              SELECT user_id, ts,
+                     sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_seq
+              FROM flagged
+            )
+            SELECT user_id, min(ts), max(ts), count(*)
+            FROM numbered GROUP BY user_id, session_seq
+        """).fetchall()
+    }
+    assert got == want and got, (gap_min, bucket is None)
