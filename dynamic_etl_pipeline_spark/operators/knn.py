@@ -114,7 +114,11 @@ def lsh_ann_topk(candidates: DataFrame, queries: DataFrame, k: int = 10,
             lsh_bucket(vec_col, _hyperplanes(dim, n_planes, seed + t))
             for t in range(n_tables)
         ])
-        return df.select(
+        # NULL vectors would fold every sign test to 0 (NULL dot ->
+        # when/otherwise 0-bit) and silently land in bucket 0 with NULL
+        # cos_sim — drop them up front, matching the SQL oracle's
+        # WHERE embedding IS NOT NULL and the ivf/kmeans operators.
+        return df.filter(F.col(vec_col).isNotNull()).select(
             F.col(idc), F.col(vec_col),
             F.posexplode(buckets).alias("table_id", "bucket"),
         )

@@ -40,7 +40,9 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct")  # rows-only: HLL estimates are engine-specific
+@query("agg_approx_distinct",
+       baseline="engine-specific HLL++ estimate (rows-only by design); "
+                "exact-oracled twin: agg_distinct_kmv")
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++): the constant-memory path for
     COUNT(DISTINCT) at 100 TB — mergeable sketches, no
@@ -57,7 +59,9 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_quantile")  # rows-only: sketch quantiles are engine-specific
+@query("agg_approx_quantile",
+       baseline="engine-specific GK-sketch quantiles (rows-only by "
+                "design); exact-oracled twin: agg_quantile_hash_sample")
 def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile: single-pass mergeable quantile sketch (the
     scale path the exact percentile query above can't take)."""
@@ -361,7 +365,9 @@ def agg_boolean_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("events_hll_sketch_rollup")  # rows-only: DataSketches estimates are engine-specific
+@query("events_hll_sketch_rollup",
+       baseline="engine-specific DataSketches HLL estimate (rows-only "
+                "by design); exact-oracled twin: events_kmv_sketch_rollup")
 def events_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches (Apache DataSketches HLL via
     Spark 4 ``hll_sketch_agg`` / ``hll_union_agg``): build one

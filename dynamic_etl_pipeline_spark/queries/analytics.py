@@ -34,7 +34,7 @@ from ..operators.twolevel import (
     two_level_running_sum,
 )
 from ._helpers import dsum, ntz
-from .registry import query
+from .registry import guard_baseline, query
 
 
 # --------------------------------------------------------------------------
@@ -1388,7 +1388,8 @@ FROM part a JOIN part b
   ON a.p_brand = b.p_brand AND a.p_size = b.p_size
  AND a.p_partkey < b.p_partkey
 WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.88
-""")
+""", baseline="fixed-vocab ER blocking — blocks grow linearly with the "
+              "catalog; scalable twin: part_name_blocked_pairs")
 def part_name_jw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy entity-resolution pairs by Jaro-Winkler similarity — the
     ER verifier Spark lacks natively, supplied as an Arrow-batched
@@ -1410,7 +1411,12 @@ def part_name_jw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/dedup.py, keeping this UDF as the verifier."""
     from ..functions.strsim import jaro_winkler_udf
 
-    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand", "p_size")
+    p = guard_baseline(
+        load_table(spark, sf_dir, "part").select(
+            "p_partkey", "p_name", "p_brand", "p_size"
+        ),
+        200_000, "part_name_jw_pairs", "part_name_blocked_pairs",
+    )
     a = p.select(
         F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"),
         "p_brand", "p_size",

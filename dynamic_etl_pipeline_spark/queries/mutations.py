@@ -156,10 +156,20 @@ def sql_recursive_supplier_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     ancestor halves every level, so depth <= 64 << the 100-level
     limit, which stays in force as the real runaway guard) and its
     row count is linear in |supplier| x key width, so the row guard
-    is raised to keep the level guard as the only backstop."""
-    register_views(spark, sf_dir)
-    spark.conf.set("spark.sql.cteRecursionRowLimit", 2_000_000_000)
-    return spark.sql(_RECURSIVE_SPARK)
+    is raised — but only on a dedicated newSession() (its own
+    SQLConf over the shared SparkContext), so the 1M-row
+    interactive tripwire stays armed for every other query on the
+    caller's session (r6 advisor item). The sub-session is cached
+    per context because the returned DataFrame executes lazily
+    under the sub-session's conf — a try/finally restore here would
+    re-arm the guard before the driver ever collects."""
+    sub = getattr(sql_recursive_supplier_chain, "_sub_session", None)
+    if sub is None or sub.sparkContext is not spark.sparkContext:
+        sub = spark.newSession()
+        sub.conf.set("spark.sql.cteRecursionRowLimit", 2_000_000_000)
+        sql_recursive_supplier_chain._sub_session = sub
+    register_views(sub, sf_dir)
+    return sub.sql(_RECURSIVE_SPARK)
 
 
 _LATERAL_SQL = """

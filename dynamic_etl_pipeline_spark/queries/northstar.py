@@ -560,7 +560,10 @@ def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("pq_ann_topk")  # rows-only: trained-codebook quantizer is engine-specific
+@query("pq_ann_topk",
+       baseline="float-trained PQ codebook is engine-specific "
+                "(rows-only by design); exact-oracled twin: "
+                "pq_ann_topk_exact")
 def pq_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-ADC approximate nearest neighbors for 5 probe vectors:
     vectors compressed to 16 codebook indices, scored through per-query

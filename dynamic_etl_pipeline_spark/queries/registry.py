@@ -39,9 +39,25 @@ from pyspark.sql import DataFrame, SparkSession
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+# Machine-readable scale-honesty tags (round-7, verdict item 2): a
+# query registered with ``baseline=...`` is a deliberate reference
+# implementation — an exact-recall anchor or an engine-specific sketch
+# — NOT the production path. The value names the scalable twin and the
+# reason. tools/scale_smoke.py and COVERAGE.md surface these, and the
+# quadratic ones also carry an input-size guard (guard_baseline below)
+# so a user pointing them at a big corpus fails fast with the pointer
+# instead of burning a cluster.
+BASELINES: dict[str, str] = {}
 
-def query(name: str, oracle: str | None = None):
-    """Register a query callable and (optionally) its DuckDB oracle SQL."""
+
+def query(name: str, oracle: str | None = None,
+          baseline: str | None = None):
+    """Register a query callable and (optionally) its DuckDB oracle SQL.
+
+    ``baseline``: mark this entry as a deliberate non-production
+    reference (quadratic exact anchor / engine-specific sketch); the
+    string names the scalable twin a production user should run.
+    """
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         if name in QUERIES:
@@ -49,6 +65,39 @@ def query(name: str, oracle: str | None = None):
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
+        if baseline is not None:
+            BASELINES[name] = baseline
+            fn.__baseline__ = baseline
         return fn
 
     return deco
+
+
+class BaselineScaleError(ValueError):
+    """Raised by guard_baseline when a deliberately-quadratic baseline
+    query is pointed at an input above its documented bound."""
+
+
+def guard_baseline(df: DataFrame, bound: int, name: str, twin: str) -> DataFrame:
+    """Fail-fast input-size guard for O(n^2)-by-design baseline queries.
+
+    Counts the input (one cheap scan — linear, vs the quadratic work it
+    prevents) and raises with a pointer to the scalable twin when the
+    row count exceeds ``bound``. Override for deliberate runs with
+    SPARK_GRAFT_ALLOW_QUADRATIC=1. The bound is set ~10x above the
+    largest sweep fixture so correctness sweeps never trip it while the
+    100x smoke corpus always does.
+    """
+    import os
+
+    if os.environ.get("SPARK_GRAFT_ALLOW_QUADRATIC") == "1":
+        return df
+    n = df.count()
+    if n > bound:
+        raise BaselineScaleError(
+            f"{name} is a quadratic-by-design baseline (exact-recall "
+            f"anchor); input has {n} rows > documented bound {bound}. "
+            f"Use the scalable twin {twin}, or set "
+            f"SPARK_GRAFT_ALLOW_QUADRATIC=1 to run it anyway."
+        )
+    return df

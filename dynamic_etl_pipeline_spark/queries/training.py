@@ -264,7 +264,9 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(u < F.expr(_STRAT_FRAC_SQL)).select("doc_id", "lang")
 
 
-@query("word_freq_items_approx")  # rows-only: sketch contents are engine-specific
+@query("word_freq_items_approx",
+       baseline="engine-specific KPS one-pass sketch (rows-only by "
+                "design); exact-oracled twin: word_heavy_hitters_cms")
 def word_freq_items_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate frequent items (``df.stat.freqItems``, the
     Karp-Papadimitriou-Shenker one-pass sketch) over the exploded token

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.vectors import cosine, dot
-from .registry import query
+from .registry import guard_baseline, query
 
 # exact k-means / PCA family constants (used by oracle builders above
 # and below their old definition site, so they live right after imports)
@@ -103,13 +103,19 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_dot_product(a.v, b.v)
       / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
-""")
+""", baseline="O(n^2) all-pairs exact-recall anchor; scalable twin: "
+              "lsh_ann_topk / minhash_near_dups")
 def similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All embedding pairs above a cosine threshold (near-dup search by
     embedding). Quadratic by definition — the honest exact baseline the
     LSH operator's recall is measured against; at production scale the
-    LSH bucket join replaces this plan."""
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    LSH bucket join replaces this plan. guard_baseline fails fast above
+    20k vectors (the r6 100x smoke watchdog-killed this exactly as
+    documented; now it refuses with a pointer instead)."""
+    e = guard_baseline(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        20_000, "similar_pairs", "lsh_ann_topk / minhash_near_dups",
+    )
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
     sim = cosine(F.col("va"), F.col("vb"))
@@ -131,7 +137,8 @@ dups AS (
 )
 SELECT vec_id, label FROM embeddings
 WHERE vec_id NOT IN (SELECT dup_id FROM dups)
-""")
+""", baseline="O(n^2) exact pairwise dedup anchor; scalable twin: "
+              "corpus_semdedup")
 def embedding_near_dup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup dedup (north-star §2.12): drop every
     vector whose cosine with ANY lower-id vector clears the threshold;
@@ -141,8 +148,14 @@ def embedding_near_dup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the candidate pairs come from operators/knn.py's LSH buckets (same
     anti-join tail, equi-join candidate generation). The anti join on
     the distinct dup-id set is a shuffle-hash join on a key set no
-    larger than the input."""
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    larger than the input. guard_baseline fails fast above 20k
+    vectors — the scalable dedup is corpus_semdedup."""
+    e = guard_baseline(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", "embedding"
+        ),
+        20_000, "embedding_near_dup_dedup", "corpus_semdedup",
+    )
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
     dups = (

@@ -85,11 +85,18 @@ def main() -> int:
     n = ev.count()
     hot = ev.filter(F.col("user_id") == 0).count()
 
-    # equality first — a fast wrong answer is not a result
+    # equality first — a fast wrong answer is not a result. Both
+    # directions: serial \ skew_safe empty only proves containment;
+    # extra/duplicated skew-safe rows need the reverse check too
+    # (r6 advisor item).
     mismatch = (
         serial_sessions(ev).exceptAll(skew_safe_sessions(ev)).limit(1).count()
     )
-    assert mismatch == 0, "serial and skew-safe sessions diverge"
+    assert mismatch == 0, "serial has sessions the skew-safe path lacks"
+    mismatch = (
+        skew_safe_sessions(ev).exceptAll(serial_sessions(ev)).limit(1).count()
+    )
+    assert mismatch == 0, "skew-safe path emits extra/duplicated sessions"
 
     out: dict[str, float] = {}
     for name, fn in [("serial", serial_sessions),

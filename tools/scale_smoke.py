@@ -14,9 +14,10 @@ line. Exit 1 if any query fails.
 
 A per-query watchdog (SPARK_SMOKE_TIMEOUT seconds, default 900)
 cancels the query's job group and records TIMEOUT instead of letting
-one known-quadratic baseline (e.g. embedding_near_dup_dedup, whose
-docstring routes corpus scale to the LSH candidate path) stall the
-whole pass.
+a runaway query stall the whole pass. Queries tagged baseline=... in
+the registry (deliberate quadratic anchors) now fail fast via
+guard_baseline above their documented input bound and are recorded
+GUARD — the expected outcome at the 100x corpus, not a failure.
 
 Usage: python tools/scale_smoke.py [sf_dir] [name_filter...]
 """
@@ -38,6 +39,9 @@ def main() -> int:
     limit = float(os.environ.get("SPARK_SMOKE_TIMEOUT", "900"))
 
     import __spark_entry__ as entry
+    from dynamic_etl_pipeline_spark.queries.registry import (
+        BaselineScaleError,
+    )
     from dynamic_etl_pipeline_spark.session import get_spark
 
     spark = get_spark("scale-smoke")
@@ -46,6 +50,7 @@ def main() -> int:
     names = [n for n in sorted(qs) if not only or n in only]
     failed: list[str] = []
     timed_out: list[str] = []
+    guarded: list[str] = []
     for i, name in enumerate(names, 1):
         t0 = time.monotonic()
         sc.setJobGroup(name, f"scale_smoke:{name}", interruptOnCancel=True)
@@ -59,6 +64,10 @@ def main() -> int:
             dt = time.monotonic() - t0
             print(f"ok    {name}: {dt:.1f}s  [{i}/{len(names)}]",
                   flush=True)
+        except BaselineScaleError as exc:
+            dt = time.monotonic() - t0
+            print(f"GUARD {name}: {dt:.1f}s  {str(exc)[:200]}", flush=True)
+            guarded.append(name)
         except Exception as exc:  # noqa: BLE001 — report and continue
             dt = time.monotonic() - t0
             if dt >= limit:
@@ -74,8 +83,10 @@ def main() -> int:
             watchdog.cancel()
             sc.setJobGroup("", "")
             spark.catalog.clearCache()
-    print(f"\n{len(names) - len(failed) - len(timed_out)}/{len(names)} ok; "
-          f"failed: {failed or 'none'}; timed out: {timed_out or 'none'}")
+    n_bad = len(failed) + len(timed_out) + len(guarded)
+    print(f"\n{len(names) - n_bad}/{len(names)} ok; "
+          f"failed: {failed or 'none'}; timed out: {timed_out or 'none'}; "
+          f"guarded baselines (fail-fast by design): {guarded or 'none'}")
     return 1 if failed else 0
 
 
