@@ -41,8 +41,16 @@ _FRONT = [
     # each round for the newest exact-oracle work — VERDICT r5 item 8;
     # r6 rotated out rollup/pivot/q2/q22/session_window/array_funcs/
     # doc_lang_id/events_ols_trend for the newly-exact hash-sketch
-    # dedup + ANN family)
+    # dedup + ANN family; r7 rotated out window_exclude_current/
+    # events_max_concurrent_sessions/doc_vocab_oov_rate/rfm_segments
+    # for the newly-exact portable sketch family below)
     "q1_pricing_summary", "q3_shipping_priority",
+    # newest exact oracles (r7): the last rows-only sketch tier made
+    # portable — KMV distinct order statistics, the two-level mergeable
+    # KMV day->type rollup, hash-Bernoulli sampled quantiles, and CMS
+    # heavy hitters with the freqItems superset contract
+    "agg_distinct_kmv", "events_kmv_sketch_rollup",
+    "agg_quantile_hash_sample", "word_heavy_hitters_cms",
     # newest exact oracles (r6): the formerly rows-only LSH family —
     # portable-hash MinHash-LSH pairs + recursive-CTE components,
     # SimHash pigeonhole pairs, hyperplane-LSH ANN, integer-exact IVF,
@@ -59,11 +67,11 @@ _FRONT = [
     # sessionizer — green since r1, still swept + benched)
     "q9_product_profit",
     # windows
-    "window_topk_per_group", "window_ignore_nulls", "window_exclude_current",
+    "window_topk_per_group", "window_ignore_nulls",
     # events (batch twins) — sessionize rides with its hot-key-safe
     # twin (r6 late: bucket-decomposed windows, identical oracle)
     "events_hourly_rollup", "events_sessionize",
-    "events_sessionize_skew_safe", "events_max_concurrent_sessions",
+    "events_sessionize_skew_safe",
     # text / exact dedup
     "exact_dedup", "ngram_jaccard_pairs", "dedup_keep_best_exact",
     "jaccard_prefix_filter_pairs", "doc_tf_idf_top",
@@ -73,7 +81,7 @@ _FRONT = [
     "streaming_scatter_pc1",
     # curation
     "doc_gopher_quality", "corpus_boilerplate_strip",
-    "doc_ngram_containment_pairs", "doc_vocab_oov_rate",
+    "doc_ngram_containment_pairs",
     # training-data ops + pinned-model scoring (newly oracled r5)
     "corpus_pack_sequences", "doc_quality_classifier", "doc_duplicate_spans",
     # streaming drains (real micro-batch engine, exact oracles) + the
@@ -86,7 +94,7 @@ _FRONT = [
     # UDTF / UDAF / grouping
     "udtf_doc_sentences", "udtf_session_summary", "udaf_geo_mean_price",
     # analytics
-    "rfm_segments", "bloom_pruned_join",
+    "bloom_pruned_join",
     # recursive SQL + reference-parity extraction
     "sql_recursive_supplier_chain", "extract_patterns_synth",
 ]

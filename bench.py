@@ -79,6 +79,8 @@ HEADLINE = [
     "embedding_pc1_power_iteration",  # exact scatter aggregate + driver power rounds (round 5)
     "copurchase_communities",   # unrolled label-propagation rounds, all-integer (round 5)
     "events_sessionize_skew_safe",  # bucket-decomposed hot-key sessionization (round 6)
+    "agg_distinct_kmv",         # portable KMV distinct order statistics (round 7)
+    "events_kmv_sketch_rollup", # mergeable two-level KMV day->type rollup (round 7)
 ]
 
 

@@ -610,7 +610,19 @@ def _round_half_up(x: float, digits: int = 6) -> float:
     """Spark's Round(double) semantics: HALF_UP on the value's shortest
     decimal representation (java BigDecimal.valueOf == Python repr) —
     the rounding both engine and oracle apply, so rounding a
-    bit-identical double gives a bit-identical result."""
+    bit-identical double gives a bit-identical result.
+
+    Boundary (r6 advisor item): DuckDB's round(DOUBLE, n) rounds the
+    BINARY double, not the shortest decimal string — for values whose
+    shortest repr terminates exactly at a halfway (n+1)-th digit AND
+    whose binary value sits below the decimal halfway (e.g.
+    round(22.54255, 4): Spark/this helper 22.5426, DuckDB 22.5425),
+    the engines disagree by one ulp of the target scale. Measure-zero
+    over continuous-valued corpora, but when a rounded value drives a
+    top-k ORDER BY the symptom is a swapped tie — the pinned
+    divergence test in tests/test_advice_regressions.py
+    (test_round_half_up_halfway_boundary_vs_duckdb) is the fast
+    diagnosis if a future corpus ever hits it."""
     import math
     from decimal import ROUND_HALF_UP, Decimal
 

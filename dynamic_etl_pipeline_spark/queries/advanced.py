@@ -1,19 +1,64 @@
 """Remaining §2 surface: exact + approximate percentiles, approximate
 distinct counts, SQL GROUPING SETS, and a bucketized range join.
 
-Approx sketches (HLL, KLL/GK) are engine-specific — Spark's and
-DuckDB's estimates differ by construction — so those entries are
-rows-only here and bounded-relative-error-vs-exact is asserted in
-tests/test_approx.py. Everything else holds an exact oracle.
+Engine-NATIVE approx sketches (HLL, KLL/GK) are engine-specific —
+Spark's and DuckDB's estimates differ by construction — so those
+entries are rows-only (tagged baseline= in the registry) and
+bounded-relative-error-vs-exact is asserted in tests/test_approx.py.
+Round 7 adds PORTABLE twins built from deterministic md5-derived
+order statistics / samples, whose every intermediate the DuckDB
+oracle re-derives (the r6 playbook that converted the LSH family):
+
+- agg_distinct_kmv        — KMV (k-minimum-values) distinct sketch
+- agg_quantile_hash_sample — hash-Bernoulli sample + exact rank
+- events_kmv_sketch_rollup — mergeable per-day KMV sketches, unioned
+
+Everything else holds an exact oracle.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from .registry import query
+
+# --- portable KMV distinct sketch (Bar-Yossef et al. 2002, "Counting
+# distinct elements in a data stream") over a deterministic 48-bit
+# md5-prefix hash. Both engines fold the SAME 12 hex digits, so the
+# k-th order statistic — and therefore the estimate (k-1)*|H|/h_(k) —
+# is an exact integer match, unlike HLL whose register layout is
+# engine-private. 48 bits keeps (k-1)*|H| far inside BIGINT.
+_KMV_K = 64
+_KMV_HEX = 12
+_KMV_SPACE = 16 ** _KMV_HEX  # 2^48
+
+
+def _kmv_hash(c: Column) -> Column:
+    """48-bit portable hash: first 12 hex digits of md5(str(value))."""
+    return F.conv(
+        F.substring(F.md5(c.cast("string").cast("binary")), 1, _KMV_HEX),
+        16, 10,
+    ).cast("long")
+
+
+def _hex_fold(col: str, ndigits: int) -> str:
+    """DuckDB expression folding ``ndigits`` hex chars of column
+    ``col`` into a BIGINT — digit-for-digit the same value Spark's
+    conv(substring(md5 ..), 16, 10) produces."""
+    fold = f"instr('0123456789abcdef', substr({col}, 1, 1)) - 1"
+    for k in range(2, ndigits + 1):
+        fold = (f"({fold}) * 16 + "
+                f"instr('0123456789abcdef', substr({col}, {k}, 1)) - 1")
+    return fold
+
+
+# Estimate arithmetic stays in exact integers on both engines:
+# (k-1) * 2^48 as a literal, floor-divided by the k-th minimum hash
+# (greatest(h,1) guards the measure-zero all-zero md5 prefix, which
+# DuckDB would turn into a division error and Spark into NULL).
+_KMV_NUM = (_KMV_K - 1) * _KMV_SPACE
 
 
 @query("agg_percentiles", oracle="""
@@ -72,6 +117,135 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)), 10000
             ).alias("price_quantiles")
         )
+    )
+
+
+@query("agg_distinct_kmv", oracle=f"""
+WITH hashed AS (
+  SELECT l_returnflag, md5(CAST(l_orderkey AS VARCHAR)) AS h FROM lineitem
+), dh AS (
+  SELECT DISTINCT l_returnflag, {_hex_fold('h', _KMV_HEX)} AS hv FROM hashed
+), ranked AS (
+  SELECT l_returnflag, hv,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS nd
+  FROM dh
+)
+SELECT l_returnflag,
+       CAST(nd AS BIGINT) AS n_distinct,
+       CAST(hv AS BIGINT) AS kth_min_hash,
+       CAST(CASE WHEN nd < {_KMV_K} THEN nd
+                 ELSE {_KMV_NUM} // greatest(hv, 1) END AS BIGINT)
+         AS kmv_estimate
+FROM ranked
+WHERE rn = CASE WHEN nd < {_KMV_K} THEN nd ELSE {_KMV_K} END
+""")
+def agg_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch, the PORTABLE
+    exact-oracled twin of agg_approx_distinct's engine-native HLL++:
+    per group keep the k=64 smallest distinct 48-bit md5-prefix hashes;
+    the k-th minimum h_(k) estimates |D| as (k-1)*|H|/h_(k) (Bar-Yossef
+    et al. 2002). Every intermediate — the hash, the order statistic,
+    the floor-divided estimate — is an exact integer both engines
+    derive identically, so the oracle checks VALUES, not error bounds.
+
+    Scale shape: same distinct-shuffle as exact countDistinct here
+    (the top-k-per-group window); the 100-TB win is the sketch's
+    mergeability — 64 bigints per group shard, merged by re-taking the
+    64 smallest — which events_kmv_sketch_rollup demonstrates as a
+    two-level rollup. Groups with fewer than k distinct values fall
+    back to the exact count (the sketch is the complete hash set).
+    Estimate accuracy vs exact distinct is additionally bounded in
+    tests/test_approx.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dh = (
+        li.select(
+            "l_returnflag", _kmv_hash(F.col("l_orderkey")).alias("hv")
+        )
+        .distinct()
+    )
+    wo = Window.partitionBy("l_returnflag").orderBy("hv")
+    wp = Window.partitionBy("l_returnflag")
+    ranked = dh.select(
+        "l_returnflag", "hv",
+        F.row_number().over(wo).alias("rn"),
+        F.count("*").over(wp).alias("nd"),
+    )
+    k = F.lit(_KMV_K)
+    return (
+        ranked.filter(
+            F.col("rn")
+            == F.when(F.col("nd") < k, F.col("nd")).otherwise(k)
+        )
+        .select(
+            "l_returnflag",
+            F.col("nd").cast("bigint").alias("n_distinct"),
+            F.col("hv").cast("bigint").alias("kth_min_hash"),
+            F.when(F.col("nd") < k, F.col("nd"))
+            .otherwise(
+                F.expr(f"{_KMV_NUM} div greatest(hv, 1)")
+            )
+            .cast("bigint")
+            .alias("kmv_estimate"),
+        )
+    )
+
+
+@query("agg_quantile_hash_sample", oracle="""
+WITH keyed AS (
+  SELECT l_extendedprice,
+         substr(md5(CAST(l_orderkey AS VARCHAR) || '#'
+                    || CAST(l_linenumber AS VARCHAR)), 1, 1)
+           IN ('0', '1', '2', '3') AS samp
+  FROM lineitem
+)
+SELECT count(*) AS n_total,
+       CAST(count(*) FILTER (samp) AS BIGINT) AS n_sample,
+       round(CAST(quantile_cont(CASE WHEN samp THEN l_extendedprice END,
+                                0.5) AS DOUBLE), 4) AS p50_sample,
+       round(CAST(quantile_cont(CASE WHEN samp THEN l_extendedprice END,
+                                0.95) AS DOUBLE), 4) AS p95_sample,
+       round(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 4)
+         AS p50_exact,
+       round(CAST(quantile_cont(l_extendedprice, 0.95) AS DOUBLE), 4)
+         AS p95_exact
+FROM keyed
+""")
+def agg_quantile_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles by deterministic hash-Bernoulli sampling —
+    the PORTABLE exact-oracled twin of agg_approx_quantile's
+    engine-native GK sketch. Membership is a pure function of the row
+    key (first md5 hex digit of orderkey#linenumber < '4', a fixed 25%
+    rate), so the sample — and therefore the interpolated sample
+    quantile — is identical in any engine, unlike seeded-RNG sampling
+    or sketch internals. The exact full-data quantiles ride along so
+    the sampling error is itself visible in the checked output.
+
+    Scale shape: the filter is one md5+CASE per row at scan speed
+    (map-only); the sort cost of the exact rank then applies to 25% of
+    rows — and the rate dials down (2 hex digits = 1/256, ...) as the
+    corpus grows, which is how a 100-TB percentile stays tractable
+    with a deterministic, re-derivable, engine-portable sample."""
+    li = load_table(spark, sf_dir, "lineitem")
+    samp = F.substring(
+        F.md5(
+            F.concat(
+                F.col("l_orderkey").cast("string"),
+                F.lit("#"),
+                F.col("l_linenumber").cast("string"),
+            ).cast("binary")
+        ),
+        1, 1,
+    ).isin("0", "1", "2", "3")
+    price = F.col("l_extendedprice")
+    sampled = F.when(samp, price)
+    return li.agg(
+        F.count("*").alias("n_total"),
+        F.count_if(samp).alias("n_sample"),
+        F.round(F.percentile(sampled, F.lit(0.5)), 4).alias("p50_sample"),
+        F.round(F.percentile(sampled, F.lit(0.95)), 4).alias("p95_sample"),
+        F.round(F.percentile(price, F.lit(0.5)), 4).alias("p50_exact"),
+        F.round(F.percentile(price, F.lit(0.95)), 4).alias("p95_exact"),
     )
 
 
@@ -399,6 +573,105 @@ def events_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("distinct_users_est"),
         )
         .orderBy("event_type")
+    )
+
+
+@query("events_kmv_sketch_rollup", oracle=f"""
+WITH hashed AS (
+  SELECT date_trunc('day', ts) AS day, event_type,
+         md5(CAST(user_id AS VARCHAR)) AS h
+  FROM events
+), dh AS (
+  SELECT DISTINCT day, event_type, {_hex_fold('h', _KMV_HEX)} AS hv
+  FROM hashed
+), daily AS (
+  SELECT day, event_type, hv FROM (
+    SELECT day, event_type, hv,
+           row_number() OVER (PARTITION BY day, event_type ORDER BY hv)
+             AS rn
+    FROM dh)
+  WHERE rn <= {_KMV_K}
+), ndays AS (
+  SELECT event_type, CAST(count(DISTINCT day) AS INT) AS n_days
+  FROM daily GROUP BY event_type
+), merged AS (
+  SELECT DISTINCT event_type, hv FROM daily
+), ranked AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS nd
+  FROM merged
+)
+SELECT r.event_type, n.n_days,
+       CAST(r.hv AS BIGINT) AS kth_min_hash,
+       CAST(CASE WHEN r.nd < {_KMV_K} THEN r.nd
+                 ELSE {_KMV_NUM} // greatest(r.hv, 1) END AS BIGINT)
+         AS distinct_users_est
+FROM ranked r JOIN ndays n USING (event_type)
+WHERE r.rn = CASE WHEN r.nd < {_KMV_K} THEN r.nd ELSE {_KMV_K} END
+""")
+def events_kmv_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized-view sketch rollup of events_hll_sketch_rollup,
+    rebuilt on PORTABLE KMV sketches so the whole two-level pipeline —
+    per-day sketch build, day->event_type sketch UNION, final estimate
+    — is value-exact against the DuckDB oracle (the r6 portable-hash
+    playbook applied to the last rows-only sketch family).
+
+    Merge correctness is the KMV invariant the plan leans on: the k
+    smallest hashes of a union equal the k smallest over the per-part
+    k-smallest sets (any globally-small hash is small within its own
+    part), so the day->type rollup gives EXACTLY the estimate a from-
+    scratch re-sketch would — the same order-insensitivity argument
+    the HLL twin makes via max-based register merge, but provable in
+    integers. At 100 TB: the raw rows are touched once (per-day
+    build); every later rollup moves <=64 bigints per group, and the
+    two-level window here is the skew-safe shape (no event_type
+    partition ever sorts more than 64 x n_days rows)."""
+    e = load_table(spark, sf_dir, "events")
+    dh = (
+        e.select(
+            F.date_trunc("day", "ts").alias("day"),
+            "event_type",
+            _kmv_hash(F.col("user_id")).alias("hv"),
+        )
+        .distinct()
+    )
+    wd = Window.partitionBy("day", "event_type").orderBy("hv")
+    daily = (
+        dh.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("day", "event_type", "hv")
+    )
+    ndays = (
+        daily.select("event_type", "day")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count("*").cast("int").alias("n_days"))
+    )
+    merged = daily.select("event_type", "hv").distinct()
+    wo = Window.partitionBy("event_type").orderBy("hv")
+    wp = Window.partitionBy("event_type")
+    ranked = merged.select(
+        "event_type", "hv",
+        F.row_number().over(wo).alias("rn"),
+        F.count("*").over(wp).alias("nd"),
+    )
+    k = F.lit(_KMV_K)
+    return (
+        ranked.filter(
+            F.col("rn")
+            == F.when(F.col("nd") < k, F.col("nd")).otherwise(k)
+        )
+        .join(F.broadcast(ndays), "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            F.col("hv").cast("bigint").alias("kth_min_hash"),
+            F.when(F.col("nd") < k, F.col("nd"))
+            .otherwise(F.expr(f"{_KMV_NUM} div greatest(hv, 1)"))
+            .cast("bigint")
+            .alias("distinct_users_est"),
+        )
     )
 
 

@@ -743,6 +743,88 @@ def word_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Heavy-hitter support threshold as an integer ratio (1/200 = 0.5% of
+# the token stream) so the comparison stays in exact integers — no
+# float support fraction to disagree on.
+_HH_DENOM = 200
+
+
+@query("word_heavy_hitters_cms", oracle=f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+), wc AS (
+  SELECT word, count(*) AS cnt FROM tok GROUP BY word
+), probes AS ({_CMS_ROWS_SQL}),
+sketch AS (
+  SELECT j, b, sum(cnt) AS cell FROM probes GROUP BY j, b
+), est AS (
+  SELECT p.word, max(p.cnt) AS true_count, min(s.cell) AS cms_estimate
+  FROM probes p JOIN sketch s ON p.j = s.j AND p.b = s.b
+  GROUP BY p.word
+), tot AS (
+  SELECT sum(cnt) AS n FROM wc
+)
+SELECT word,
+       CAST(true_count AS BIGINT) AS true_count,
+       CAST(cms_estimate AS BIGINT) AS cms_estimate,
+       CAST(CASE WHEN true_count * {_HH_DENOM} >= n THEN 1 ELSE 0 END
+            AS INT) AS is_true_hh
+FROM est CROSS JOIN tot
+WHERE cms_estimate * {_HH_DENOM} >= n
+""")
+def word_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent items above a support threshold via the portable
+    count-min sketch — the exact-oracled twin of
+    word_freq_items_approx's engine-native KPS sketch, mirroring the
+    word_count_min_sketch construction (r6 verdict item 1). Same
+    contract as df.stat.freqItems: because cms_estimate >= true_count
+    always, the returned set is a SUPERSET of every word at >= 1/200
+    of the token stream (is_true_hh marks the exact members, making
+    the false-positive margin part of the checked output). Thresholding
+    compares integer products (cnt * 200 >= N), so there is no float
+    support fraction for the engines to disagree on.
+
+    At 100 TB the sketch is the same fixed 4x256-cell frame as
+    word_count_min_sketch — the only vocabulary-sized object is the
+    candidate probe set, and production would keep only candidates
+    from a first heavy pass (or the stream's distinct keys) rather
+    than the full vocab ridden along here for the oracle."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    wc = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word").agg(F.count("*").alias("cnt"))
+    )
+    probes = None
+    for j in range(_CMS_D):
+        p = wc.select(
+            "word", "cnt", F.lit(j).alias("j"),
+            F.expr(_cms_bucket(j)).cast("int").alias("b"),
+        )
+        probes = p if probes is None else probes.unionAll(p)
+    sketch = probes.groupBy("j", "b").agg(F.sum("cnt").alias("cell"))
+    est = (
+        probes.join(F.broadcast(sketch), ["j", "b"])
+        .groupBy("word")
+        .agg(
+            F.max("cnt").alias("true_count"),
+            F.min("cell").alias("cms_estimate"),
+        )
+    )
+    tot = wc.agg(F.sum("cnt").alias("n"))
+    return (
+        est.crossJoin(F.broadcast(tot))
+        .filter(F.col("cms_estimate") * _HH_DENOM >= F.col("n"))
+        .select(
+            "word",
+            F.col("true_count").cast("bigint").alias("true_count"),
+            F.col("cms_estimate").cast("bigint").alias("cms_estimate"),
+            F.when(
+                F.col("true_count") * _HH_DENOM >= F.col("n"), F.lit(1)
+            ).otherwise(F.lit(0)).cast("int").alias("is_true_hh"),
+        )
+    )
+
+
 @query("doc_bigram_lm_score", oracle="""
 WITH tok AS (
   SELECT doc_id, string_split(text, ' ') AS toks FROM documents

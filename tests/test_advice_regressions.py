@@ -509,3 +509,55 @@ def test_recursive_cte_scales_past_default_row_limit(spark, monkeypatch):
     finally:
         spark.conf.set("spark.sql.cteRecursionRowLimit", old)
         spark.catalog.dropTempView("supplier")
+
+
+def test_recursive_cte_row_limit_not_leaked_to_caller_session(spark):
+    """r6 advisor item: sql_recursive_supplier_chain must not disable
+    the caller session's 1M-row recursion tripwire — the raised limit
+    lives on a dedicated sub-session."""
+    from dynamic_etl_pipeline_spark.queries import mutations
+
+    before = spark.conf.get("spark.sql.cteRecursionRowLimit")
+    out = mutations.sql_recursive_supplier_chain(
+        spark, "/root/testdata/sf0.001"
+    )
+    assert out.limit(1).count() >= 0  # executes under the sub-session
+    assert spark.conf.get("spark.sql.cteRecursionRowLimit") == before
+    sub = mutations.sql_recursive_supplier_chain._sub_session
+    assert sub is not spark
+    assert sub.conf.get("spark.sql.cteRecursionRowLimit") == "2000000000"
+
+
+def test_round_half_up_halfway_boundary_vs_duckdb(spark):
+    """r6 advisor item: pin the documented rounding-divergence class.
+    For doubles whose shortest repr ends exactly at a halfway digit
+    but whose binary value is below the decimal halfway, Spark (and
+    _round_half_up, its Python twin) round the shortest-repr HALF_UP
+    while DuckDB rounds the binary double — one ulp apart at the
+    target scale. The engine's contract is Spark == _round_half_up
+    (asserted hard); the DuckDB side documents the divergence so a
+    future corpus hitting it is diagnosed here first."""
+    import duckdb
+
+    from dynamic_etl_pipeline_spark.operators.knn import _round_half_up
+
+    cases = [  # (value, digits) — found by halfway-scan, all diverge
+        (22.54255, 4),
+        (1.058755, 5),
+        (0.26585, 4),
+    ]
+    con = duckdb.connect()
+    for x, d in cases:
+        py = _round_half_up(x, d)
+        got = spark.sql(
+            f"SELECT round(CAST({x!r} AS DOUBLE), {d}) AS r"
+        ).collect()[0]["r"]
+        assert got == py, f"Spark diverged from its Python twin on {x}"
+        dd = con.execute(
+            f"SELECT round(CAST({x!r} AS DOUBLE), {d})"
+        ).fetchone()[0]
+        assert dd != py, (
+            f"DuckDB now agrees on {x}: the documented divergence class "
+            "closed upstream — update _round_half_up's docstring"
+        )
+        assert abs(dd - py) <= 10 ** -d * 1.0000001

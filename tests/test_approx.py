@@ -78,3 +78,99 @@ def test_hll_sketch_union_matches_exact_within_bound(spark, sf_dir):
              .cast("bigint").alias("d")).collect()
     }
     assert est == one_pass
+
+
+# ---------------------------------------------------------------------------
+# Round-7 portable twins: the exact DuckDB oracle checks their VALUES;
+# these tests pin the sketch PROPERTIES the values rely on (accuracy,
+# merge-equals-resketch, the freqItems superset contract).
+
+
+def test_kmv_estimate_accuracy_and_small_group_exactness(spark, sf_dir):
+    """KMV with k=64 has stderr ~ 1/sqrt(k-2) ~ 12.7%; assert a 3-sigma
+    bound vs exact distinct, and that groups under k fall back to the
+    exact count."""
+    from dynamic_etl_pipeline_spark.queries.advanced import (
+        _KMV_K,
+        agg_distinct_kmv,
+    )
+
+    rows = agg_distinct_kmv(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        nd, est = r["n_distinct"], r["kmv_estimate"]
+        if nd < _KMV_K:
+            assert est == nd
+        else:
+            assert abs(est - nd) / nd < 0.40, (r["l_returnflag"], est, nd)
+
+
+def test_kmv_rollup_merge_equals_resketch(spark, sf_dir):
+    """The two-level day->type KMV union must give EXACTLY the sketch a
+    one-shot pass over all events would: the k smallest hashes of a
+    union equal the k smallest over per-part k-smallest sets. This is
+    the mergeability invariant the 100-TB rollup story leans on."""
+    from pyspark.sql import Window
+
+    from dynamic_etl_pipeline_spark.queries.advanced import (
+        _KMV_K,
+        _kmv_hash,
+        events_kmv_sketch_rollup,
+    )
+
+    two_level = {
+        r["event_type"]: (r["kth_min_hash"], r["distinct_users_est"])
+        for r in events_kmv_sketch_rollup(spark, sf_dir).collect()
+    }
+    e = load_table(spark, sf_dir, "events")
+    dh = e.select(
+        "event_type", _kmv_hash(F.col("user_id")).alias("hv")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("hv")
+    wp = Window.partitionBy("event_type")
+    one_shot = {}
+    for r in (
+        dh.select(
+            "event_type", "hv",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wp).alias("nd"),
+        )
+        .filter(
+            F.col("rn")
+            == F.when(F.col("nd") < _KMV_K, F.col("nd")).otherwise(
+                F.lit(_KMV_K)
+            )
+        )
+        .collect()
+    ):
+        one_shot[r["event_type"]] = r["hv"]
+    assert set(two_level) == set(one_shot)
+    for et, (kth, _est) in two_level.items():
+        assert kth == one_shot[et], et
+
+
+def test_cms_heavy_hitters_superset_contract(spark, sf_dir):
+    """word_heavy_hitters_cms must return a SUPERSET of the true heavy
+    hitters (cms_estimate >= true_count always), flag exact membership
+    correctly, and never undercount."""
+    from dynamic_etl_pipeline_spark.queries.text import (
+        _HH_DENOM,
+        word_heavy_hitters_cms,
+    )
+
+    got = {r["word"]: r for r in word_heavy_hitters_cms(spark, sf_dir).collect()}
+    assert got, "no heavy hitters at fixture scale — threshold too high"
+    wc = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    n_total = sum(r["cnt"] for r in wc)
+    true_hh = {r["word"]: r["cnt"] for r in wc
+               if r["cnt"] * _HH_DENOM >= n_total}
+    assert set(true_hh) <= set(got), "missed a true heavy hitter"
+    for w, r in got.items():
+        assert r["cms_estimate"] >= r["true_count"]
+        assert r["is_true_hh"] == (1 if w in true_hh else 0)

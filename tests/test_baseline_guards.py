@@ -1,0 +1,62 @@
+"""Round-7 scale-honesty: quadratic-by-design baseline queries are
+tagged in the registry (BASELINES) and fail fast above a documented
+input bound instead of burning a cluster (r6 verdict item 2). The
+bounds sit ~10x above the largest sweep fixture, so correctness
+sweeps never trip them while the 100x smoke corpus always does.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dynamic_etl_pipeline_spark.queries.registry import (
+    BASELINES,
+    BaselineScaleError,
+    guard_baseline,
+)
+
+
+def test_guard_trips_above_bound_with_twin_pointer(spark):
+    df = spark.range(100)
+    with pytest.raises(BaselineScaleError) as exc:
+        guard_baseline(df, 10, "my_query", "my_scalable_twin")
+    msg = str(exc.value)
+    assert "my_scalable_twin" in msg and "100 rows" in msg
+    assert "SPARK_GRAFT_ALLOW_QUADRATIC" in msg
+
+
+def test_guard_passes_under_bound_and_with_override(spark, monkeypatch):
+    df = spark.range(100)
+    assert guard_baseline(df, 1000, "q", "t") is df
+    monkeypatch.setenv("SPARK_GRAFT_ALLOW_QUADRATIC", "1")
+    assert guard_baseline(df, 10, "q", "t") is df
+
+
+def test_baseline_inventory_matches_documented_set():
+    """Exactly the 3 quadratic anchors + 5 engine-specific sketches are
+    tagged; each tag names its scalable/exact twin."""
+    expected_twins = {
+        "similar_pairs": "lsh_ann_topk",
+        "embedding_near_dup_dedup": "corpus_semdedup",
+        "part_name_jw_pairs": "part_name_blocked_pairs",
+        "agg_approx_distinct": "agg_distinct_kmv",
+        "agg_approx_quantile": "agg_quantile_hash_sample",
+        "events_hll_sketch_rollup": "events_kmv_sketch_rollup",
+        "word_freq_items_approx": "word_heavy_hitters_cms",
+        "pq_ann_topk": "pq_ann_topk_exact",
+    }
+    assert set(BASELINES) == set(expected_twins)
+    from dynamic_etl_pipeline_spark.queries import QUERIES
+
+    for name, twin in expected_twins.items():
+        assert twin in BASELINES[name], (name, BASELINES[name])
+        assert twin in QUERIES, f"twin {twin} not registered"
+        assert getattr(QUERIES[name], "__baseline__", None) == BASELINES[name]
+
+
+def test_guarded_queries_still_run_at_fixture_scale(spark, sf_dir):
+    """The guards must never trip at sweep fixtures (<= sf0.1)."""
+    from dynamic_etl_pipeline_spark.queries import QUERIES
+
+    for name in ("similar_pairs", "part_name_jw_pairs"):
+        assert QUERIES[name](spark, sf_dir).limit(1).count() >= 0
