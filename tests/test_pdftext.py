@@ -333,3 +333,160 @@ if _HAVE_HYPOTHESIS:
     def test_roundtrip_random_text(pages, compress, use_hex):
         pdf = _page_pdf(pages, compress, use_hex)
         assert extract_pdf_pages(pdf) == ["\n".join(p) for p in pages]
+
+
+# ---------------------------------------------------------------------------
+# Round-7 adversarial structure + mutation fuzz (the extractor is
+# load-bearing for an exact driver query, so hostile input must never
+# hang, crash the interpreter, or extract nondeterministically).
+# ---------------------------------------------------------------------------
+
+
+def test_truncated_xref_still_extracts():
+    """The parser recovers objects by direct scan (xref is advisory);
+    cutting the file mid-xref-table must not lose any page text."""
+    pdf = build_classic_pdf()
+    xref_at = pdf.rfind(b"xref")
+    assert xref_at > 0
+    for cut in (xref_at + 6, xref_at + 25, len(pdf) - 9):
+        assert extract_pdf_pages(pdf[:cut]) == EXPECTED_PAGES
+
+
+def test_mixed_classic_and_objstm_objects():
+    """Page tree split across worlds: page 1 + catalog classic, page 2's
+    dict inside a compressed ObjStm, both content streams classic."""
+    c1, c2 = b"BT 72 720 Td (classic page) Tj ET", \
+             b"BT 72 720 Td (objstm page) Tj ET"
+    z1, z2 = zlib.compress(c1), zlib.compress(c2)
+    embedded = {7: b"<< /Type /Page /Parent 2 0 R /Contents 8 0 R >>"}
+    body = bytearray()
+    pairs = []
+    for num, data in embedded.items():
+        pairs.append(f"{num} {len(body)}")
+        body += data + b" "
+    header = (" ".join(pairs) + " ").encode()
+    payload = header + bytes(body)
+    zp = zlib.compress(payload)
+    out = bytearray(b"%PDF-1.5\n")
+    for num, raw in [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R 7 0 R] /Count 2 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+        (4, f"<< /Length {len(z1)} /Filter /FlateDecode >>\nstream\n"
+            .encode() + z1 + b"\nendstream"),
+        (5, f"<< /Type /ObjStm /N 1 /First {len(header)} "
+            f"/Length {len(zp)} /Filter /FlateDecode >>\nstream\n"
+            .encode() + zp + b"\nendstream"),
+        (8, f"<< /Length {len(z2)} /Filter /FlateDecode >>\nstream\n"
+            .encode() + z2 + b"\nendstream"),
+    ]:
+        out += f"{num} 0 obj\n".encode() + raw + b"\nendobj\n"
+    out += (b"trailer\n<< /Size 9 /Root 1 0 R >>\nstartxref\n0\n%%EOF\n")
+    assert extract_pdf_pages(bytes(out)) == ["classic page", "objstm page"]
+
+
+def _png_forward_filter(raw: bytes, row_len: int, bpp: int,
+                        filters: list[int]) -> bytes:
+    """Forward-encode raw rows with the given per-row PNG filters —
+    the inverse of _apply_png_predictor, used to build fixtures."""
+    out = bytearray()
+    prev = bytes(row_len)
+    for r, ft in enumerate(filters):
+        row = raw[r * row_len:(r + 1) * row_len]
+        out.append(ft)
+        for i in range(len(row)):
+            a = row[i - bpp] if i >= bpp else 0
+            b = prev[i] if i < len(prev) else 0
+            c = prev[i - bpp] if i >= bpp and i - bpp < len(prev) else 0
+            if ft == 0:
+                enc = row[i]
+            elif ft == 1:
+                enc = (row[i] - a) & 0xFF
+            elif ft == 2:
+                enc = (row[i] - b) & 0xFF
+            elif ft == 3:
+                enc = (row[i] - ((a + b) >> 1)) & 0xFF
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c)
+                enc = (row[i] - pred) & 0xFF
+            out.append(enc)
+        prev = row
+    return bytes(out)
+
+
+def test_png_predictor_average_paeth_multibyte_pixels():
+    """Filters 3 (Average) and 4 (Paeth) with bpp=3 (colors=3, bpc=8):
+    forward-encode random-ish rows, assert exact reconstruction."""
+    columns, colors, bpc = 5, 3, 8
+    row_len = columns * colors
+    raw = bytes((r * 37 + i * 11) & 0xFF
+                for r in range(4) for i in range(row_len))
+    for filters in ([3, 3, 3, 3], [4, 4, 4, 4], [0, 1, 2, 3], [4, 3, 2, 1]):
+        enc = _png_forward_filter(raw, row_len, colors * bpc // 8, filters)
+        assert _apply_png_predictor(enc, columns, colors, bpc) == raw
+
+
+def test_png_predictor_short_last_row_tolerated():
+    """A truncated final row (real xref streams end mid-row sometimes)
+    must decode the complete rows and not raise."""
+    columns, colors, bpc = 4, 1, 8
+    raw = bytes(range(8))  # two full rows of 4
+    enc = _png_forward_filter(raw, 4, 1, [2, 2])
+    got = _apply_png_predictor(enc + b"\x02\x01", columns, colors, bpc)
+    assert got[:8] == raw  # both full rows intact; partial row best-effort
+
+
+def _mutate(data: bytes, rng) -> bytes:
+    op = rng.randrange(4)
+    if op == 0 and data:  # flip one byte
+        i = rng.randrange(len(data))
+        return data[:i] + bytes([data[i] ^ (1 << rng.randrange(8))]) + data[i + 1:]
+    if op == 1 and len(data) > 8:  # delete a slice
+        i = rng.randrange(len(data) - 4)
+        j = i + rng.randrange(1, min(64, len(data) - i))
+        return data[:i] + data[j:]
+    if op == 2:  # insert junk
+        i = rng.randrange(len(data) + 1)
+        junk = bytes(rng.randrange(256) for _ in range(rng.randrange(1, 16)))
+        return data[:i] + junk + data[i:]
+    return data[:rng.randrange(1, len(data))]  # truncate
+
+
+@pytest.mark.parametrize("builder", [build_classic_pdf, build_objstm_pdf])
+def test_mutation_fuzz_no_crash_and_deterministic(builder):
+    """150 seeded byte-level mutations per fixture: the extractor must
+    terminate with either text or an ordinary Exception — never a hang,
+    BaseException, or run-to-run nondeterminism (same bytes in, same
+    outcome out, twice)."""
+    import random
+
+    base = builder()
+    baseline = extract_pdf_pages(base)
+    rng = random.Random(0xC0FFEE)
+    outcomes = {"text": 0, "exc": 0, "changed": 0}
+    for _ in range(150):
+        mutated = base
+        for _ in range(rng.randrange(1, 4)):
+            mutated = _mutate(mutated, rng)
+
+        def run(buf=mutated):
+            try:
+                return ("text", extract_pdf_pages(buf))
+            except Exception as exc:  # noqa: BLE001 — the contract
+                return ("exc", type(exc).__name__, str(exc))
+
+        first, second = run(), run()
+        assert first == second, "nondeterministic outcome on same bytes"
+        outcomes[first[0]] += 1
+        if first[0] == "exc" or first[1] != baseline:
+            outcomes["changed"] += 1
+    # The scan-based parser is deliberately tolerant (a flipped byte in
+    # an object it can skip is not an error), so exceptions are NOT
+    # required — but the mutations must demonstrably reach the parse
+    # (majority of outcomes differ from the pristine baseline), or the
+    # fuzz exercises nothing. Measured: classic 111/150 changed, 0 exc;
+    # objstm 121/150 changed, 6 exc (corrupted zlib/xref-stream paths).
+    assert outcomes["changed"] > 50, outcomes

@@ -151,7 +151,14 @@ def main() -> int:
 
     import __spark_entry__ as e
 
-    spark = get_spark()
+    # SPARK_GRAFT_MASTER overrides the master — e.g.
+    # local-cluster[2,2,4096] for the multi-process sanity pass
+    # (local[N] shares one JVM with the driver, which can mask
+    # driver-side-state assumptions: temp-dir visibility, broadcast
+    # lifecycle, Python-worker import paths).
+    import os
+
+    spark = get_spark(master=os.environ.get("SPARK_GRAFT_MASTER"))
     con = duck_connection(sf_dir)
     qs, oracles = e.queries(), e.oracle_sql()
     failures, rows_only = [], []
