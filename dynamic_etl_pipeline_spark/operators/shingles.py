@@ -12,7 +12,10 @@ to sink the stage.
 
 ``drop_stop_shingles`` is the documented mitigation, now in code
 (round-3 judge item #1): drop any shingle whose document frequency
-exceeds ``max(floor_df, frac * n_docs)`` before the join. Ultra-common
+exceeds ``max(floor_df, min(frac * n_docs, SQRT_COEF * sqrt(n_docs)))``
+before the join (the sqrt term — round 7 — keeps the admitted
+single-shingle join mass linear in the corpus; see
+STOP_SHINGLE_SQRT_COEF below and SCALING.md). Ultra-common
 grams carry no dedup signal — two documents that are near-dups share
 many rare shingles too — so the capped pair set is a subset of the
 exact one that loses only pairs supported *exclusively* by boilerplate
@@ -60,6 +63,18 @@ def last_cap_observation(label: str) -> Observation | None:
 # Fixture-safe defaults; see module docstring.
 STOP_SHINGLE_FRAC = 0.05
 STOP_SHINGLE_FLOOR = 100
+# Round-7 auto-scale: a PURELY fractional threshold admits df ~ frac*n
+# shingles, whose join mass (frac*n)^2 grows QUADRATICALLY with the
+# corpus — 0.05 of 500k docs is a 25k-df shingle = 312M join rows from
+# ONE key. Above the crossover (frac*n > coef*sqrt(n), i.e. n > 40k
+# docs at the defaults) the threshold switches to coef*sqrt(n), which
+# bounds any single shingle's join mass to coef^2 * n — linear in the
+# corpus. Below the crossover min() leaves the historical fractional
+# threshold untouched, so every fixture-scale oracle is unchanged.
+# Measured basis (SCALING.md §inverted-index): the synthetic corpora
+# have NO skew growth (max df = 25 at sf0.1 AND sf10) — this guard is
+# for real templated corpora where boilerplate df grows with n.
+STOP_SHINGLE_SQRT_COEF = 10.0
 
 
 def word_ngram_postings(df: DataFrame, n: int, id_col: str = "doc_id",
@@ -99,7 +114,8 @@ def drop_stop_shingles(shingled: DataFrame,
                        floor_df: int = STOP_SHINGLE_FLOOR,
                        label: str = "ngram-join") -> DataFrame:
     """Remove shingles present in more than ``max(floor_df,
-    frac * n_docs)`` documents before a shingle-keyed self-join.
+    min(frac * n_docs, SQRT_COEF * sqrt(n_docs)))`` documents before a
+    shingle-keyed self-join.
 
     ``shingled`` must hold one posting per (document, distinct
     shingle) — i.e. the output of :func:`word_ngram_postings` — so
@@ -133,7 +149,11 @@ def drop_stop_shingles(shingled: DataFrame,
             F.col("_df")
             > F.greatest(
                 F.lit(int(floor_df)).cast("long"),
-                (F.lit(float(frac)) * F.col("_stop_nd")).cast("long"),
+                F.least(
+                    F.lit(float(frac)) * F.col("_stop_nd"),
+                    F.lit(STOP_SHINGLE_SQRT_COEF)
+                    * F.sqrt(F.col("_stop_nd")),
+                ).cast("long"),
             )
         )
         .select(shingle_col, "_df")

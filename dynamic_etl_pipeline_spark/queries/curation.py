@@ -542,8 +542,10 @@ WITH tk AS (
 ), hot AS (
   -- mirror of the engine's stop-shingle cap (operators/shingles.py)
   SELECT shingle FROM shingled GROUP BY shingle
-  HAVING count(*) > greatest(100, CAST(floor(
-    0.05 * (SELECT count(DISTINCT doc_id) FROM shingled)) AS BIGINT))
+  HAVING count(*) > greatest(100, CAST(floor(least(
+    0.05 * (SELECT count(DISTINCT doc_id) FROM shingled),
+    10.0 * sqrt((SELECT count(DISTINCT doc_id) FROM shingled))))
+    AS BIGINT))
 ), capped AS (
   SELECT * FROM shingled ANTI JOIN hot USING (shingle)
 ), pairs AS (

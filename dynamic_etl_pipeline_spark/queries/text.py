@@ -277,11 +277,15 @@ WITH tk AS (
   SELECT doc_id, count(*) AS n_sh FROM shingled GROUP BY doc_id
 ), hot AS (
   -- the engine's stop-shingle cap, expressed identically (df >
-  -- max(100, floor(0.05 * n_docs))) so engine and oracle share
-  -- semantics on ANY corpus, not just fixtures below the threshold
+  -- max(100, floor(min(0.05 * n_docs, 10 * sqrt(n_docs))))) so engine
+  -- and oracle share semantics on ANY corpus, not just fixtures below
+  -- the threshold (r7: sqrt auto-scale bounds single-shingle join
+  -- mass to 100 * n_docs — linear — above the 40k-doc crossover)
   SELECT shingle FROM shingled GROUP BY shingle
-  HAVING count(*) > greatest(100, CAST(floor(
-    0.05 * (SELECT count(DISTINCT doc_id) FROM shingled)) AS BIGINT))
+  HAVING count(*) > greatest(100, CAST(floor(least(
+    0.05 * (SELECT count(DISTINCT doc_id) FROM shingled),
+    10.0 * sqrt((SELECT count(DISTINCT doc_id) FROM shingled))))
+    AS BIGINT))
 ), capped AS (
   SELECT * FROM shingled ANTI JOIN hot USING (shingle)
 ), pairs AS (
@@ -980,8 +984,10 @@ WITH RECURSIVE tk AS (
 ), hot AS (
   -- mirror of the engine's stop-shingle cap (see ngram_jaccard_pairs)
   SELECT shingle FROM shingled GROUP BY shingle
-  HAVING count(*) > greatest(100, CAST(floor(
-    0.05 * (SELECT count(DISTINCT doc_id) FROM shingled)) AS BIGINT))
+  HAVING count(*) > greatest(100, CAST(floor(least(
+    0.05 * (SELECT count(DISTINCT doc_id) FROM shingled),
+    10.0 * sqrt((SELECT count(DISTINCT doc_id) FROM shingled))))
+    AS BIGINT))
 ), capped AS (
   SELECT * FROM shingled ANTI JOIN hot USING (shingle)
 ), pairs AS (

@@ -135,3 +135,29 @@ def test_drop_volume_via_observation(spark):
     assert n == shingled.count() - 30  # one hot shingle, df=30, dropped
     got = last_cap_observation("obs-test").get
     assert got["n_hot"] == 1 and got["dropped_postings"] == 30
+
+
+def test_sqrt_autoscale_caps_fractional_threshold(spark):
+    """Round 7: above the crossover (frac*n > SQRT_COEF*sqrt(n)) the
+    threshold follows SQRT_COEF*sqrt(n), keeping single-shingle join
+    mass linear in the corpus. 200 docs sharing one boilerplate gram
+    with frac=1.0, floor_df=0: old threshold = 200 (gram survives,
+    200^2/2 join rows); new = floor(10*sqrt(200)) = 141 -> dropped."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ])
+    rows = [(i, f"common boiler plate unique{i} token{i} mark{i}")
+            for i in range(200)]
+    docs = spark.createDataFrame(rows, schema)
+    shingled = word_ngram_postings(docs, 3)
+    capped = drop_stop_shingles(
+        shingled, frac=1.0, floor_df=0, label="test-sqrt"
+    )
+    assert capped.filter(
+        F.col("shingle") == "common boiler plate"
+    ).count() == 0
+    # rare shingles untouched
+    assert capped.select("doc_id").distinct().count() == 200
