@@ -19,9 +19,10 @@ def formatted_plan(df: DataFrame) -> str:
 
 def data_sized_nested_loops(df: DataFrame) -> int:
     """Count nested-loop/cartesian joins that could be data-sized —
-    the O(n^2) shape plan tests forbid — EXCLUDING the known scalar
-    gate: the stop-shingle cap's 1-row corpus-count broadcast, whose
-    BNLJ condition references its marker column ``_stop_nd`` (an
+    the O(n^2) shape plan tests forbid — EXCLUDING known scalar
+    gates: 1-row broadcast stat frames whose BNLJ condition references
+    a marker column (``_stop_nd`` for the stop-shingle corpus count,
+    ``_scalar_gate`` prefix for any other deliberate 1-row gate; an
     inner join against one row is O(n); Spark folds any synthetic equi
     key out of it, so BNLJ is the only plan shape it can take)."""
     return _nested_loops_in(formatted_plan(df))
@@ -40,7 +41,9 @@ def _nested_loops_in(plan: str) -> int:
         end = headers[i + 1].start() if i + 1 < len(headers) else len(plan)
         block = plan[m.start():end]
         cond = re.search(r"^Join condition: (.*)$", block, re.MULTILINE)
-        allowed = cond is not None and "_stop_nd" in cond.group(1)
+        allowed = cond is not None and (
+            "_stop_nd" in cond.group(1) or "_scalar_gate" in cond.group(1)
+        )
         if not allowed:
             bad += 1
     return bad

@@ -814,16 +814,19 @@ def word_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("cell").alias("cms_estimate"),
         )
     )
-    tot = wc.agg(F.sum("cnt").alias("n"))
+    # _scalar_gate prefix = the plan-audit marker for a deliberate
+    # 1-row broadcast stat frame (plans/inspect.py exempts its BNLJ)
+    tot = wc.agg(F.sum("cnt").alias("_scalar_gate_n"))
+    n = F.col("_scalar_gate_n")
     return (
         est.crossJoin(F.broadcast(tot))
-        .filter(F.col("cms_estimate") * _HH_DENOM >= F.col("n"))
+        .filter(F.col("cms_estimate") * _HH_DENOM >= n)
         .select(
             "word",
             F.col("true_count").cast("bigint").alias("true_count"),
             F.col("cms_estimate").cast("bigint").alias("cms_estimate"),
             F.when(
-                F.col("true_count") * _HH_DENOM >= F.col("n"), F.lit(1)
+                F.col("true_count") * _HH_DENOM >= n, F.lit(1)
             ).otherwise(F.lit(0)).cast("int").alias("is_true_hh"),
         )
     )

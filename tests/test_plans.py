@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from dynamic_etl_pipeline_spark.catalog import load_table
 from dynamic_etl_pipeline_spark.plans import (
+    data_sized_nested_loops,
     formatted_plan,
     has_operator,
     pushed_filters,
@@ -444,3 +445,26 @@ def test_pq_exact_search_jvm_only_equi_join(spark, sf_dir):
     assert not has_operator(df, "CartesianProduct"), plan
     assert not has_operator(df, "BroadcastNestedLoopJoin"), plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_kmv_sketch_plans_stay_jvm_side_and_equi(spark, sf_dir):
+    """Round-7 portable sketch family: all arithmetic (md5 fold, order
+    statistics, integer estimates) must compile to JVM expressions —
+    zero Python eval — and the only joins are equi/broadcast (the
+    events rollup broadcasts its tiny n_days side)."""
+    for name in ("agg_distinct_kmv", "events_kmv_sketch_rollup",
+                 "agg_quantile_hash_sample"):
+        df = QUERIES[name](spark, sf_dir)
+        assert python_eval_count(df) == 0, name
+        assert not has_operator(df, "CartesianProduct"), name
+        assert data_sized_nested_loops(df) == 0, name
+
+
+def test_cms_heavy_hitters_sketch_side_broadcasts(spark, sf_dir):
+    """word_heavy_hitters_cms probes the fixed 4x256 sketch and the
+    1-row total via broadcast — the corpus-sized side never shuffles
+    for the join."""
+    df = QUERIES["word_heavy_hitters_cms"](spark, sf_dir)
+    assert python_eval_count(df) == 0
+    assert has_operator(df, "BroadcastExchange")
+    assert data_sized_nested_loops(df) == 0

@@ -89,6 +89,15 @@ SHOWCASE = [
     ("events_sessionize_skew_safe",
      "hot-key-safe sessionization: (user, day)-bucketed lag/cumsum, "
      "user-only windows confined to the bucket aggregate (round 6)"),
+    ("agg_distinct_kmv",
+     "portable KMV distinct sketch: distinct-hash shuffle + one "
+     "group-sorted window, all-integer estimate (round 7)"),
+    ("events_kmv_sketch_rollup",
+     "mergeable two-level KMV rollup: day-bucketed windows then "
+     "type-level re-take, broadcast n_days join (round 7)"),
+    ("word_heavy_hitters_cms",
+     "CMS heavy hitters: fixed-grid broadcast probe + 1-row "
+     "_scalar_gate total (round 7)"),
 ]
 
 
