@@ -61,6 +61,66 @@ def _hex_fold(col: str, ndigits: int) -> str:
 _KMV_NUM = (_KMV_K - 1) * _KMV_SPACE
 
 
+def kmv_distinct(df: DataFrame, group_col: str, val_col: str) -> DataFrame:
+    """Per-group KMV distinct sketch + estimate (see agg_distinct_kmv).
+    Returns (group_col, n_distinct, kth_min_hash, kmv_estimate) — the
+    construction the fuzz suite re-derives in DuckDB on random frames
+    (tests/test_portable_hash_fuzz.py)."""
+    dh = (
+        df.select(group_col, _kmv_hash(F.col(val_col)).alias("hv"))
+        .distinct()
+    )
+    wo = Window.partitionBy(group_col).orderBy("hv")
+    wp = Window.partitionBy(group_col)
+    ranked = dh.select(
+        group_col, "hv",
+        F.row_number().over(wo).alias("rn"),
+        F.count("*").over(wp).alias("nd"),
+    )
+    k = F.lit(_KMV_K)
+    return (
+        ranked.filter(
+            F.col("rn")
+            == F.when(F.col("nd") < k, F.col("nd")).otherwise(k)
+        )
+        .select(
+            group_col,
+            F.col("nd").cast("bigint").alias("n_distinct"),
+            F.col("hv").cast("bigint").alias("kth_min_hash"),
+            F.when(F.col("nd") < k, F.col("nd"))
+            .otherwise(
+                F.expr(f"{_KMV_NUM} div greatest(hv, 1)")
+            )
+            .cast("bigint")
+            .alias("kmv_estimate"),
+        )
+    )
+
+
+def _kmv_oracle(src: str, group: str, val: str) -> str:
+    """DuckDB oracle for :func:`kmv_distinct` over table ``src``."""
+    return f"""
+WITH hashed AS (
+  SELECT {group}, md5(CAST({val} AS VARCHAR)) AS h FROM {src}
+), dh AS (
+  SELECT DISTINCT {group}, {_hex_fold('h', _KMV_HEX)} AS hv FROM hashed
+), ranked AS (
+  SELECT {group}, hv,
+         row_number() OVER (PARTITION BY {group} ORDER BY hv) AS rn,
+         count(*) OVER (PARTITION BY {group}) AS nd
+  FROM dh
+)
+SELECT {group},
+       CAST(nd AS BIGINT) AS n_distinct,
+       CAST(hv AS BIGINT) AS kth_min_hash,
+       CAST(CASE WHEN nd < {_KMV_K} THEN nd
+                 ELSE {_KMV_NUM} // greatest(hv, 1) END AS BIGINT)
+         AS kmv_estimate
+FROM ranked
+WHERE rn = CASE WHEN nd < {_KMV_K} THEN nd ELSE {_KMV_K} END
+"""
+
+
 @query("agg_percentiles", oracle="""
 SELECT o_orderpriority,
        round(CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE), 4) AS p50,
@@ -120,26 +180,8 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_distinct_kmv", oracle=f"""
-WITH hashed AS (
-  SELECT l_returnflag, md5(CAST(l_orderkey AS VARCHAR)) AS h FROM lineitem
-), dh AS (
-  SELECT DISTINCT l_returnflag, {_hex_fold('h', _KMV_HEX)} AS hv FROM hashed
-), ranked AS (
-  SELECT l_returnflag, hv,
-         row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn,
-         count(*) OVER (PARTITION BY l_returnflag) AS nd
-  FROM dh
-)
-SELECT l_returnflag,
-       CAST(nd AS BIGINT) AS n_distinct,
-       CAST(hv AS BIGINT) AS kth_min_hash,
-       CAST(CASE WHEN nd < {_KMV_K} THEN nd
-                 ELSE {_KMV_NUM} // greatest(hv, 1) END AS BIGINT)
-         AS kmv_estimate
-FROM ranked
-WHERE rn = CASE WHEN nd < {_KMV_K} THEN nd ELSE {_KMV_K} END
-""")
+@query("agg_distinct_kmv",
+       oracle=_kmv_oracle("lineitem", "l_returnflag", "l_orderkey"))
 def agg_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (k-minimum-values) distinct-count sketch, the PORTABLE
     exact-oracled twin of agg_approx_distinct's engine-native HLL++:
@@ -156,38 +198,10 @@ def agg_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-level rollup. Groups with fewer than k distinct values fall
     back to the exact count (the sketch is the complete hash set).
     Estimate accuracy vs exact distinct is additionally bounded in
-    tests/test_approx.py."""
-    li = load_table(spark, sf_dir, "lineitem")
-    dh = (
-        li.select(
-            "l_returnflag", _kmv_hash(F.col("l_orderkey")).alias("hv")
-        )
-        .distinct()
-    )
-    wo = Window.partitionBy("l_returnflag").orderBy("hv")
-    wp = Window.partitionBy("l_returnflag")
-    ranked = dh.select(
-        "l_returnflag", "hv",
-        F.row_number().over(wo).alias("rn"),
-        F.count("*").over(wp).alias("nd"),
-    )
-    k = F.lit(_KMV_K)
-    return (
-        ranked.filter(
-            F.col("rn")
-            == F.when(F.col("nd") < k, F.col("nd")).otherwise(k)
-        )
-        .select(
-            "l_returnflag",
-            F.col("nd").cast("bigint").alias("n_distinct"),
-            F.col("hv").cast("bigint").alias("kth_min_hash"),
-            F.when(F.col("nd") < k, F.col("nd"))
-            .otherwise(
-                F.expr(f"{_KMV_NUM} div greatest(hv, 1)")
-            )
-            .cast("bigint")
-            .alias("kmv_estimate"),
-        )
+    tests/test_approx.py; arbitrary-frame parity is fuzzed in
+    tests/test_portable_hash_fuzz.py."""
+    return kmv_distinct(
+        load_table(spark, sf_dir, "lineitem"), "l_returnflag", "l_orderkey"
     )
 
 

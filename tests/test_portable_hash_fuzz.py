@@ -132,3 +132,83 @@ def test_simhash_portable_matches_oracle_on_random_corpora(spark, seed):
         corpus, _simhash_oracle(corpus_sql=_CORPUS_SQL)
     )
     _assert_frames_equal(got, want, ["id_a", "id_b"], seed)
+
+
+# ---------------------------------------------------------------------------
+# Round-7 portable sketches: KMV distinct + hash-Bernoulli quantile
+# sample re-derived by DuckDB on random frames (same weight the r6
+# minhash family carries — fixture-only parity is not enough).
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_kmv_distinct_matches_oracle_on_random_frames(spark, seed):
+    """Random (group, value) frames with duplicate values, skewed group
+    sizes, and groups below/above k=64 distinct."""
+    from dynamic_etl_pipeline_spark.queries.advanced import (
+        _kmv_oracle,
+        kmv_distinct,
+    )
+
+    rng = random.Random(1000 + seed)
+    rows = []
+    for g, size in enumerate([3, 40, 64, 65, 300, rng.randint(1, 500)]):
+        vals = [rng.randint(-50, 10_000) for _ in range(size)]
+        rows += [(f"g{g}", v) for v in vals]
+        rows += [(f"g{g}", rng.choice(vals)) for _ in range(size // 3)]
+    corpus = pd.DataFrame(rows, columns=["grp", "val"])
+    got = kmv_distinct(
+        spark.createDataFrame(corpus), "grp", "val"
+    ).toPandas()
+    want = _duck(corpus.rename(columns={"grp": "grp", "val": "val"}),
+                 _kmv_oracle("raw_corpus", "grp", "val"))
+    _assert_frames_equal(got, want, ["grp"], seed)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_quantile_hash_sample_matches_oracle_on_random_frames(spark, seed):
+    """The deterministic md5 sample membership and the interpolated
+    sample/exact quantiles must agree cell-for-cell on random keyed
+    frames (incl. negative and repeated measures)."""
+    from pyspark.sql import functions as F
+
+    rng = random.Random(2000 + seed)
+    rows = [
+        (rng.randint(1, 400), rng.randint(1, 7),
+         round(rng.uniform(-100, 100_000), 2))
+        for _ in range(rng.randint(50, 1200))
+    ]
+    corpus = pd.DataFrame(rows, columns=["k1", "k2", "price"])
+    samp = F.substring(
+        F.md5(
+            F.concat(
+                F.col("k1").cast("string"), F.lit("#"),
+                F.col("k2").cast("string"),
+            ).cast("binary")
+        ),
+        1, 1,
+    ).isin("0", "1", "2", "3")
+    sampled = F.when(samp, F.col("price"))
+    got = spark.createDataFrame(corpus).agg(
+        F.count("*").alias("n_total"),
+        F.count_if(samp).alias("n_sample"),
+        F.round(F.percentile(sampled, F.lit(0.5)), 4).alias("p50_sample"),
+        F.round(F.percentile(sampled, F.lit(0.95)), 4).alias("p95_sample"),
+        F.round(F.percentile(F.col("price"), F.lit(0.5)), 4).alias("p50_exact"),
+    ).toPandas()
+    want = _duck(corpus, """
+WITH keyed AS (
+  SELECT price,
+         substr(md5(CAST(k1 AS VARCHAR) || '#' || CAST(k2 AS VARCHAR)),
+                1, 1) IN ('0', '1', '2', '3') AS samp
+  FROM raw_corpus
+)
+SELECT count(*) AS n_total,
+       CAST(count(*) FILTER (samp) AS BIGINT) AS n_sample,
+       round(CAST(quantile_cont(CASE WHEN samp THEN price END, 0.5)
+                  AS DOUBLE), 4) AS p50_sample,
+       round(CAST(quantile_cont(CASE WHEN samp THEN price END, 0.95)
+                  AS DOUBLE), 4) AS p95_sample,
+       round(CAST(quantile_cont(price, 0.5) AS DOUBLE), 4) AS p50_exact
+FROM keyed
+""")
+    _assert_frames_equal(got, want, ["n_total"], seed)
