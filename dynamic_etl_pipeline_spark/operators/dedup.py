@@ -641,13 +641,18 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                 ).alias("component"),
             )
         )
+        # materialize BEFORE the convergence check (r7): the check and
+        # the checkpoint both execute the round's plan — running the
+        # check against the already-checkpointed frame halves the work
+        # per round (was: plan executed twice per iteration)
+        updated = updated.transform(materialize)  # truncate lineage per round
         changed = (
             updated.alias("u")
             .join(labels.alias("l"), "id")
             .filter(F.col("u.component") != F.col("l.component"))
             .limit(1).count()
         )
-        labels = updated.transform(materialize)  # truncate lineage per round
+        labels = updated
         if changed == 0:
             break
     return labels
