@@ -29,8 +29,16 @@ def main() -> int:
     # allowance; a 10x-data query at 1.5x data-ratio growth is O(n^1.2)
     threshold = data_ratio * 1.5
 
-    small = json.loads(open(small_path).read())
-    big = json.loads(open(big_path).read())
+    def _load(path: str) -> dict:
+        # bench.py emits a human detail-path line followed by the
+        # compact JSON as the FINAL line (r7 driver-tail fix) — take
+        # the last JSON line rather than parsing the whole file
+        lines = [ln for ln in open(path).read().splitlines()
+                 if ln.startswith("{")]
+        return json.loads(lines[-1])
+
+    small = _load(small_path)
+    big = _load(big_path)
     qs, qb = small["queries"], big["queries"]
     common = [k for k in qs if k in qb]
     rows = sorted(
