@@ -61,25 +61,47 @@ def _hex_fold(col: str, ndigits: int) -> str:
 _KMV_NUM = (_KMV_K - 1) * _KMV_SPACE
 
 
-def kmv_distinct(df: DataFrame, group_col: str, val_col: str) -> DataFrame:
+def kmv_distinct(df: DataFrame, group_col: str, val_col: str,
+                 shards: int = 64) -> DataFrame:
     """Per-group KMV distinct sketch + estimate (see agg_distinct_kmv).
     Returns (group_col, n_distinct, kth_min_hash, kmv_estimate) — the
     construction the fuzz suite re-derives in DuckDB on random frames
-    (tests/test_portable_hash_fuzz.py)."""
+    (tests/test_portable_hash_fuzz.py).
+
+    SKEW-SAFE two-level shape: a naive
+    ``Window.partitionBy(group).orderBy(hash)`` sorts a group's ENTIRE
+    distinct-hash set in one task — a hot group at 100 TB (billions of
+    distinct keys under one l_returnflag) lands on one executor. Level
+    1 therefore takes the k smallest per (group, hash mod shards) — no
+    window partition ever exceeds ~distinct/shards rows — and level 2
+    re-takes the k smallest of the <= shards*k survivors per group.
+    Output is IDENTICAL to the flat construction (any globally-k-small
+    hash is k-small within its own shard — the same merge-equals-
+    resketch invariant events_kmv_sketch_rollup demonstrates across
+    days), which is why the flat DuckDB oracle and the random-frame
+    fuzz check this plan without modification. The exact group size
+    ``nd`` comes from a two-level hash aggregate, not the window."""
     dh = (
         df.select(group_col, _kmv_hash(F.col(val_col)).alias("hv"))
         .distinct()
     )
+    nd = dh.groupBy(group_col).agg(F.count("*").alias("nd"))
+    ws = Window.partitionBy(
+        group_col, F.pmod(F.col("hv"), F.lit(shards))
+    ).orderBy("hv")
+    lvl1 = (
+        dh.withColumn("_srn", F.row_number().over(ws))
+        .filter(F.col("_srn") <= _KMV_K)
+        .drop("_srn")
+    )
     wo = Window.partitionBy(group_col).orderBy("hv")
-    wp = Window.partitionBy(group_col)
-    ranked = dh.select(
-        group_col, "hv",
-        F.row_number().over(wo).alias("rn"),
-        F.count("*").over(wp).alias("nd"),
+    ranked = lvl1.select(
+        group_col, "hv", F.row_number().over(wo).alias("rn")
     )
     k = F.lit(_KMV_K)
     return (
-        ranked.filter(
+        ranked.join(nd, group_col)
+        .filter(
             F.col("rn")
             == F.when(F.col("nd") < k, F.col("nd")).otherwise(k)
         )
