@@ -672,9 +672,22 @@ def events_kmv_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # shard pre-pass (r7, same shape as kmv_distinct): a hot (day,
+    # type) cell at corpus scale would otherwise sort its whole
+    # distinct-user hash set in one window task; the pmod shard bounds
+    # every partition, and k-min of shard k-mins == k-min (merge
+    # invariant), so the day sketch below is unchanged.
+    wsh = Window.partitionBy(
+        "day", "event_type", F.pmod(F.col("hv"), F.lit(64))
+    ).orderBy("hv")
+    pre = (
+        dh.withColumn("_srn", F.row_number().over(wsh))
+        .filter(F.col("_srn") <= _KMV_K)
+        .drop("_srn")
+    )
     wd = Window.partitionBy("day", "event_type").orderBy("hv")
     daily = (
-        dh.withColumn("rn", F.row_number().over(wd))
+        pre.withColumn("rn", F.row_number().over(wd))
         .filter(F.col("rn") <= _KMV_K)
         .select("day", "event_type", "hv")
     )
