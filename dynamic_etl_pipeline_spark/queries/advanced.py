@@ -261,7 +261,18 @@ def agg_quantile_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-only); the sort cost of the exact rank then applies to 25% of
     rows — and the rate dials down (2 hex digits = 1/256, ...) as the
     corpus grows, which is how a 100-TB percentile stays tractable
-    with a deterministic, re-derivable, engine-portable sample."""
+    with a deterministic, re-derivable, engine-portable sample.
+
+    Boundary (measured at the 100x corpus: 149 s over 60M rows):
+    Spark's exact ``percentile`` is a partial-aggregating
+    TypedImperativeAggregate whose state is a value->count map — the
+    per-partition build distributes, but the final merge holds
+    O(distinct measure values) on one reducer. With a continuous
+    measure at true 100-TB scale that state is data-sized: production
+    drops the ride-along full-data columns (they exist here so the
+    sampling error is part of the CHECKED output) and lowers the
+    sample rate, or falls back to the engine-native sketch twin
+    (agg_approx_quantile) when determinism isn't required."""
     li = load_table(spark, sf_dir, "lineitem")
     samp = F.substring(
         F.md5(
