@@ -753,9 +753,13 @@ def word_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HH_DENOM = 200
 
 
-@query("word_heavy_hitters_cms", oracle=f"""
+def _hh_cms_oracle(src: str = "documents") -> str:
+    """DuckDB oracle for :func:`heavy_hitters_cms` over table ``src``
+    (templated so the random-corpus fuzz can point it at an injected
+    view, same pattern as the minhash oracle builders)."""
+    return f"""
 WITH tok AS (
-  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+  SELECT unnest(string_split(text, ' ')) AS word FROM {src}
 ), wc AS (
   SELECT word, count(*) AS cnt FROM tok GROUP BY word
 ), probes AS ({_CMS_ROWS_SQL}),
@@ -775,27 +779,14 @@ SELECT word,
             AS INT) AS is_true_hh
 FROM est CROSS JOIN tot
 WHERE cms_estimate * {_HH_DENOM} >= n
-""")
-def word_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frequent items above a support threshold via the portable
-    count-min sketch — the exact-oracled twin of
-    word_freq_items_approx's engine-native KPS sketch, mirroring the
-    word_count_min_sketch construction (r6 verdict item 1). Same
-    contract as df.stat.freqItems: because cms_estimate >= true_count
-    always, the returned set is a SUPERSET of every word at >= 1/200
-    of the token stream (is_true_hh marks the exact members, making
-    the false-positive margin part of the checked output). Thresholding
-    compares integer products (cnt * 200 >= N), so there is no float
-    support fraction for the engines to disagree on.
+"""
 
-    At 100 TB the sketch is the same fixed 4x256-cell frame as
-    word_count_min_sketch — the only vocabulary-sized object is the
-    candidate probe set, and production would keep only candidates
-    from a first heavy pass (or the stream's distinct keys) rather
-    than the full vocab ridden along here for the oracle."""
-    d = spread(load_table(spark, sf_dir, "documents"))
+
+def heavy_hitters_cms(d: DataFrame, text_col: str = "text") -> DataFrame:
+    """CMS heavy hitters over any (…, text) frame — the construction
+    word_heavy_hitters_cms registers; see its docstring."""
     wc = (
-        d.select(F.explode(F.split("text", " ")).alias("word"))
+        d.select(F.explode(F.split(text_col, " ")).alias("word"))
         .groupBy("word").agg(F.count("*").alias("cnt"))
     )
     probes = None
@@ -830,6 +821,30 @@ def word_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(0)).cast("int").alias("is_true_hh"),
         )
     )
+
+
+@query("word_heavy_hitters_cms", oracle=_hh_cms_oracle())
+def word_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent items above a support threshold via the portable
+    count-min sketch — the exact-oracled twin of
+    word_freq_items_approx's engine-native KPS sketch, mirroring the
+    word_count_min_sketch construction (r6 verdict item 1). Same
+    contract as df.stat.freqItems: because cms_estimate >= true_count
+    always, the returned set is a SUPERSET of every word at >= 1/200
+    of the token stream (is_true_hh marks the exact members, making
+    the false-positive margin part of the checked output). Thresholding
+    compares integer products (cnt * 200 >= N), so there is no float
+    support fraction for the engines to disagree on.
+
+    At 100 TB the sketch is the same fixed 4x256-cell frame as
+    word_count_min_sketch — the only vocabulary-sized object is the
+    candidate probe set, and production would keep only candidates
+    from a first heavy pass (or the stream's distinct keys) rather
+    than the full vocab ridden along here for the oracle.
+
+    Random-corpus parity (not just fixture parity) is fuzzed in
+    tests/test_portable_hash_fuzz.py via the templated oracle."""
+    return heavy_hitters_cms(spread(load_table(spark, sf_dir, "documents")))
 
 
 @query("doc_bigram_lm_score", oracle="""

@@ -212,3 +212,32 @@ SELECT count(*) AS n_total,
 FROM keyed
 """)
     _assert_frames_equal(got, want, ["n_total"], seed)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_cms_heavy_hitters_matches_oracle_on_random_corpora(spark, seed):
+    """Zipf-ish random corpora (a few planted hot words over a wide
+    tail) through the engine's CMS heavy-hitter construction vs the
+    same templated DuckDB oracle — the grid buckets, the min-over-rows
+    estimate, the integer threshold, and the membership flag must all
+    agree cell-for-cell."""
+    from dynamic_etl_pipeline_spark.queries.text import (
+        _hh_cms_oracle,
+        heavy_hitters_cms,
+    )
+
+    rng = random.Random(3000 + seed)
+    hot = [f"hot{h}" for h in range(rng.randint(1, 4))]
+    rows = []
+    for i in range(rng.randint(20, 60)):
+        n = rng.randint(3, 60)
+        toks = [
+            rng.choice(hot) if rng.random() < 0.3 else rng.choice(_WORDS)
+            for _ in range(n)
+        ]
+        rows.append((i, " ".join(toks)))
+    corpus = pd.DataFrame(rows, columns=["doc_id", "text"])
+    got = heavy_hitters_cms(spark.createDataFrame(corpus)).toPandas()
+    want = _duck(corpus, _hh_cms_oracle("raw_corpus"))
+    assert len(got), f"seed {seed}: no heavy hitters planted"
+    _assert_frames_equal(got, want, ["word"], seed)
