@@ -190,7 +190,16 @@ def main() -> int:
         print(f"{status}  {name}: {len(sdf)} rows, {msg} [{time.time()-t0:.1f}s]")
         if not ok:
             failures.append(name)
-    print(f"\n{n_run - len(failures)}/{n_run} pass; rows-only: {len(rows_only)}")
+    from dynamic_etl_pipeline_spark.queries.registry import BASELINES
+
+    tagged = [n for n in rows_only if n in BASELINES]
+    note = (
+        f" (all {len(tagged)} are registry-tagged engine-specific "
+        "baselines with exact-oracled twins)"
+        if rows_only and len(tagged) == len(rows_only) else ""
+    )
+    print(f"\n{n_run - len(failures)}/{n_run} pass; "
+          f"rows-only: {len(rows_only)}{note}")
     if failures:
         print("failures:", ", ".join(failures))
     return 1 if failures else 0
