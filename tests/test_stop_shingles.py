@@ -161,3 +161,44 @@ def test_sqrt_autoscale_caps_fractional_threshold(spark):
     ).count() == 0
     # rare shingles untouched
     assert capped.select("doc_id").distinct().count() == 200
+
+
+def test_threshold_arithmetic_parity_with_oracle_formula(spark):
+    """The engine computes greatest(floor, CAST(least(frac*n,
+    coef*sqrt(n)) AS LONG)) while the oracles spell it greatest(100,
+    CAST(floor(least(...)) AS BIGINT)) — scan n across the crossover
+    (40k docs) and far beyond to pin that truncation == floor and the
+    double sqrt/mult round identically in both engines for every
+    corpus size that could ever disagree."""
+    import random
+
+    import duckdb
+
+    from dynamic_etl_pipeline_spark.operators.shingles import (
+        STOP_SHINGLE_FLOOR,
+        STOP_SHINGLE_FRAC,
+        STOP_SHINGLE_SQRT_COEF,
+    )
+
+    rng = random.Random(7)
+    ns = [1, 2, 99, 100, 101, 2000, 39_999, 40_000, 40_001, 44_999,
+          500_000, 10**6, 10**9, 10**12]
+    ns += [rng.randint(1, 10**10) for _ in range(200)]
+    rows = spark.createDataFrame([(n,) for n in ns], "n long")
+    got = {
+        r["n"]: r["t"]
+        for r in rows.selectExpr(
+            "n",
+            f"greatest(CAST({STOP_SHINGLE_FLOOR} AS LONG), "
+            f"CAST(least({STOP_SHINGLE_FRAC} * n, "
+            f"{STOP_SHINGLE_SQRT_COEF} * sqrt(n)) AS LONG)) AS t",
+        ).collect()
+    }
+    con = duckdb.connect()
+    for n in ns:
+        want = con.execute(
+            f"SELECT greatest({STOP_SHINGLE_FLOOR}, CAST(floor(least("
+            f"{STOP_SHINGLE_FRAC} * {n}, {STOP_SHINGLE_SQRT_COEF} * "
+            f"sqrt({n}))) AS BIGINT))"
+        ).fetchone()[0]
+        assert got[n] == want, (n, got[n], want)
