@@ -241,3 +241,33 @@ def test_cms_heavy_hitters_matches_oracle_on_random_corpora(spark, seed):
     want = _duck(corpus, _hh_cms_oracle("raw_corpus"))
     assert len(got), f"seed {seed}: no heavy hitters planted"
     _assert_frames_equal(got, want, ["word"], seed)
+
+
+def test_kmv_estimate_division_parity_including_zero_hash(spark):
+    """Spark `div greatest(hv, 1)` vs DuckDB `// greatest(hv, 1)` over
+    the full 48-bit hash range including the edges the corpus fuzz can
+    never reach (hv = 0 — the all-zero md5 prefix the greatest() guard
+    exists for — and the max hash)."""
+    import duckdb
+
+    from dynamic_etl_pipeline_spark.queries.advanced import (
+        _KMV_NUM,
+        _KMV_SPACE,
+    )
+
+    rng = random.Random(11)
+    hvs = [0, 1, 2, 62, 63, 64, _KMV_NUM, _KMV_SPACE - 1]
+    hvs += [rng.randrange(_KMV_SPACE) for _ in range(300)]
+    rows = spark.createDataFrame([(h,) for h in hvs], "hv long")
+    got = {
+        r["hv"]: r["est"]
+        for r in rows.selectExpr(
+            "hv", f"{_KMV_NUM} div greatest(hv, 1) AS est"
+        ).collect()
+    }
+    con = duckdb.connect()
+    for h in hvs:
+        want = con.execute(
+            f"SELECT {_KMV_NUM} // greatest({h}, 1)"
+        ).fetchone()[0]
+        assert got[h] == want, (h, got[h], want)
