@@ -621,6 +621,11 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         # per round
         .transform(materialize)
     )
+    # (r7 note: a coalesce(1) fast path for tiny edge sets was
+    # measured in an in-session A/B and reverted — AQE already
+    # collapses the per-round shuffles, so the extra count() job and
+    # single-task rounds bought nothing at sf0.1 and would only hurt
+    # at scale.)
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
