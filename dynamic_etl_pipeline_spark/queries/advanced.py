@@ -735,6 +735,205 @@ def events_kmv_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("events_kmv_type_overlap", oracle=f"""
+WITH hashed AS (
+  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events
+), dh AS (
+  SELECT DISTINCT event_type, {_hex_fold('h', _KMV_HEX)} AS hv FROM hashed
+), sk AS (
+  SELECT event_type, hv FROM (
+    SELECT event_type, hv,
+           row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+    FROM dh) WHERE rn <= {_KMV_K}
+), tp AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM (SELECT DISTINCT event_type FROM sk) a
+  JOIN (SELECT DISTINCT event_type FROM sk) b
+    ON a.event_type < b.event_type
+), kept AS (
+  SELECT tp.type_a, tp.type_b, s.hv
+  FROM tp JOIN sk s ON s.event_type = tp.type_a
+  UNION ALL
+  SELECT tp.type_a, tp.type_b, s.hv
+  FROM tp JOIN sk s ON s.event_type = tp.type_b
+), uk AS (
+  SELECT type_a, type_b, hv, count(*) AS m
+  FROM kept GROUP BY 1, 2, 3
+), ranked AS (
+  SELECT type_a, type_b, hv, m,
+         row_number() OVER (PARTITION BY type_a, type_b ORDER BY hv)
+           AS rn,
+         count(*) OVER (PARTITION BY type_a, type_b) AS n_uk
+  FROM uk
+), theta AS (
+  SELECT type_a, type_b, hv AS theta, n_uk FROM ranked
+  WHERE rn = CASE WHEN n_uk < {_KMV_K} THEN n_uk ELSE {_KMV_K} END
+), agg AS (
+  SELECT r.type_a, r.type_b,
+         max(t.theta) AS theta_hash,
+         max(t.n_uk) AS n_union_kept,
+         sum(CASE WHEN r.m = 2
+                   AND (t.n_uk < {_KMV_K} OR r.hv < t.theta)
+                  THEN 1 ELSE 0 END) AS common_cnt
+  FROM ranked r JOIN theta t USING (type_a, type_b)
+  GROUP BY 1, 2
+), ex AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*) AS exact_inter
+  FROM (SELECT DISTINCT event_type, user_id FROM events) a
+  JOIN (SELECT DISTINCT event_type, user_id FROM events) b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT agg.type_a, agg.type_b,
+       CAST(n_union_kept AS BIGINT) AS n_union_kept,
+       CAST(theta_hash AS BIGINT) AS theta_hash,
+       CAST(common_cnt AS BIGINT) AS common_in_sketch,
+       CAST(CASE WHEN n_union_kept < {_KMV_K} THEN common_cnt
+                 ELSE common_cnt * {_KMV_SPACE}
+                      // greatest(theta_hash, 1) END AS BIGINT)
+         AS inter_est,
+       CAST(CASE WHEN n_union_kept < {_KMV_K} THEN n_union_kept
+                 ELSE {_KMV_NUM} // greatest(theta_hash, 1) END AS BIGINT)
+         AS union_est,
+       CAST(coalesce(ex.exact_inter, 0) AS BIGINT) AS exact_inter
+FROM agg LEFT JOIN ex USING (type_a, type_b)
+""")
+def events_kmv_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta-sketch SET OPERATIONS: estimate the distinct-user
+    INTERSECTION (and union) of every event-type pair from the 64-hash
+    sketches alone — the capability mergeable distinct sketches exist
+    for and HLL can only approach via error-amplifying
+    inclusion-exclusion. Estimator (Beyer et al. 2007 / theta-sketch
+    combine rule): theta = k-th smallest hash of the two kept sets'
+    union; any true-intersection element hashing below theta is
+    provably in BOTH kept sets (theta <= each sketch's own k-th min),
+    so the common-below-theta count is exactly computable from the
+    sketches and |A inter B| ~= common * |H| / theta — all integers,
+    re-derived bit-for-bit by the oracle. When the union keeps fewer
+    than k hashes both sketches are complete and the estimates
+    degenerate to exact counts. The exact per-pair intersection rides
+    along so the estimator error is checked output (accuracy bound in
+    tests/test_approx.py).
+
+    At 100 TB: the pairwise stage touches only |types|^2 x k sketch
+    rows — corpus-sized data is read once to build the per-type
+    sketches (same shard-decomposed two-level shape as kmv_distinct);
+    comparing two CORPORA for audience/dedup overlap moves kilobytes,
+    not rows."""
+    e = load_table(spark, sf_dir, "events")
+    dh = (
+        e.select("event_type", _kmv_hash(F.col("user_id")).alias("hv"))
+        .distinct()
+    )
+    wsh = Window.partitionBy(
+        "event_type", F.pmod(F.col("hv"), F.lit(64))
+    ).orderBy("hv")
+    pre = (
+        dh.withColumn("_srn", F.row_number().over(wsh))
+        .filter(F.col("_srn") <= _KMV_K)
+        .drop("_srn")
+    )
+    wt = Window.partitionBy("event_type").orderBy("hv")
+    sk = (
+        pre.withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("event_type", "hv")
+    )
+    types = sk.select("event_type").distinct()
+    tp = (
+        types.select(F.col("event_type").alias("type_a"))
+        .crossJoin(
+            F.broadcast(types.select(F.col("event_type").alias("type_b")))
+        )
+        .filter(F.col("type_a") < F.col("type_b"))
+    )
+    kept = (
+        tp.join(sk, sk["event_type"] == tp["type_a"])
+        .select("type_a", "type_b", "hv")
+        .unionAll(
+            tp.join(sk, sk["event_type"] == tp["type_b"])
+            .select("type_a", "type_b", "hv")
+        )
+    )
+    uk = kept.groupBy("type_a", "type_b", "hv").agg(
+        F.count("*").alias("m")
+    )
+    wu = Window.partitionBy("type_a", "type_b").orderBy("hv")
+    wp = Window.partitionBy("type_a", "type_b")
+    ranked = uk.select(
+        "type_a", "type_b", "hv", "m",
+        F.row_number().over(wu).alias("rn"),
+        F.count("*").over(wp).alias("n_uk"),
+    )
+    k = F.lit(_KMV_K)
+    theta = (
+        ranked.filter(
+            F.col("rn")
+            == F.when(F.col("n_uk") < k, F.col("n_uk")).otherwise(k)
+        )
+        .select(
+            "type_a", "type_b",
+            F.col("hv").alias("theta"), F.col("n_uk").alias("_nu"),
+        )
+    )
+    agg = (
+        ranked.join(theta, ["type_a", "type_b"])
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.max("theta").alias("theta_hash"),
+            F.max("_nu").alias("n_union_kept"),
+            F.sum(
+                F.when(
+                    (F.col("m") == 2)
+                    & ((F.col("_nu") < k) | (F.col("hv") < F.col("theta"))),
+                    1,
+                ).otherwise(0)
+            ).alias("common_cnt"),
+        )
+    )
+    du = e.select("event_type", "user_id").distinct()
+    ex = (
+        du.select(F.col("event_type").alias("type_a"), "user_id")
+        .join(
+            du.select(F.col("event_type").alias("type_b"), "user_id"),
+            "user_id",
+        )
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("exact_inter"))
+    )
+    nu, th, cc = (
+        F.col("n_union_kept"), F.col("theta_hash"), F.col("common_cnt")
+    )
+    return (
+        agg.join(ex, ["type_a", "type_b"], "left")
+        .select(
+            "type_a", "type_b",
+            nu.cast("bigint").alias("n_union_kept"),
+            th.cast("bigint").alias("theta_hash"),
+            cc.cast("bigint").alias("common_in_sketch"),
+            F.when(nu < k, cc)
+            .otherwise(
+                F.expr(
+                    f"common_cnt * {_KMV_SPACE} div greatest(theta_hash, 1)"
+                )
+            )
+            .cast("bigint")
+            .alias("inter_est"),
+            F.when(nu < k, nu)
+            .otherwise(
+                F.expr(f"{_KMV_NUM} div greatest(theta_hash, 1)")
+            )
+            .cast("bigint")
+            .alias("union_est"),
+            F.coalesce(F.col("exact_inter"), F.lit(0))
+            .cast("bigint")
+            .alias("exact_inter"),
+        )
+    )
+
+
 @query("rollup_grouping_id", oracle="""
 SELECT l_returnflag, l_linestatus,
        CAST(GROUPING(l_returnflag) AS INT) AS g_flag,

@@ -174,3 +174,24 @@ def test_cms_heavy_hitters_superset_contract(spark, sf_dir):
     for w, r in got.items():
         assert r["cms_estimate"] >= r["true_count"]
         assert r["is_true_hh"] == (1 if w in true_hh else 0)
+
+
+def test_kmv_theta_intersection_accuracy(spark, sf_dir):
+    """Theta-sketch intersection estimates vs the exact ride-along:
+    with k=64 the common-below-theta estimator carries ~1/sqrt(k)
+    noise; assert a 35% relative bound (measured fixture error: ~4%)
+    and exactness when the union sketch is complete."""
+    from dynamic_etl_pipeline_spark.queries.advanced import (
+        _KMV_K,
+        events_kmv_type_overlap,
+    )
+
+    rows = events_kmv_type_overlap(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r["n_union_kept"] < _KMV_K:
+            assert r["inter_est"] == r["exact_inter"]
+        elif r["exact_inter"] >= _KMV_K:
+            err = abs(r["inter_est"] - r["exact_inter"]) / r["exact_inter"]
+            assert err < 0.35, (r["type_a"], r["type_b"], err)
+        assert r["common_in_sketch"] <= _KMV_K

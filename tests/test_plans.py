@@ -458,6 +458,12 @@ def test_kmv_sketch_plans_stay_jvm_side_and_equi(spark, sf_dir):
         assert python_eval_count(df) == 0, name
         assert not has_operator(df, "CartesianProduct"), name
         assert data_sized_nested_loops(df) == 0, name
+    # the theta-overlap pairs frame is a broadcast cross of the tiny
+    # |types| dimension (the one sanctioned BNLJ shape) — pin only
+    # Python-freedom and no unconditioned cartesian
+    df = QUERIES["events_kmv_type_overlap"](spark, sf_dir)
+    assert python_eval_count(df) == 0
+    assert not has_operator(df, "CartesianProduct")
 
 
 def test_cms_heavy_hitters_sketch_side_broadcasts(spark, sf_dir):
