@@ -51,6 +51,7 @@ _FRONT = [
     # heavy hitters with the freqItems superset contract
     "agg_distinct_kmv", "events_kmv_sketch_rollup",
     "agg_quantile_hash_sample", "word_heavy_hitters_cms",
+    "events_kmv_type_overlap",
     # newest exact oracles (r6): the formerly rows-only LSH family —
     # portable-hash MinHash-LSH pairs + recursive-CTE components,
     # SimHash pigeonhole pairs, hyperplane-LSH ANN, integer-exact IVF,
@@ -67,7 +68,7 @@ _FRONT = [
     # sessionizer — green since r1, still swept + benched)
     "q9_product_profit",
     # windows
-    "window_topk_per_group", "window_ignore_nulls",
+    "window_topk_per_group",
     # events (batch twins) — sessionize rides with its hot-key-safe
     # twin (r6 late: bucket-decomposed windows, identical oracle)
     "events_hourly_rollup", "events_sessionize",
