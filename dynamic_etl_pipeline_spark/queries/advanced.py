@@ -735,27 +735,30 @@ def events_kmv_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("events_kmv_type_overlap", oracle=f"""
+def _kmv_overlap_oracle(src: str, group: str, val: str) -> str:
+    """DuckDB oracle for :func:`kmv_overlap` over table ``src``
+    (templated so the random-frame fuzz can inject a view)."""
+    return f"""
 WITH hashed AS (
-  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events
+  SELECT {group}, md5(CAST({val} AS VARCHAR)) AS h FROM {src}
 ), dh AS (
-  SELECT DISTINCT event_type, {_hex_fold('h', _KMV_HEX)} AS hv FROM hashed
+  SELECT DISTINCT {group}, {_hex_fold('h', _KMV_HEX)} AS hv FROM hashed
 ), sk AS (
-  SELECT event_type, hv FROM (
-    SELECT event_type, hv,
-           row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+  SELECT {group}, hv FROM (
+    SELECT {group}, hv,
+           row_number() OVER (PARTITION BY {group} ORDER BY hv) AS rn
     FROM dh) WHERE rn <= {_KMV_K}
 ), tp AS (
-  SELECT a.event_type AS type_a, b.event_type AS type_b
-  FROM (SELECT DISTINCT event_type FROM sk) a
-  JOIN (SELECT DISTINCT event_type FROM sk) b
-    ON a.event_type < b.event_type
+  SELECT a.{group} AS type_a, b.{group} AS type_b
+  FROM (SELECT DISTINCT {group} FROM sk) a
+  JOIN (SELECT DISTINCT {group} FROM sk) b
+    ON a.{group} < b.{group}
 ), kept AS (
   SELECT tp.type_a, tp.type_b, s.hv
-  FROM tp JOIN sk s ON s.event_type = tp.type_a
+  FROM tp JOIN sk s ON s.{group} = tp.type_a
   UNION ALL
   SELECT tp.type_a, tp.type_b, s.hv
-  FROM tp JOIN sk s ON s.event_type = tp.type_b
+  FROM tp JOIN sk s ON s.{group} = tp.type_b
 ), uk AS (
   SELECT type_a, type_b, hv, count(*) AS m
   FROM kept GROUP BY 1, 2, 3
@@ -778,11 +781,11 @@ WITH hashed AS (
   FROM ranked r JOIN theta t USING (type_a, type_b)
   GROUP BY 1, 2
 ), ex AS (
-  SELECT a.event_type AS type_a, b.event_type AS type_b,
+  SELECT a.{group} AS type_a, b.{group} AS type_b,
          count(*) AS exact_inter
-  FROM (SELECT DISTINCT event_type, user_id FROM events) a
-  JOIN (SELECT DISTINCT event_type, user_id FROM events) b
-    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  FROM (SELECT DISTINCT {group}, {val} FROM {src}) a
+  JOIN (SELECT DISTINCT {group}, {val} FROM {src}) b
+    ON a.{val} = b.{val} AND a.{group} < b.{group}
   GROUP BY 1, 2
 )
 SELECT agg.type_a, agg.type_b,
@@ -798,7 +801,11 @@ SELECT agg.type_a, agg.type_b,
          AS union_est,
        CAST(coalesce(ex.exact_inter, 0) AS BIGINT) AS exact_inter
 FROM agg LEFT JOIN ex USING (type_a, type_b)
-""")
+"""
+
+
+@query("events_kmv_type_overlap",
+       oracle=_kmv_overlap_oracle("events", "event_type", "user_id"))
 def events_kmv_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV/theta-sketch SET OPERATIONS: estimate the distinct-user
     INTERSECTION (and union) of every event-type pair from the 64-hash
@@ -826,33 +833,54 @@ def events_kmv_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select("event_type", _kmv_hash(F.col("user_id")).alias("hv"))
         .distinct()
     )
+    return _kmv_overlap_from_hashes(
+        dh, e.select("event_type", "user_id").distinct(),
+        "event_type", "user_id",
+    )
+
+
+def kmv_overlap(df: DataFrame, group_col: str, val_col: str) -> DataFrame:
+    """Theta-sketch pairwise overlap over any (group, value) frame —
+    the construction events_kmv_type_overlap registers; fuzzed on
+    random frames in tests/test_portable_hash_fuzz.py."""
+    dh = (
+        df.select(group_col, _kmv_hash(F.col(val_col)).alias("hv"))
+        .distinct()
+    )
+    return _kmv_overlap_from_hashes(
+        dh, df.select(group_col, val_col).distinct(), group_col, val_col
+    )
+
+
+def _kmv_overlap_from_hashes(dh: DataFrame, du: DataFrame,
+                             group_col: str, val_col: str) -> DataFrame:
     wsh = Window.partitionBy(
-        "event_type", F.pmod(F.col("hv"), F.lit(64))
+        group_col, F.pmod(F.col("hv"), F.lit(64))
     ).orderBy("hv")
     pre = (
         dh.withColumn("_srn", F.row_number().over(wsh))
         .filter(F.col("_srn") <= _KMV_K)
         .drop("_srn")
     )
-    wt = Window.partitionBy("event_type").orderBy("hv")
+    wt = Window.partitionBy(group_col).orderBy("hv")
     sk = (
         pre.withColumn("rn", F.row_number().over(wt))
         .filter(F.col("rn") <= _KMV_K)
-        .select("event_type", "hv")
+        .select(group_col, "hv")
     )
-    types = sk.select("event_type").distinct()
+    types = sk.select(group_col).distinct()
     tp = (
-        types.select(F.col("event_type").alias("type_a"))
+        types.select(F.col(group_col).alias("type_a"))
         .crossJoin(
-            F.broadcast(types.select(F.col("event_type").alias("type_b")))
+            F.broadcast(types.select(F.col(group_col).alias("type_b")))
         )
         .filter(F.col("type_a") < F.col("type_b"))
     )
     kept = (
-        tp.join(sk, sk["event_type"] == tp["type_a"])
+        tp.join(sk, sk[group_col] == tp["type_a"])
         .select("type_a", "type_b", "hv")
         .unionAll(
-            tp.join(sk, sk["event_type"] == tp["type_b"])
+            tp.join(sk, sk[group_col] == tp["type_b"])
             .select("type_a", "type_b", "hv")
         )
     )
@@ -892,12 +920,11 @@ def events_kmv_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("common_cnt"),
         )
     )
-    du = e.select("event_type", "user_id").distinct()
     ex = (
-        du.select(F.col("event_type").alias("type_a"), "user_id")
+        du.select(F.col(group_col).alias("type_a"), val_col)
         .join(
-            du.select(F.col("event_type").alias("type_b"), "user_id"),
-            "user_id",
+            du.select(F.col(group_col).alias("type_b"), val_col),
+            val_col,
         )
         .filter(F.col("type_a") < F.col("type_b"))
         .groupBy("type_a", "type_b")

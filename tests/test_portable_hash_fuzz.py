@@ -271,3 +271,30 @@ def test_kmv_estimate_division_parity_including_zero_hash(spark):
             f"SELECT {_KMV_NUM} // greatest({h}, 1)"
         ).fetchone()[0]
         assert got[h] == want, (h, got[h], want)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_kmv_theta_overlap_matches_oracle_on_random_frames(spark, seed):
+    """Random (group, value) frames with engineered overlap structure:
+    disjoint groups, nested groups, partial overlaps, and small groups
+    below k (the complete-sketch degenerate branch) — the theta rule,
+    common-below-theta count, both estimators, and the exact
+    ride-along must agree cell-for-cell with the templated oracle."""
+    from dynamic_etl_pipeline_spark.queries.advanced import (
+        _kmv_overlap_oracle,
+        kmv_overlap,
+    )
+
+    rng = random.Random(4000 + seed)
+    base = [rng.randint(0, 5000) for _ in range(rng.randint(80, 400))]
+    rows = []
+    rows += [("ga", v) for v in base]                      # full set
+    rows += [("gb", v) for v in base[: len(base) // 2]]    # nested half
+    rows += [("gc", v + 2500) for v in base]               # partial shift
+    rows += [("gd", v) for v in base[:20]]                 # below k
+    rows += [("ge", rng.randint(10**6, 2 * 10**6))
+             for _ in range(100)]                          # disjoint
+    corpus = pd.DataFrame(rows, columns=["grp", "val"])
+    got = kmv_overlap(spark.createDataFrame(corpus), "grp", "val").toPandas()
+    want = _duck(corpus, _kmv_overlap_oracle("raw_corpus", "grp", "val"))
+    _assert_frames_equal(got, want, ["type_a", "type_b"], seed)
