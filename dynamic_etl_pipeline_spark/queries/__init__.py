@@ -1,7 +1,7 @@
 """Driver-facing query catalog. Importing this package registers every
 query module into ``QUERIES`` / ``ORACLES`` (see registry.py)."""
 
-from .registry import ORACLES, QUERIES, query  # noqa: F401
+from .registry import BASELINES, ORACLES, QUERIES, query  # noqa: F401
 
 # Importing registers the @query-decorated callables.
 from . import relational  # noqa: E402,F401
