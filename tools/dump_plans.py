@@ -98,6 +98,9 @@ SHOWCASE = [
     ("word_heavy_hitters_cms",
      "CMS heavy hitters: fixed-grid broadcast probe + 1-row "
      "_scalar_gate total (round 7)"),
+    ("events_kmv_type_overlap",
+     "theta-sketch set ops: shard-decomposed sketch build, |types|^2 "
+     "x k pairwise stage, broadcast type-dim cross (round 7)"),
 ]
 
 
