@@ -229,7 +229,10 @@ def main() -> None:
     }
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:  # belt-and-braces: never exceed the tail window
-        compact.pop("queries")
+        # keep the key (empty) — downstream consumers (tools/
+        # bench_scale.py) index ['queries']; full map stays in the
+        # BENCH_DETAIL file either way (ADVICE r7)
+        compact["queries"] = {}
         line = json.dumps(compact, separators=(",", ":"))
     print(line)
 

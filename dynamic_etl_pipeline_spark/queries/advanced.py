@@ -80,9 +80,15 @@ def kmv_distinct(df: DataFrame, group_col: str, val_col: str,
     resketch invariant events_kmv_sketch_rollup demonstrates across
     days), which is why the flat DuckDB oracle and the random-frame
     fuzz check this plan without modification. The exact group size
-    ``nd`` comes from a two-level hash aggregate, not the window."""
+    ``nd`` comes from a two-level hash aggregate, not the window.
+
+    NULL values are dropped up front (ADVICE r7: _kmv_hash maps NULL
+    to a NULL hv, which Spark windows order FIRST and DuckDB LAST —
+    the filter removes the divergence and matches COUNT(DISTINCT)'s
+    null-skipping semantics; the oracle carries the same WHERE)."""
     dh = (
-        df.select(group_col, _kmv_hash(F.col(val_col)).alias("hv"))
+        df.filter(F.col(val_col).isNotNull())
+        .select(group_col, _kmv_hash(F.col(val_col)).alias("hv"))
         .distinct()
     )
     nd = dh.groupBy(group_col).agg(F.count("*").alias("nd"))
@@ -124,6 +130,7 @@ def _kmv_oracle(src: str, group: str, val: str) -> str:
     return f"""
 WITH hashed AS (
   SELECT {group}, md5(CAST({val} AS VARCHAR)) AS h FROM {src}
+  WHERE {val} IS NOT NULL
 ), dh AS (
   SELECT DISTINCT {group}, {_hex_fold('h', _KMV_HEX)} AS hv FROM hashed
 ), ranked AS (
@@ -741,6 +748,7 @@ def _kmv_overlap_oracle(src: str, group: str, val: str) -> str:
     return f"""
 WITH hashed AS (
   SELECT {group}, md5(CAST({val} AS VARCHAR)) AS h FROM {src}
+  WHERE {val} IS NOT NULL
 ), dh AS (
   SELECT DISTINCT {group}, {_hex_fold('h', _KMV_HEX)} AS hv FROM hashed
 ), sk AS (
@@ -783,8 +791,10 @@ WITH hashed AS (
 ), ex AS (
   SELECT a.{group} AS type_a, b.{group} AS type_b,
          count(*) AS exact_inter
-  FROM (SELECT DISTINCT {group}, {val} FROM {src}) a
-  JOIN (SELECT DISTINCT {group}, {val} FROM {src}) b
+  FROM (SELECT DISTINCT {group}, {val} FROM {src}
+        WHERE {val} IS NOT NULL) a
+  JOIN (SELECT DISTINCT {group}, {val} FROM {src}
+        WHERE {val} IS NOT NULL) b
     ON a.{val} = b.{val} AND a.{group} < b.{group}
   GROUP BY 1, 2
 )
@@ -827,32 +837,40 @@ def events_kmv_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows — corpus-sized data is read once to build the per-type
     sketches (same shard-decomposed two-level shape as kmv_distinct);
     comparing two CORPORA for audience/dedup overlap moves kilobytes,
-    not rows."""
-    e = load_table(spark, sf_dir, "events")
-    dh = (
-        e.select("event_type", _kmv_hash(F.col("user_id")).alias("hv"))
-        .distinct()
-    )
-    return _kmv_overlap_from_hashes(
-        dh, e.select("event_type", "user_id").distinct(),
-        "event_type", "user_id",
+    not rows (the ``check=False`` production mode; the registered
+    query keeps the exact ride-along ON because the estimator error is
+    part of the CHECKED output)."""
+    return kmv_overlap(
+        load_table(spark, sf_dir, "events"), "event_type", "user_id"
     )
 
 
-def kmv_overlap(df: DataFrame, group_col: str, val_col: str) -> DataFrame:
+def kmv_overlap(df: DataFrame, group_col: str, val_col: str,
+                check: bool = True) -> DataFrame:
     """Theta-sketch pairwise overlap over any (group, value) frame —
     the construction events_kmv_type_overlap registers; fuzzed on
-    random frames in tests/test_portable_hash_fuzz.py."""
+    random frames in tests/test_portable_hash_fuzz.py.
+
+    ``check=False`` (the production mode at scale) drops the
+    ``exact_inter`` ride-along column and with it the only
+    corpus-sized structure in the pairwise stage: the ride-along joins
+    the full distinct (group, value) frame per pair — linear and fine
+    at fixture scale, but at 100 TB it re-reads the data the sketch
+    stage exists to avoid. With ``check=False`` everything after the
+    one sketch-building scan touches only |groups|^2 x k sketch rows
+    (plan-pinned in tests/test_plans.py). NULL values are dropped up
+    front on both engine and oracle (ADVICE r7 — NULLs order
+    differently under Spark and DuckDB windows)."""
+    nn = df.filter(F.col(val_col).isNotNull())
     dh = (
-        df.select(group_col, _kmv_hash(F.col(val_col)).alias("hv"))
+        nn.select(group_col, _kmv_hash(F.col(val_col)).alias("hv"))
         .distinct()
     )
-    return _kmv_overlap_from_hashes(
-        dh, df.select(group_col, val_col).distinct(), group_col, val_col
-    )
+    du = nn.select(group_col, val_col).distinct() if check else None
+    return _kmv_overlap_from_hashes(dh, du, group_col, val_col)
 
 
-def _kmv_overlap_from_hashes(dh: DataFrame, du: DataFrame,
+def _kmv_overlap_from_hashes(dh: DataFrame, du: DataFrame | None,
                              group_col: str, val_col: str) -> DataFrame:
     wsh = Window.partitionBy(
         group_col, F.pmod(F.col("hv"), F.lit(64))
@@ -920,6 +938,31 @@ def _kmv_overlap_from_hashes(dh: DataFrame, du: DataFrame,
             ).alias("common_cnt"),
         )
     )
+    nu, th, cc = (
+        F.col("n_union_kept"), F.col("theta_hash"), F.col("common_cnt")
+    )
+    cols = [
+        F.col("type_a"), F.col("type_b"),
+        nu.cast("bigint").alias("n_union_kept"),
+        th.cast("bigint").alias("theta_hash"),
+        cc.cast("bigint").alias("common_in_sketch"),
+        F.when(nu < k, cc)
+        .otherwise(
+            F.expr(
+                f"common_cnt * {_KMV_SPACE} div greatest(theta_hash, 1)"
+            )
+        )
+        .cast("bigint")
+        .alias("inter_est"),
+        F.when(nu < k, nu)
+        .otherwise(
+            F.expr(f"{_KMV_NUM} div greatest(theta_hash, 1)")
+        )
+        .cast("bigint")
+        .alias("union_est"),
+    ]
+    if du is None:  # production mode: sketch rows only past the scan
+        return agg.select(*cols)
     ex = (
         du.select(F.col(group_col).alias("type_a"), val_col)
         .join(
@@ -930,30 +973,10 @@ def _kmv_overlap_from_hashes(dh: DataFrame, du: DataFrame,
         .groupBy("type_a", "type_b")
         .agg(F.count("*").alias("exact_inter"))
     )
-    nu, th, cc = (
-        F.col("n_union_kept"), F.col("theta_hash"), F.col("common_cnt")
-    )
     return (
         agg.join(ex, ["type_a", "type_b"], "left")
         .select(
-            "type_a", "type_b",
-            nu.cast("bigint").alias("n_union_kept"),
-            th.cast("bigint").alias("theta_hash"),
-            cc.cast("bigint").alias("common_in_sketch"),
-            F.when(nu < k, cc)
-            .otherwise(
-                F.expr(
-                    f"common_cnt * {_KMV_SPACE} div greatest(theta_hash, 1)"
-                )
-            )
-            .cast("bigint")
-            .alias("inter_est"),
-            F.when(nu < k, nu)
-            .otherwise(
-                F.expr(f"{_KMV_NUM} div greatest(theta_hash, 1)")
-            )
-            .cast("bigint")
-            .alias("union_est"),
+            *cols,
             F.coalesce(F.col("exact_inter"), F.lit(0))
             .cast("bigint")
             .alias("exact_inter"),

@@ -143,7 +143,9 @@ def test_simhash_portable_matches_oracle_on_random_corpora(spark, seed):
 @pytest.mark.parametrize("seed", range(6))
 def test_kmv_distinct_matches_oracle_on_random_frames(spark, seed):
     """Random (group, value) frames with duplicate values, skewed group
-    sizes, and groups below/above k=64 distinct."""
+    sizes, groups below/above k=64 distinct, and NULL values (ADVICE
+    r7: Spark orders NULL hv first, DuckDB last — both sides now drop
+    NULLs up front, so the sketch must be NULL-invariant)."""
     from dynamic_etl_pipeline_spark.queries.advanced import (
         _kmv_oracle,
         kmv_distinct,
@@ -155,12 +157,15 @@ def test_kmv_distinct_matches_oracle_on_random_frames(spark, seed):
         vals = [rng.randint(-50, 10_000) for _ in range(size)]
         rows += [(f"g{g}", v) for v in vals]
         rows += [(f"g{g}", rng.choice(vals)) for _ in range(size // 3)]
+        rows += [(f"g{g}", None)] * rng.randint(0, 3)  # NULL values
+    rows += [("g_allnull", None)] * 4  # group with ONLY null values
     corpus = pd.DataFrame(rows, columns=["grp", "val"])
+    corpus["val"] = corpus["val"].astype("Int64")
     got = kmv_distinct(
-        spark.createDataFrame(corpus), "grp", "val"
+        spark.createDataFrame(rows, "grp string, val long"), "grp", "val"
     ).toPandas()
-    want = _duck(corpus.rename(columns={"grp": "grp", "val": "val"}),
-                 _kmv_oracle("raw_corpus", "grp", "val"))
+    want = _duck(corpus, _kmv_oracle("raw_corpus", "grp", "val"))
+    assert "g_allnull" not in set(got["grp"])  # all-null group drops out
     _assert_frames_equal(got, want, ["grp"], seed)
 
 
@@ -294,7 +299,16 @@ def test_kmv_theta_overlap_matches_oracle_on_random_frames(spark, seed):
     rows += [("gd", v) for v in base[:20]]                 # below k
     rows += [("ge", rng.randint(10**6, 2 * 10**6))
              for _ in range(100)]                          # disjoint
+    rows += [(g, None) for g in ("ga", "gb", "ge")]        # NULL values
     corpus = pd.DataFrame(rows, columns=["grp", "val"])
-    got = kmv_overlap(spark.createDataFrame(corpus), "grp", "val").toPandas()
+    corpus["val"] = corpus["val"].astype("Int64")
+    sdf = spark.createDataFrame(rows, "grp string, val long")
+    got = kmv_overlap(sdf, "grp", "val").toPandas()
     want = _duck(corpus, _kmv_overlap_oracle("raw_corpus", "grp", "val"))
     _assert_frames_equal(got, want, ["type_a", "type_b"], seed)
+    # production mode: same sketch columns, no exact ride-along
+    prod = kmv_overlap(sdf, "grp", "val", check=False).toPandas()
+    assert "exact_inter" not in prod.columns
+    _assert_frames_equal(
+        prod, want.drop(columns=["exact_inter"]), ["type_a", "type_b"], seed
+    )

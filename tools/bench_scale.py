@@ -39,7 +39,9 @@ def main() -> int:
 
     small = _load(small_path)
     big = _load(big_path)
-    qs, qb = small["queries"], big["queries"]
+    # .get: an oversize compact line ships an empty queries map
+    # (bench.py fallback) — degrade to "no common queries" not KeyError
+    qs, qb = small.get("queries", {}), big.get("queries", {})
     common = [k for k in qs if k in qb]
     rows = sorted(
         ((k, qs[k], qb[k], qb[k] / qs[k] if qs[k] else float("inf"))
