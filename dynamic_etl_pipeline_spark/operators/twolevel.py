@@ -77,10 +77,14 @@ def _offsets(per_bucket: DataFrame, part_cols: Sequence[str],
     if part_cols:
         w = Window.partitionBy(*part_cols).orderBy(_BUCKET)
     else:
+        # pmod(hash(bucket), 1): constant 0 for EVERY bucket value —
+        # hash() never returns NULL and accepts any type, unlike the
+        # earlier pmod(bucket, 1) whose fractional result on a DOUBLE
+        # bucket (pmod(2.5, 1) = 0.5) silently split the offsets frame
+        # into separate window partitions and zeroed the offsets
+        # (caught by the r8 hostile-bucket quantile fuzz)
         w = Window.partitionBy(
-            # coalesce: pmod(NULL,1) is NULL, which would split a NULL
-            # bucket into its own window partition and zero its offset
-            F.coalesce(F.pmod(F.col(_BUCKET), F.lit(1)), F.lit(0))
+            F.pmod(F.hash(F.col(_BUCKET)), F.lit(1))
         ).orderBy(_BUCKET)
     w = w.rowsBetween(Window.unboundedPreceding, -1)
     return per_bucket.select(
@@ -173,8 +177,8 @@ def two_level_running_max(df: DataFrame, val: Column | str,
     if part_cols:
         w_off = Window.partitionBy(*part_cols).orderBy(_BUCKET)
     else:
-        w_off = Window.partitionBy(
-            F.coalesce(F.pmod(F.col(_BUCKET), F.lit(1)), F.lit(0))
+        w_off = Window.partitionBy(  # see _offsets: type-safe constant
+            F.pmod(F.hash(F.col(_BUCKET)), F.lit(1))
         ).orderBy(_BUCKET)
     w_off = w_off.rowsBetween(Window.unboundedPreceding, -1)
     off = per_bucket.select(
@@ -184,6 +188,211 @@ def two_level_running_max(df: DataFrame, val: Column | str,
     return joined.withColumn(
         out_col, F.greatest(F.col(_OFF), F.col(_LOCAL))
     ).drop(_BUCKET, _LOCAL, _OFF)
+
+
+def two_level_quantiles(
+    df: DataFrame,
+    val_col: str,
+    bucket_of,
+    probs: Sequence[float],
+    channels: Sequence[tuple[str, Column | None]] = (("all", None),),
+) -> DataFrame:
+    """Exact interpolated quantiles — Spark ``percentile`` semantics,
+    bit-for-bit — via two-level bucket decomposition, with NO
+    data-sized aggregate state anywhere in the plan.
+
+    Spark's exact ``percentile`` is a TypedImperativeAggregate whose
+    merge state is a value->count map: partial builds distribute, but
+    the FINAL merge holds O(distinct measure values) on one reducer —
+    a 100-TB scale-killer for continuous measures (r7 verdict item 1).
+    This operator decomposes the same answer the way an exact global
+    rank decomposes:
+
+    1. one scan: per-bucket row counts per channel (map-side combined
+       hash aggregate — the only pass over the full data);
+    2. prefix-sum the one-row-per-bucket frame -> each bucket's
+       starting global rank (window over ~#buckets rows);
+    3. from the totals, compute each quantile's bracketing global
+       ranks ``floor/ceil(p*(n-1))+1`` and locate their buckets by
+       offset interval (tiny broadcast joins);
+    4. second scan restricted to the <= 2*|probs|*|channels| hit
+       buckets (broadcast semi-join at scan speed): a per-bucket
+       window ranks ONLY those buckets' rows, and the bracketing
+       values come back by local rank;
+    5. interpolate with Spark's own formula
+       ``(hi-pos)*v_lo + (pos-lo)*v_hi`` (Percentile.getPercentile),
+       so the double is the one ``F.percentile`` would produce.
+
+    ``bucket_of`` maps the value Column to a numeric bucket and MUST
+    be monotone non-decreasing (e.g. ``lambda c: F.floor(c / 100)``);
+    size it so a bucket's rows fit one task. ``channels`` are named
+    row predicates (None = all rows) sharing the two scans — e.g. an
+    exact channel plus a deterministic hash-sample channel. NULL
+    values are dropped (percentile semantics).
+
+    Returns ONE row: ``n_{name}`` (long, non-null count) and
+    ``q{i}_{name}`` (double; NULL when the channel is empty) per
+    channel and prob index. Parity vs ``F.percentile`` is fuzzed
+    bit-exact in tests/test_twolevel.py.
+    """
+    names = [nm for nm, _ in channels]
+    v = F.col(val_col)
+    base = df.filter(v.isNotNull()).select(
+        v.alias("_tq_v"),
+        bucket_of(v).alias("_tq_bk"),
+        *[
+            (F.lit(1) if pred is None
+             else F.when(pred, 1).otherwise(0)).alias(f"_tq_in_{nm}")
+            for nm, pred in channels
+        ],
+    )
+    per_bucket = base.groupBy("_tq_bk").agg(
+        *[F.sum(f"_tq_in_{nm}").alias(f"_tq_c_{nm}") for nm in names]
+    )
+    # Materialize the one-row-per-bucket frame ONCE: off/totals/
+    # targets/offu reference it from 5+ plan branches whose differing
+    # column pruning defeats exchange reuse — without this the corpus
+    # scan re-executes per branch (measured 13 real scans at sf0.01).
+    # With it the operator does exactly its designed TWO corpus
+    # passes: this bucket-count scan and the hit-bucket probe below.
+    from ..materialize import materialize
+
+    per_bucket = materialize(per_bucket, eager=False)
+    # per-bucket starting offsets: same pmod-partitioned tiny window
+    # as _offsets (one row per bucket by construction; pmod(hash(.),1)
+    # is constant 0 for every bucket TYPE — see _offsets)
+    woff = Window.partitionBy(
+        F.pmod(F.hash(F.col("_tq_bk")), F.lit(1))
+    ).orderBy("_tq_bk").rowsBetween(Window.unboundedPreceding, -1)
+    off = per_bucket.select(
+        "_tq_bk",
+        *[F.coalesce(F.sum(f"_tq_c_{nm}").over(woff), F.lit(0))
+          .alias(f"_tq_s_{nm}") for nm in names],
+        *[F.col(f"_tq_c_{nm}") for nm in names],
+    )
+    totals = per_bucket.agg(
+        *[F.coalesce(F.sum(f"_tq_c_{nm}"), F.lit(0)).cast("long")
+          .alias(f"n_{nm}") for nm in names]
+    )  # one row ALWAYS (global agg), even on empty input
+    # bracketing ranks per (channel, prob): pos = p*(n-1) 0-indexed,
+    # exactly Percentile's position arithmetic; ranks are 1-indexed
+    tstructs = []
+    for nm in names:
+        n = F.col(f"n_{nm}").cast("double")
+        for i, p in enumerate(probs):
+            pos = F.lit(float(p)) * (n - F.lit(1.0))
+            lo = F.floor(pos).cast("double")
+            hi = F.ceil(pos).cast("double")
+            for which, zrank in (("lo", lo), ("hi", hi)):
+                tstructs.append(F.struct(
+                    F.lit(nm).alias("ch"),
+                    F.lit(i).alias("qi"),
+                    F.lit(which).alias("which"),
+                    (zrank + 1).cast("long").alias("rank"),
+                    pos.alias("pos"), lo.alias("lo"), hi.alias("hi"),
+                ))
+    targets = (
+        totals.select(F.explode(F.array(*tstructs)).alias("t"))
+        .select("t.*")
+        .filter(F.col("rank") >= 1)  # empty channel -> rank 0, dropped
+    )
+    offu = None
+    for nm in names:
+        part = off.select(
+            F.lit(nm).alias("ch"), "_tq_bk",
+            F.col(f"_tq_s_{nm}").alias("_tq_start"),
+            F.col(f"_tq_c_{nm}").alias("_tq_cnt"),
+        )
+        offu = part if offu is None else offu.unionAll(part)
+    hits = (
+        targets.join(
+            offu.withColumnRenamed("ch", "_tq_ch2"),
+            (F.col("ch") == F.col("_tq_ch2"))
+            & (F.col("rank") > F.col("_tq_start"))
+            & (F.col("rank") <= F.col("_tq_start") + F.col("_tq_cnt")),
+        )
+        .select(
+            "ch", "qi", "which", "_tq_bk",
+            (F.col("rank") - F.col("_tq_start")).alias("_tq_lrank"),
+        )
+    )
+    # second scan touches only the hit buckets; the window partitions
+    # by bucket, so no task ever sorts more than one bucket
+    probe = base.join(
+        F.broadcast(hits.select("_tq_bk").distinct()), "_tq_bk"
+    )
+    wloc = (
+        Window.partitionBy("_tq_bk").orderBy("_tq_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    lr = probe.select(
+        "_tq_bk", "_tq_v",
+        *[F.sum(f"_tq_in_{nm}").over(wloc).alias(f"_tq_lr_{nm}")
+          for nm in names],
+        *[F.col(f"_tq_in_{nm}") for nm in names],
+    )
+    stacked = (
+        lr.select(
+            "_tq_bk", F.col("_tq_v"),
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(nm).alias("ch"),
+                    F.col(f"_tq_in_{nm}").alias("inc"),
+                    F.col(f"_tq_lr_{nm}").alias("_tq_lrank"),
+                )
+                for nm in names
+            ])).alias("s"),
+        )
+        .select("_tq_bk", "_tq_v", "s.ch", "s.inc", "s._tq_lrank")
+        .filter(F.col("inc") == 1)
+    )
+    vals = stacked.join(
+        F.broadcast(hits), ["ch", "_tq_bk", "_tq_lrank"]
+    ).select("ch", "qi", "which", F.col("_tq_v").cast("double").alias("val"))
+    piv = vals.groupBy("ch", "qi").agg(
+        F.max(F.when(F.col("which") == "lo", F.col("val"))).alias("v_lo"),
+        F.max(F.when(F.col("which") == "hi", F.col("val"))).alias("v_hi"),
+    )
+    tmeta = targets.select("ch", "qi", "pos", "lo", "hi").distinct()
+    qrow = piv.join(tmeta, ["ch", "qi"]).select(
+        "ch", "qi",
+        F.when(F.col("hi") == F.col("lo"), F.col("v_lo"))
+        .otherwise(
+            (F.col("hi") - F.col("pos")) * F.col("v_lo")
+            + (F.col("pos") - F.col("lo")) * F.col("v_hi")
+        )
+        .alias("q"),
+    )
+    # assemble the single output row with ONE global aggregate over a
+    # tiny tagged union (quantile rows + per-channel count rows) — a
+    # totals x quantiles crossJoin here would be a condition-less BNLJ
+    # the plan audit forbids, and a join buys nothing at 1x1
+    qrows = qrow.select(
+        "ch", "qi", "q", F.lit(None).cast("long").alias("n")
+    )
+    crows = (
+        offu.groupBy("ch")
+        .agg(F.coalesce(F.sum("_tq_cnt"), F.lit(0)).cast("long").alias("n"))
+        .select("ch", F.lit(-1).alias("qi"),
+                F.lit(None).cast("double").alias("q"), "n")
+    )
+    return qrows.unionAll(crows).agg(
+        *[
+            F.coalesce(
+                F.max(F.when((F.col("ch") == nm) & (F.col("qi") == -1),
+                             F.col("n"))),
+                F.lit(0),
+            ).cast("long").alias(f"n_{nm}")
+            for nm in names
+        ],
+        *[
+            F.max(
+                F.when((F.col("ch") == nm) & (F.col("qi") == i), F.col("q"))
+            ).alias(f"q{i}_{nm}")
+            for nm in names
+            for i in range(len(probs))
+        ],
+    )
 
 
 def ntile_from_rank(rank: Column, n_rows: Column, tiles: int) -> Column:

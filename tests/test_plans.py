@@ -466,6 +466,47 @@ def test_kmv_sketch_plans_stay_jvm_side_and_equi(spark, sf_dir):
     assert not has_operator(df, "CartesianProduct")
 
 
+def test_quantile_two_level_no_data_sized_aggregate_state(spark, sf_dir):
+    """r7 verdict item 1: agg_quantile_hash_sample must carry NO exact
+    ``percentile`` TypedImperativeAggregate (its final merge holds an
+    O(distinct values) map on one reducer) and no unpartitioned
+    data-sized window — the quantiles come from the two-level bucketed
+    rank (operators/twolevel.py), whose only windows partition by the
+    bucket (second scan) or by pmod over the one-row-per-bucket
+    offsets frame."""
+    df = QUERIES["agg_quantile_hash_sample"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "percentile" not in plan.lower(), "exact percentile crept back"
+    assert python_eval_count(df) == 0
+    for line in plan.splitlines():
+        if "windowspecdefinition(" not in line:
+            continue
+        first_arg = line.split("windowspecdefinition(", 1)[1].split(",", 1)[0]
+        assert "_tq_bk" in first_arg or "pmod" in first_arg or "_w" in first_arg, (
+            f"data-sized window partition: {line.strip()}"
+        )
+
+
+def test_kmv_overlap_production_mode_touches_only_sketch_rows(spark, sf_dir):
+    """kmv_overlap(check=False) — the 100-TB mode — must read the
+    corpus exactly ONCE (inside the materialized sketch's own job):
+    the executed final plan downstream of the sketch contains zero
+    parquet scans and no exact_inter column (r7 verdict item 4)."""
+    from dynamic_etl_pipeline_spark.queries.advanced import kmv_overlap
+
+    e = load_table(spark, sf_dir, "events")
+    df = kmv_overlap(e, "event_type", "user_id", check=False)
+    assert "exact_inter" not in df.columns
+    assert df.count() > 0
+    final = (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert final.count("Scan parquet") == 0, (
+        "pairwise stage re-reads the corpus:\n" + final[:2000]
+    )
+
+
 def test_cms_heavy_hitters_sketch_side_broadcasts(spark, sf_dir):
     """word_heavy_hitters_cms probes the fixed 4x256 sketch and the
     1-row total via broadcast — the corpus-sized side never shuffles

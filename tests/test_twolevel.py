@@ -251,3 +251,113 @@ def test_no_part_cols_null_bucket_survives(spark):
     w = Window.orderBy(F.asc("val"), F.asc("id"))
     want = df.withColumn("rn", F.row_number().over(w).cast("long"))
     assert _rows(got, "id", "rn") == _rows(want, "id", "rn")
+
+
+# ---------------------------------------------------------------------------
+# Hostile-bucket hypothesis family (r7 verdict item 6): the two-level
+# primitives vs their serial windows under bucket functions chosen to
+# break the decomposition if any step is shape-dependent — constant
+# buckets (everything degenerates to the serial path), identity
+# buckets (every row its own bucket, offsets frame == data), coarse
+# non-uniform widths, and NULL leading order keys (NULL bucket).
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_BUCKET_FNS = {
+    "constant": lambda c: F.lit(0),
+    "identity": lambda c: c,            # single-row-ish buckets
+    "width3": lambda c: F.floor(c / 3).cast("long"),
+    "width1000": lambda c: F.floor(c / 1000).cast("long"),  # one bucket
+    # non-uniform: sign-split then coarse positive widths — still
+    # monotone non-decreasing in c
+    "skewed": lambda c: F.when(c < 0, c).otherwise(F.floor(c / 5)),
+}
+
+_frame_st = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(-20, 20)),   # leading order key
+        st.integers(-5, 9),                            # summed value
+        st.sampled_from(["p0", "p1", None]),           # partition key
+    ),
+    min_size=1, max_size=60,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    rows=_frame_st,
+    bucket_kind=st.sampled_from(sorted(_BUCKET_FNS)),
+    partitioned=st.booleans(),
+)
+def test_hostile_bucket_functions_match_serial_window(
+    spark, rows, bucket_kind, partitioned
+):
+    data = [(i, key, val, part) for i, (key, val, part) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "k long, key long, val long, part string"
+    )
+    bucket = _BUCKET_FNS[bucket_kind](F.col("key"))
+    part_cols = ["part"] if partitioned else []
+    w = (Window.partitionBy(*part_cols) if part_cols else Window).orderBy(
+        "key", "k"
+    )
+    serial_rn = df.withColumn("o", F.row_number().over(w).cast("long"))
+    two_rn = two_level_row_number(df, ["key", "k"], bucket, "o",
+                                  part_cols=part_cols)
+    assert two_rn.count() == len(data)  # no silent row drops
+    assert _rows(two_rn, "k", "o") == _rows(serial_rn, "k", "o")
+    serial_rs = df.withColumn(
+        "o",
+        F.sum("val").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    two_rs = two_level_running_sum(df, "val", ["key", "k"], bucket, "o",
+                                   part_cols=part_cols)
+    assert _rows(two_rs, "k", "o") == _rows(serial_rs, "k", "o")
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.none(),
+            st.integers(-40, 40).map(lambda i: i * 2.5),  # many exact ties
+        ),
+        min_size=0, max_size=80,
+    ),
+    bucket_kind=st.sampled_from(sorted(_BUCKET_FNS)),
+    mod=st.integers(2, 5),
+)
+def test_two_level_quantiles_bitexact_vs_percentile(
+    spark, vals, bucket_kind, mod
+):
+    """two_level_quantiles == F.percentile BIT-exact (before any
+    rounding) on hostile frames: NULL measures, all-NULL frames, empty
+    channels, duplicate-heavy value sets, p=0/p=1 rank edges, and
+    every hostile bucket shape above."""
+    from dynamic_etl_pipeline_spark.operators.twolevel import (
+        two_level_quantiles,
+    )
+
+    data = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(data, "k long, val double")
+    pred = F.col("k") % mod == 0
+    probs = [0.0, 0.25, 0.5, 0.95, 1.0]
+    got = two_level_quantiles(
+        df, "val", _BUCKET_FNS[bucket_kind], probs,
+        channels=(("all", None), ("ch", pred)),
+    ).collect()
+    assert len(got) == 1  # one row even on empty/all-NULL input
+    want = df.agg(
+        F.count("val").alias("n_all"),
+        F.count(F.when(pred, F.col("val"))).alias("n_ch"),
+        *[F.percentile("val", F.lit(p)).alias(f"q{i}_all")
+          for i, p in enumerate(probs)],
+        *[F.percentile(F.when(pred, F.col("val")), F.lit(p))
+          .alias(f"q{i}_ch") for i, p in enumerate(probs)],
+    ).collect()[0]
+    g = got[0]
+    for c in want.asDict():
+        assert g[c] == want[c], (c, g[c], want[c])
