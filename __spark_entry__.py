@@ -42,23 +42,29 @@ _FRONT = [
     # r6 rotated out rollup/pivot/q2/q22/session_window/array_funcs/
     # doc_lang_id/events_ols_trend for the newly-exact hash-sketch
     # dedup + ANN family; r7 rotated out window_exclude_current/
-    # events_max_concurrent_sessions/doc_vocab_oov_rate/rfm_segments
-    # for the newly-exact portable sketch family below)
+    # events_max_concurrent_sessions/doc_vocab_oov_rate/rfm_segments/
+    # window_ignore_nulls for the newly-exact portable sketch family;
+    # r8 rotates out five long-green ANN rows — lsh_ann_topk,
+    # ivf_ann_topk, ann_mmr_rerank, knn_bruteforce, simhash_near_dups
+    # (all still swept + benched) — for the never-driver-sampled
+    # mutation/timeseries tier (VERDICT r7 item 5)
     "q1_pricing_summary", "q3_shipping_priority",
+    # mutation / SCD2 / timeseries tier (r8 rotation: long-green in the
+    # sweep since r4-r5, first time in the driver sample)
+    "merge_orders_upsert", "scd2_customer_segments",
+    "events_decay_ewma", "events_pit_features", "window_ratio_to_report",
     # newest exact oracles (r7): the last rows-only sketch tier made
     # portable — KMV distinct order statistics, the two-level mergeable
-    # KMV day->type rollup, hash-Bernoulli sampled quantiles, and CMS
+    # KMV day->type rollup, hash-Bernoulli sampled quantiles (r8:
+    # re-derived via the two-level bucketed rank, same oracle), and CMS
     # heavy hitters with the freqItems superset contract
     "agg_distinct_kmv", "events_kmv_sketch_rollup",
     "agg_quantile_hash_sample", "word_heavy_hitters_cms",
     "events_kmv_type_overlap",
-    # newest exact oracles (r6): the formerly rows-only LSH family —
-    # portable-hash MinHash-LSH pairs + recursive-CTE components,
-    # SimHash pigeonhole pairs, hyperplane-LSH ANN, integer-exact IVF,
-    # unrolled-greedy MMR, sha256-featurizer multimodal kNN, tiled
-    # SemDeDup
-    "minhash_near_dups", "minhash_dup_clusters", "simhash_near_dups",
-    "lsh_ann_topk", "ivf_ann_topk", "ann_mmr_rerank",
+    # r6 exact oracles: the formerly rows-only LSH family — portable-
+    # hash MinHash-LSH pairs + recursive-CTE components, sha256-
+    # featurizer multimodal kNN, tiled SemDeDup
+    "minhash_near_dups", "minhash_dup_clusters",
     "multimodal_feature_knn", "corpus_semdedup",
     # r5-r6 exact oracles: LPA communities, iterative BPE, deflated
     # PCA, end-to-end PDF/DOCX ingest
@@ -76,9 +82,9 @@ _FRONT = [
     # text / exact dedup
     "exact_dedup", "ngram_jaccard_pairs", "dedup_keep_best_exact",
     "jaccard_prefix_filter_pairs", "doc_tf_idf_top",
-    # vectors / ANN / clustering / multimodal — incl. the streaming
-    # drain that inherits the batch PC1 oracle bit-for-bit (r5)
-    "knn_bruteforce", "multimodal_media_stats", "embedding_kmeans_exact",
+    # vectors / clustering / multimodal — incl. the streaming drain
+    # that inherits the batch PC1 oracle bit-for-bit (r5)
+    "multimodal_media_stats", "embedding_kmeans_exact",
     "streaming_scatter_pc1",
     # curation
     "doc_gopher_quality", "corpus_boilerplate_strip",
