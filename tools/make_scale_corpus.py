@@ -14,7 +14,24 @@ type) survive byte-exactly. Output is NOT an oracle fixture — the
 driver's correctness corpus stays /root/testdata; this exists only for
 ``tools/bench_scale.py``.
 
+Round 8 options (VERDICT r7 item 2 — the synthetic corpus has NO skew
+growth: max shingle df stays 25 at every scale because the decorrelation
+tag makes replica vocabularies disjoint, so the sqrt stop-shingle cap
+never fires above its 1,000-doc unit fixture):
+
+``--boilerplate-every N``  append one fixed UNTAGGED 12-word template
+    sentence to every N-th document of every replica — a license-header
+    / navigation-chrome model whose 10 shared 3-grams reach document
+    frequency (n_docs / N), GROWING with the corpus. N=21 puts the
+    planted df between the sqrt threshold and the fractional threshold
+    at both 10x (2,390 vs sqrt 2,236 / frac 2,500) and 100x (23,900 vs
+    sqrt 7,071 / frac 25,000): the r7 sqrt term is the ONLY thing that
+    drops it.
+``--only t1,t2``  write just those tables (the planted text corpus only
+    needs documents.parquet).
+
 Usage: python tools/make_scale_corpus.py [replicas] [out_dir]
+           [--boilerplate-every N] [--only tables]
 """
 from __future__ import annotations
 
@@ -51,15 +68,37 @@ def _domain_extents(tables: dict[str, pa.Table]) -> dict[str, int]:
     return extent
 
 
-def build(replicas: int, out_dir: Path) -> None:
+# One fixed template sentence (12 words -> 10 three-gram shingles), the
+# license-header / navigation-chrome model. NEVER replica-tagged: its
+# shingles must be shared ACROSS replicas so their df grows with the
+# corpus — the skew class the sqrt stop-shingle cap exists for.
+BOILERPLATE = ("this document is provided under the standard public "
+               "corpus license terms reserved")
+
+
+def _plant_boilerplate(tbl: pa.Table, every: int) -> pa.Table:
+    idx = tbl.schema.get_field_index("text")
+    texts = [
+        None if t is None else (t + " " + BOILERPLATE if i % every == 0
+                                else t)
+        for i, t in enumerate(tbl["text"].to_pylist())
+    ]
+    return tbl.set_column(idx, tbl.schema.field(idx),
+                          pa.array(texts, type=tbl.schema.field(idx).type))
+
+
+def build(replicas: int, out_dir: Path, boilerplate_every: int = 0,
+          only: set[str] | None = None) -> None:
     out_dir.mkdir(parents=True, exist_ok=True)
+    keyed = {t: c for t, c in _KEYED.items() if only is None or t in only}
+    dims = [t for t in _DIMS if only is None or t in only]
     tables = {t: pq.read_table(SRC / f"{t}.parquet")
-              for t in list(_KEYED) + _DIMS}
+              for t in list(_KEYED) + _DIMS}  # extents need ALL tables
     extent = _domain_extents(tables)
 
-    for t in _DIMS:
+    for t in dims:
         pq.write_table(tables[t], out_dir / f"{t}.parquet")
-    for tname, cols in _KEYED.items():
+    for tname, cols in keyed.items():
         base = tables[tname]
         chunks = []
         for r in range(replicas):
@@ -73,6 +112,9 @@ def build(replicas: int, out_dir: Path) -> None:
                     )
                     tbl = tbl.set_column(idx, tbl.schema.field(idx), shifted)
                 tbl = _decorrelate(tname, tbl, r)
+            if (boilerplate_every and tname == "documents"
+                    and "text" in tbl.column_names):
+                tbl = _plant_boilerplate(tbl, boilerplate_every)
             chunks.append(tbl)
         out = pa.concat_tables(chunks)
         # >=32 row groups per fact table (capped at pyarrow's 1Mi-row
@@ -139,8 +181,18 @@ def _decorrelate(tname: str, tbl: pa.Table, r: int) -> pa.Table:
 
 
 if __name__ == "__main__":
-    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    out = Path(sys.argv[2]) if len(sys.argv) > 2 else Path(
-        "/tmp/sfscale/sf1.0")
-    build(replicas, out)
+    args = sys.argv[1:]
+    bp = 0
+    only = None
+    if "--boilerplate-every" in args:
+        i = args.index("--boilerplate-every")
+        bp = int(args[i + 1])
+        del args[i:i + 2]
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        del args[i:i + 2]
+    replicas = int(args[0]) if args else 10
+    out = Path(args[1]) if len(args) > 1 else Path("/tmp/sfscale/sf1.0")
+    build(replicas, out, boilerplate_every=bp, only=only)
     print("wrote", out)
