@@ -81,6 +81,10 @@ HEADLINE = [
     "events_sessionize_skew_safe",  # bucket-decomposed hot-key sessionization (round 6)
     "agg_distinct_kmv",         # portable KMV distinct order statistics (round 7)
     "events_kmv_sketch_rollup", # mergeable two-level KMV day->type rollup (round 7)
+    "agg_quantile_hash_sample", # two-level bucketed exact+sampled quantiles (round 8)
+    "word_heavy_hitters_cms",   # CMS heavy hitters, fixed-grid sketch (round 7)
+    "events_kmv_type_overlap",  # theta-sketch pairwise set operations (round 7)
+    "bloom_pruned_join",        # Bloom runtime row-level pruning (round 8: one-lit bitmap)
 ]
 
 
