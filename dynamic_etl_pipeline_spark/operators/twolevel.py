@@ -196,6 +196,7 @@ def two_level_quantiles(
     bucket_of,
     probs: Sequence[float],
     channels: Sequence[tuple[str, Column | None]] = (("all", None),),
+    part_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Exact interpolated quantiles — Spark ``percentile`` semantics,
     bit-for-bit — via two-level bucket decomposition, with NO
@@ -230,14 +231,26 @@ def two_level_quantiles(
     exact channel plus a deterministic hash-sample channel. NULL
     values are dropped (percentile semantics).
 
-    Returns ONE row: ``n_{name}`` (long, non-null count) and
-    ``q{i}_{name}`` (double; NULL when the channel is empty) per
-    channel and prob index. Parity vs ``F.percentile`` is fuzzed
-    bit-exact in tests/test_twolevel.py.
+    Returns ONE row — or, with ``part_cols`` (r8 grouped mode: the
+    scale twin of ``percentile(...) GROUP BY part_cols``, whose
+    per-GROUP merge state is just as data-sized for hot groups), one
+    row PER GROUP with at least one non-null value (groups whose
+    values are ALL NULL are absent, unlike GROUP BY's n=0 rows — the
+    NULL filter drops them before the group forms; empty input ->
+    empty frame): ``n_{name}`` (long,
+    non-null count) and ``q{i}_{name}`` (double; NULL when the channel
+    is empty) per channel and prob index. Grouped mode threads every
+    internal join through one ``struct(part_cols)`` key — struct
+    equality is field-wise NULL-safe in Spark, so NULL group keys
+    behave like GROUP BY's (one group), never dropped rows. Parity vs
+    ``F.percentile`` is fuzzed bit-exact in tests/test_twolevel.py.
     """
     names = [nm for nm, _ in channels]
+    part_cols = list(part_cols)
+    gcols = ["_tq_g"] if part_cols else []
     v = F.col(val_col)
     base = df.filter(v.isNotNull()).select(
+        *([F.struct(*part_cols).alias("_tq_g")] if part_cols else []),
         v.alias("_tq_v"),
         bucket_of(v).alias("_tq_bk"),
         *[
@@ -246,7 +259,7 @@ def two_level_quantiles(
             for nm, pred in channels
         ],
     )
-    per_bucket = base.groupBy("_tq_bk").agg(
+    per_bucket = base.groupBy(*gcols, "_tq_bk").agg(
         *[F.sum(f"_tq_in_{nm}").alias(f"_tq_c_{nm}") for nm in names]
     )
     # Materialize the one-row-per-bucket frame ONCE: off/totals/
@@ -260,20 +273,32 @@ def two_level_quantiles(
     per_bucket = materialize(per_bucket, eager=False)
     # per-bucket starting offsets: same pmod-partitioned tiny window
     # as _offsets (one row per bucket by construction; pmod(hash(.),1)
-    # is constant 0 for every bucket TYPE — see _offsets)
-    woff = Window.partitionBy(
-        F.pmod(F.hash(F.col("_tq_bk")), F.lit(1))
-    ).orderBy("_tq_bk").rowsBetween(Window.unboundedPreceding, -1)
+    # is constant 0 for every bucket TYPE — see _offsets); grouped
+    # mode partitions by the group key instead
+    if part_cols:
+        woff = Window.partitionBy("_tq_g").orderBy("_tq_bk").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+    else:
+        woff = Window.partitionBy(
+            F.pmod(F.hash(F.col("_tq_bk")), F.lit(1))
+        ).orderBy("_tq_bk").rowsBetween(Window.unboundedPreceding, -1)
     off = per_bucket.select(
-        "_tq_bk",
+        *gcols, "_tq_bk",
         *[F.coalesce(F.sum(f"_tq_c_{nm}").over(woff), F.lit(0))
           .alias(f"_tq_s_{nm}") for nm in names],
         *[F.col(f"_tq_c_{nm}") for nm in names],
     )
-    totals = per_bucket.agg(
-        *[F.coalesce(F.sum(f"_tq_c_{nm}"), F.lit(0)).cast("long")
-          .alias(f"n_{nm}") for nm in names]
-    )  # one row ALWAYS (global agg), even on empty input
+    if part_cols:
+        totals = per_bucket.groupBy("_tq_g").agg(
+            *[F.coalesce(F.sum(f"_tq_c_{nm}"), F.lit(0)).cast("long")
+              .alias(f"n_{nm}") for nm in names]
+        )  # one row per group; empty input -> empty frame
+    else:
+        totals = per_bucket.agg(
+            *[F.coalesce(F.sum(f"_tq_c_{nm}"), F.lit(0)).cast("long")
+              .alias(f"n_{nm}") for nm in names]
+        )  # one row ALWAYS (global agg), even on empty input
     # bracketing ranks per (channel, prob): pos = p*(n-1) 0-indexed,
     # exactly Percentile's position arithmetic; ranks are 1-indexed
     tstructs = []
@@ -292,48 +317,56 @@ def two_level_quantiles(
                     pos.alias("pos"), lo.alias("lo"), hi.alias("hi"),
                 ))
     targets = (
-        totals.select(F.explode(F.array(*tstructs)).alias("t"))
-        .select("t.*")
+        totals.select(*gcols, F.explode(F.array(*tstructs)).alias("t"))
+        .select(*gcols, "t.*")
         .filter(F.col("rank") >= 1)  # empty channel -> rank 0, dropped
     )
     offu = None
     for nm in names:
         part = off.select(
-            F.lit(nm).alias("ch"), "_tq_bk",
+            F.lit(nm).alias("ch"), *gcols, "_tq_bk",
             F.col(f"_tq_s_{nm}").alias("_tq_start"),
             F.col(f"_tq_c_{nm}").alias("_tq_cnt"),
         )
         offu = part if offu is None else offu.unionAll(part)
+    renamed_offu = offu.withColumnRenamed("ch", "_tq_ch2")
+    for g in gcols:
+        renamed_offu = renamed_offu.withColumnRenamed(g, "_tq_g2")
+    hcond = (
+        (F.col("ch") == F.col("_tq_ch2"))
+        & (F.col("rank") > F.col("_tq_start"))
+        & (F.col("rank") <= F.col("_tq_start") + F.col("_tq_cnt"))
+    )
+    for g in gcols:
+        # struct equality is field-wise null-safe: NULL group keys
+        # match their own group, mirroring GROUP BY semantics
+        hcond = hcond & (F.col(g) == F.col("_tq_g2"))
     hits = (
-        targets.join(
-            offu.withColumnRenamed("ch", "_tq_ch2"),
-            (F.col("ch") == F.col("_tq_ch2"))
-            & (F.col("rank") > F.col("_tq_start"))
-            & (F.col("rank") <= F.col("_tq_start") + F.col("_tq_cnt")),
-        )
+        targets.join(renamed_offu, hcond)
         .select(
-            "ch", "qi", "which", "_tq_bk",
+            "ch", "qi", "which", *gcols, "_tq_bk",
             (F.col("rank") - F.col("_tq_start")).alias("_tq_lrank"),
         )
     )
     # second scan touches only the hit buckets; the window partitions
-    # by bucket, so no task ever sorts more than one bucket
+    # by (group, bucket), so no task ever sorts more than one bucket
     probe = base.join(
-        F.broadcast(hits.select("_tq_bk").distinct()), "_tq_bk"
+        F.broadcast(hits.select(*gcols, "_tq_bk").distinct()),
+        gcols + ["_tq_bk"],
     )
     wloc = (
-        Window.partitionBy("_tq_bk").orderBy("_tq_v")
+        Window.partitionBy(*gcols, "_tq_bk").orderBy("_tq_v")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     lr = probe.select(
-        "_tq_bk", "_tq_v",
+        *gcols, "_tq_bk", "_tq_v",
         *[F.sum(f"_tq_in_{nm}").over(wloc).alias(f"_tq_lr_{nm}")
           for nm in names],
         *[F.col(f"_tq_in_{nm}") for nm in names],
     )
     stacked = (
         lr.select(
-            "_tq_bk", F.col("_tq_v"),
+            *gcols, "_tq_bk", F.col("_tq_v"),
             F.explode(F.array(*[
                 F.struct(
                     F.lit(nm).alias("ch"),
@@ -343,19 +376,20 @@ def two_level_quantiles(
                 for nm in names
             ])).alias("s"),
         )
-        .select("_tq_bk", "_tq_v", "s.ch", "s.inc", "s._tq_lrank")
+        .select(*gcols, "_tq_bk", "_tq_v", "s.ch", "s.inc", "s._tq_lrank")
         .filter(F.col("inc") == 1)
     )
     vals = stacked.join(
-        F.broadcast(hits), ["ch", "_tq_bk", "_tq_lrank"]
-    ).select("ch", "qi", "which", F.col("_tq_v").cast("double").alias("val"))
-    piv = vals.groupBy("ch", "qi").agg(
+        F.broadcast(hits), ["ch", *gcols, "_tq_bk", "_tq_lrank"]
+    ).select("ch", "qi", "which", *gcols,
+             F.col("_tq_v").cast("double").alias("val"))
+    piv = vals.groupBy("ch", "qi", *gcols).agg(
         F.max(F.when(F.col("which") == "lo", F.col("val"))).alias("v_lo"),
         F.max(F.when(F.col("which") == "hi", F.col("val"))).alias("v_hi"),
     )
-    tmeta = targets.select("ch", "qi", "pos", "lo", "hi").distinct()
-    qrow = piv.join(tmeta, ["ch", "qi"]).select(
-        "ch", "qi",
+    tmeta = targets.select("ch", "qi", *gcols, "pos", "lo", "hi").distinct()
+    qrow = piv.join(tmeta, ["ch", "qi", *gcols]).select(
+        "ch", "qi", *gcols,
         F.when(F.col("hi") == F.col("lo"), F.col("v_lo"))
         .otherwise(
             (F.col("hi") - F.col("pos")) * F.col("v_lo")
@@ -363,20 +397,21 @@ def two_level_quantiles(
         )
         .alias("q"),
     )
-    # assemble the single output row with ONE global aggregate over a
-    # tiny tagged union (quantile rows + per-channel count rows) — a
-    # totals x quantiles crossJoin here would be a condition-less BNLJ
-    # the plan audit forbids, and a join buys nothing at 1x1
+    # assemble the output row(s) with ONE aggregate over a tiny tagged
+    # union (quantile rows + per-channel count rows) — a totals x
+    # quantiles crossJoin here would be a condition-less BNLJ the plan
+    # audit forbids, and a join buys nothing at 1x1
     qrows = qrow.select(
-        "ch", "qi", "q", F.lit(None).cast("long").alias("n")
+        "ch", "qi", *gcols, "q", F.lit(None).cast("long").alias("n")
     )
     crows = (
-        offu.groupBy("ch")
+        offu.groupBy("ch", *gcols)
         .agg(F.coalesce(F.sum("_tq_cnt"), F.lit(0)).cast("long").alias("n"))
-        .select("ch", F.lit(-1).alias("qi"),
+        .select("ch", F.lit(-1).alias("qi"), *gcols,
                 F.lit(None).cast("double").alias("q"), "n")
     )
-    return qrows.unionAll(crows).agg(
+    un = qrows.unionByName(crows)
+    aggs = [
         *[
             F.coalesce(
                 F.max(F.when((F.col("ch") == nm) & (F.col("qi") == -1),
@@ -392,7 +427,14 @@ def two_level_quantiles(
             for nm in names
             for i in range(len(probs))
         ],
-    )
+    ]
+    if part_cols:
+        return un.groupBy("_tq_g").agg(*aggs).select(
+            *[F.col("_tq_g").getField(c).alias(c) for c in part_cols],
+            *[f"n_{nm}" for nm in names],
+            *[f"q{i}_{nm}" for nm in names for i in range(len(probs))],
+        )
+    return un.agg(*aggs)
 
 
 def ntile_from_rank(rank: Column, n_rows: Column, tiles: int) -> Column:

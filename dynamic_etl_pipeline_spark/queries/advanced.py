@@ -160,18 +160,26 @@ FROM orders
 GROUP BY o_orderpriority
 """)
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles per group (Spark ``percentile`` ==
-    DuckDB ``quantile_cont``). The exact variant sorts within groups —
-    fine for bounded groups; unbounded cardinality at scale switches to
-    approx_percentile below."""
-    return (
-        load_table(spark, sf_dir, "orders")
-        .groupBy("o_orderpriority")
-        .agg(
-            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
-            F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
-            F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
-        )
+    """Exact interpolated percentiles per group (== DuckDB
+    ``quantile_cont``), r8: via the GROUPED two-level bucketed rank
+    (operators/twolevel.two_level_quantiles, part_cols mode). Spark's
+    native per-group ``percentile`` holds an O(distinct values in the
+    group) value->count map in its merge state — data-sized for a hot
+    group over a continuous measure at 100 TB. The two-level form's
+    state never exceeds one (group, price-bucket) cell; the
+    interpolated doubles are bit-identical to ``F.percentile``'s
+    (fuzzed in tests/test_twolevel.py), so the oracle is unchanged."""
+    out = two_level_quantiles(
+        load_table(spark, sf_dir, "orders"), "o_totalprice",
+        lambda c: F.floor(c / F.lit(500.0)).cast("long"),
+        [0.5, 0.9, 0.99],
+        part_cols=["o_orderpriority"],
+    )
+    return out.select(
+        "o_orderpriority",
+        F.round(F.col("q0_all"), 4).alias("p50"),
+        F.round(F.col("q1_all"), 4).alias("p90"),
+        F.round(F.col("q2_all"), 4).alias("p99"),
     )
 
 

@@ -361,3 +361,56 @@ def test_two_level_quantiles_bitexact_vs_percentile(
     g = got[0]
     for c in want.asDict():
         assert g[c] == want[c], (c, g[c], want[c])
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["g0", "g1", "g2", None]),   # NULL group keys
+            st.one_of(st.none(),
+                      st.integers(-30, 30).map(lambda i: i * 1.5)),
+        ),
+        min_size=1, max_size=90,
+    ),
+    bucket_kind=st.sampled_from(sorted(_BUCKET_FNS)),
+)
+def test_grouped_two_level_quantiles_bitexact_vs_percentile(
+    spark, rows, bucket_kind
+):
+    """Grouped mode (part_cols) == percentile(...) GROUP BY, bit-exact
+    per group — including NULL group keys (struct-key joins are
+    field-wise null-safe, mirroring GROUP BY), single-row groups, and
+    groups whose values are all NULL."""
+    from dynamic_etl_pipeline_spark.operators.twolevel import (
+        two_level_quantiles,
+    )
+
+    data = [(i, grp, val) for i, (grp, val) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k long, grp string, val double")
+    probs = [0.0, 0.5, 0.9, 1.0]
+    got = {
+        (r["grp"],): r.asDict()
+        for r in two_level_quantiles(
+            df, "val", _BUCKET_FNS[bucket_kind], probs,
+            part_cols=["grp"],
+        ).collect()
+    }
+    want_rows = df.groupBy("grp").agg(
+        F.count("val").alias("n_all"),
+        *[F.percentile("val", F.lit(p)).alias(f"q{i}_all")
+          for i, p in enumerate(probs)],
+    ).collect()
+    # documented contract: groups with ZERO non-null values are absent
+    # (GROUP BY emits them with n=0; the operator's NULL filter drops
+    # them before the group ever forms) — every other group, including
+    # the NULL group key, must match bit-exact
+    live = [w for w in want_rows if w["n_all"] > 0]
+    assert len(got) == len(live)
+    for w in want_rows:
+        if w["n_all"] == 0:
+            assert (w["grp"],) not in got
+            continue
+        gr = got[(w["grp"],)]
+        for c in ("n_all", *[f"q{i}_all" for i in range(len(probs))]):
+            assert gr[c] == w[c], (w["grp"], c, gr[c], w[c])

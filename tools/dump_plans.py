@@ -101,6 +101,10 @@ SHOWCASE = [
     ("events_kmv_type_overlap",
      "theta-sketch set ops: shard-decomposed sketch build, |types|^2 "
      "x k pairwise stage, broadcast type-dim cross (round 7)"),
+    ("agg_quantile_hash_sample",
+     "two-level exact quantiles: bucket-count scan + tiny prefix sum + "
+     "rank-bracket probe of <=8 buckets — no percentile aggregate, no "
+     "data-sized merge state (round 8)"),
 ]
 
 
