@@ -765,7 +765,14 @@ def rfm_segments_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     differ from ntile by design (equal values share a tile instead of
     being split by the tie-break), which is the standard trade when
     moving to cutpoint bucketing; exact interpolated percentiles keep
-    both engines bit-identical."""
+    both engines bit-identical.
+
+    Merge-state note (r8): recency_days and frequency are small-domain
+    integers, so their exact-percentile state is O(domain) — harmless.
+    ``monetary`` is the continuous one; at true scale its cutpoints
+    swap onto operators/twolevel.two_level_quantiles (bit-identical
+    doubles, no data-sized state — the swap agg_percentiles /
+    agg_quantile_hash_sample / events_mad_outliers made this round)."""
     o = load_table(spark, sf_dir, "orders")
     max_date = o.agg(F.max("o_orderdate").alias("_global_max"))
     rfm = (
@@ -1146,20 +1153,28 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames broadcast back onto the stream; 1.4826 rescales MAD to
     sigma-equivalent units under normality.
 
-    Scale note: exact per-group medians sort within groups — fine for
-    bounded group counts like event types; unbounded-cardinality keys
-    switch to approx_percentile exactly as in queries/advanced.py.
+    Scale shape (r8): both medians come from the GROUPED two-level
+    bucketed rank (operators/twolevel.two_level_quantiles) — the
+    native per-group ``percentile`` holds an O(distinct values in the
+    group) map in its merge state, data-sized for a hot event type
+    over a continuous measure. The two-level form's state never
+    exceeds one (type, value-bucket) cell and its doubles are
+    bit-identical to ``F.percentile``'s, so the oracle is unchanged.
     """
+    from ..operators.twolevel import two_level_quantiles
+
     ev = load_table(spark, sf_dir, "events")
-    med = ev.groupBy("event_type").agg(
-        F.percentile("value", F.lit(0.5)).alias("med_value")
-    )
+    med = two_level_quantiles(
+        ev, "value", lambda c: F.floor(c).cast("long"), [0.5],
+        part_cols=["event_type"],
+    ).select("event_type", F.col("q0_all").alias("med_value"))
     dev = ev.join(F.broadcast(med), "event_type").withColumn(
         "abs_dev", F.abs(F.col("value") - F.col("med_value"))
     )
-    mad = dev.groupBy("event_type").agg(
-        F.percentile("abs_dev", F.lit(0.5)).alias("mad_value")
-    )
+    mad = two_level_quantiles(
+        dev, "abs_dev", lambda c: F.floor(c).cast("long"), [0.5],
+        part_cols=["event_type"],
+    ).select("event_type", F.col("q0_all").alias("mad_value"))
     return (
         dev.join(F.broadcast(mad), "event_type")
         .groupBy("event_type")
