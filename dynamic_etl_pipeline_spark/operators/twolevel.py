@@ -217,9 +217,9 @@ def two_level_quantiles(
        ranks ``floor/ceil(p*(n-1))+1`` and locate their buckets by
        offset interval (tiny broadcast joins);
     4. second scan restricted to the <= 2*|probs|*|channels| hit
-       buckets (broadcast semi-join at scan speed): a per-bucket
-       window ranks ONLY those buckets' rows, and the bracketing
-       values come back by local rank;
+       buckets — per group in grouped mode — (broadcast semi-join at
+       scan speed): a per-bucket window ranks ONLY those buckets'
+       rows, and the bracketing values come back by local rank;
     5. interpolate with Spark's own formula
        ``(hi-pos)*v_lo + (pos-lo)*v_hi`` (Percentile.getPercentile),
        so the double is the one ``F.percentile`` would produce.
@@ -242,8 +242,13 @@ def two_level_quantiles(
     is empty) per channel and prob index. Grouped mode threads every
     internal join through one ``struct(part_cols)`` key — struct
     equality is field-wise NULL-safe in Spark, so NULL group keys
-    behave like GROUP BY's (one group), never dropped rows. Parity vs
-    ``F.percentile`` is fuzzed bit-exact in tests/test_twolevel.py.
+    behave like GROUP BY's (one group), never dropped rows. The
+    broadcast hit-bucket set is ``O(groups * probs * channels)`` rows:
+    fine for dimension-bounded groups; an unbounded group key would
+    make the offsets frame itself data-sized (that shape wants the
+    plain partitioned window instead, which is already per-group
+    parallel). Parity vs ``F.percentile`` is fuzzed bit-exact in
+    tests/test_twolevel.py.
     """
     names = [nm for nm, _ in channels]
     part_cols = list(part_cols)
