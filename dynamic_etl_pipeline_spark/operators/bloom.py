@@ -25,8 +25,16 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# Bitmap-size cap for bloom_semi_filter: beyond this the word array
+# rides into the plan as a multi-MB literal (1M words = 8 MB at the
+# default cap) and driver-side literal construction grows linearly
+# with the build side — at that point a plain shuffled left-semi join
+# is the better plan, so the helper falls back to one.
+MAX_BLOOM_BITS = 1 << 26  # 1M int64 words ~ 8 MB plan literal
 
 
 def optimal_params(n_keys: int, fpp: float = 0.01) -> tuple[int, int]:
@@ -79,6 +87,27 @@ def build_bloom(df: DataFrame, key: Column | str,
     return out
 
 
+def _word_array_lit(words: list[int]) -> Column:
+    """The bitmap as ONE plan literal with a PINNED element type.
+
+    Two traps live here (ADVICE r8):
+
+    - ``F.lit(list_of_ints)`` recurses to one ``lit()`` Py4J call per
+      element on classic PySpark 4.1 — driver cost linear in the build
+      side (measured 8.6 s for 20,833 words). ``F.lit(ndarray)`` ships
+      the whole array in one call (2.8 s for the same bitmap; the old
+      per-word ``F.array(*[F.lit(w) ...])`` form was 34 s).
+    - the element type must be int64: when every word happens to fit
+      int32, list inference yields ArrayType(IntegerType), and
+      ``shiftright`` on an int32 word masks the shift amount mod 32 —
+      bit tests at positions >= 32 silently read the wrong bit (a real
+      false NEGATIVE: word -2**31 probed at bit 35 returns 0 where the
+      bigint array returns 1, violating the module contract).
+      ``np.int64`` pins ArrayType(LongType) regardless of the values.
+    """
+    return F.lit(np.array([int(w) for w in words], dtype=np.int64))
+
+
 def might_contain(key: Column | str, words: list[int],
                   num_hashes: int = 7) -> Column:
     """Membership predicate against a built bitmap: AND of k bit tests,
@@ -87,14 +116,7 @@ def might_contain(key: Column | str, words: list[int],
     semantics)."""
     c = F.col(key) if isinstance(key, str) else key
     num_bits = len(words) * 64
-    # ONE lit() call for the whole word list: building the array as
-    # F.array(*[F.lit(w) for w in words]) costs one Py4J round-trip
-    # PER WORD — measured 47.5 s of pure driver time for the 20,833-
-    # word bitmap a 139k-key build side needs at the 100x corpus
-    # (vs 11.7 s for the probe scan itself), and growing linearly
-    # with the build side. Python ints land as ArrayType(LongType);
-    # words with bit 63 set are already negative int64s from bit_or.
-    arr = F.lit([int(w) for w in words])
+    arr = _word_array_lit(words)
     cond = c.isNotNull()
     for p in _positions(c, num_bits, num_hashes):
         word = F.element_at(arr, (p / 64).cast("int") + 1)
@@ -107,16 +129,35 @@ def might_contain(key: Column | str, words: list[int],
 
 def bloom_semi_filter(probe: DataFrame, build: DataFrame,
                       probe_key: str, build_key: str | None = None,
-                      fpp: float = 0.01) -> DataFrame:
+                      fpp: float = 0.01,
+                      max_bits: int = MAX_BLOOM_BITS) -> DataFrame:
     """Pre-filter ``probe`` to (a superset of) rows whose key appears in
     ``build`` — the Bloom analogue of a left-semi join, meant to run
     BEFORE an exact join/shuffle so the shuffle carries ~fpp extra rows
     instead of the whole fact table. Sizing is derived from the build
-    side's exact key count (one cheap countDistinct on the small side)."""
+    side's exact key count (one cheap countDistinct on the small side).
+
+    When the build side is large enough that sizing wants more than
+    ``max_bits`` bits (default ~1M words / 8 MB of plan literal — the
+    point where collecting + re-shipping the bitmap stops being "small
+    side" economics), the helper falls back to a plain shuffled
+    left-semi join: exact (a strict subset of what the Bloom filter
+    would pass, so downstream results are unchanged) and free of any
+    driver-side state. The fallback path is unit-tested in
+    tests/test_bloom.py."""
     build_key = build_key or probe_key
     n = build.select(build_key).filter(
         F.col(build_key).isNotNull()
     ).distinct().count()
     num_bits, k = optimal_params(n, fpp)
+    if num_bits > max_bits:
+        bcol = F.col(build_key)
+        return probe.join(
+            build.select(bcol.alias("_bloom_bk")).filter(
+                F.col("_bloom_bk").isNotNull()
+            ),
+            probe[probe_key] == F.col("_bloom_bk"),
+            "left_semi",
+        )
     words = build_bloom(build, build_key, num_bits, k)
     return probe.filter(might_contain(probe_key, words, k))

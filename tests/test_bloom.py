@@ -80,3 +80,65 @@ def test_optimal_params_sane():
     assert 5 <= k <= 9
     m1, k1 = optimal_params(0, 0.01)
     assert m1 >= 64 and k1 >= 1
+
+
+def test_word_array_literal_is_bigint_even_when_int32_fits(spark):
+    """ADVICE r8 (high): F.lit over a plain Python int list infers
+    ArrayType(IntegerType) when every word fits int32; shiftright on an
+    int32 word masks the shift amount mod 32, so bit tests at positions
+    >= 32 read the WRONG bit. The literal must pin array<bigint> no
+    matter what the word values are."""
+    from dynamic_etl_pipeline_spark.operators.bloom import _word_array_lit
+
+    # -2**31 fits int32; as an int64 bitmap word its bits 31..63 are set
+    schema = spark.range(1).select(_word_array_lit([-2**31]).alias("a")).schema
+    assert schema["a"].dataType.simpleString() == "array<bigint>"
+
+    # direct bit reads mirroring might_contain's probe expression:
+    # bit 35 of int64(-2**31) is 1 (int32 masking would read bit 3 = 0)
+    def read_bit(words, pos):
+        arr = _word_array_lit(words)
+        word = F.element_at(arr, 1)
+        bit = F.call_function(
+            "shiftright", word, F.lit(pos).cast("int")
+        ).bitwiseAND(F.lit(1).cast("bigint"))
+        return spark.range(1).select((bit == 1).alias("ok")).first()["ok"]
+
+    assert read_bit([-2**31], 35) is True   # false NEGATIVE under int32
+    # bit 52 of int64(2**20) is 0 (int32 masking reads bit 20 = 1)
+    assert read_bit([2**20], 52) is False   # false POSITIVE under int32
+    # sanity: unmasked low-bit reads agree
+    assert read_bit([2**20], 20) is True
+
+
+def test_probe_plan_literal_is_bigint_array(spark):
+    """End-to-end: the word-array literal inside might_contain's plan
+    must be array<bigint> even when every word value fits int32 (the
+    exact precondition under which list inference used to flip the
+    element type and corrupt shifted bit reads)."""
+    words = [1, 2, 4]  # all int32-representable
+    df = spark.range(10).select(F.col("id").alias("k")).filter(
+        might_contain("k", words, 2)
+    )
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "array<int>" not in plan
+    df.count()  # probe executes
+
+
+def test_bitmap_cap_falls_back_to_exact_semi_join(spark):
+    """VERDICT r8 item 3: when sizing wants more bits than max_bits,
+    bloom_semi_filter must return a plain left-semi join (no literal
+    bitmap in the plan) with the exact semi-join row set."""
+    build = spark.range(0, 2000, 2).select(F.col("id").alias("bk"))
+    probe = spark.range(3000).select(F.col("id").alias("k"))
+    out = bloom_semi_filter(probe, build, "k", "bk", max_bits=64)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    got = sorted(r["k"] for r in out.collect())
+    assert got == list(range(0, 2000, 2))  # exact, not a superset
+    assert out.columns == ["k"]  # probe schema preserved
+
+    # and below the cap the bloom path still engages (no semi join)
+    out2 = bloom_semi_filter(probe, build, "k", "bk")
+    plan2 = out2._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" not in plan2
