@@ -168,7 +168,13 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     group over a continuous measure at 100 TB. The two-level form's
     state never exceeds one (group, price-bucket) cell; the
     interpolated doubles are bit-identical to ``F.percentile``'s
-    (fuzzed in tests/test_twolevel.py), so the oracle is unchanged."""
+    (fuzzed in tests/test_twolevel.py), so the oracle is unchanged.
+
+    NULL-group note (ADVICE r8): grouped two_level_quantiles OMITS
+    groups whose measure is all-NULL (percentile..GROUP BY would emit
+    them with NULL quantiles) — fine here because o_totalprice is
+    non-null in every TPC-H row; a nullable measure would need the
+    plain grouped percentile row-set."""
     out = two_level_quantiles(
         load_table(spark, sf_dir, "orders"), "o_totalprice",
         lambda c: F.floor(c / F.lit(500.0)).cast("long"),

@@ -767,12 +767,22 @@ def rfm_segments_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     moving to cutpoint bucketing; exact interpolated percentiles keep
     both engines bit-identical.
 
-    Merge-state note (r8): recency_days and frequency are small-domain
-    integers, so their exact-percentile state is O(domain) — harmless.
-    ``monetary`` is the continuous one; at true scale its cutpoints
-    swap onto operators/twolevel.two_level_quantiles (bit-identical
-    doubles, no data-sized state — the swap agg_percentiles /
-    agg_quantile_hash_sample / events_mad_outliers made this round)."""
+    Merge-state note (r9): ALL THREE cutpoint sets now come from
+    operators/twolevel.two_level_quantiles — ``monetary`` is a
+    continuous per-customer sum whose exact-percentile merge state
+    would be O(|customers|) on one reducer (the class r8 eliminated
+    from agg_percentiles / agg_quantile_hash_sample /
+    events_mad_outliers; this was the last ``F.percentile`` call in
+    non-test code). recency_days / frequency ride the same primitive so
+    the engine carries zero exact-percentile aggregates anywhere. The
+    doubles are bit-identical to ``F.percentile`` (fuzzed in
+    tests/test_twolevel.py), so the oracle is unchanged. The RFM frame
+    is materialized once; the three quantile probes (two scans each)
+    and the tile pass read the materialized |customers|-row frame, not
+    the orders fact."""
+    from ..materialize import materialize
+    from ..operators.twolevel import two_level_quantiles
+
     o = load_table(spark, sf_dir, "orders")
     max_date = o.agg(F.max("o_orderdate").alias("_global_max"))
     rfm = (
@@ -789,15 +799,30 @@ def rfm_segments_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
+    rfm = materialize(rfm, eager=False)
     qs = [0.25, 0.50, 0.75]
-    cuts = rfm.agg(
-        *[F.percentile("recency_days", F.lit(q)).alias(f"r{i+1}")
-          for i, q in enumerate(qs)],
-        *[F.percentile("frequency", F.lit(q)).alias(f"f{i+1}")
-          for i, q in enumerate(qs)],
-        *[F.percentile("monetary", F.lit(q)).alias(f"m{i+1}")
-          for i, q in enumerate(qs)],
-    )
+    # per-measure bucket widths sized to the measure's domain so each
+    # bucket's rows fit one task and #buckets stays O(100): days over a
+    # ~7-year order range, order counts per customer, and the
+    # per-customer revenue sum (all measures are non-null by
+    # construction — recency/frequency/monetary aggregate over the
+    # customer's own orders — so the operator's all-NULL-group row-drop
+    # contract is vacuous here)
+    cut_frames = []
+    for col, pfx, bucket in (
+        ("recency_days", "r", lambda c: F.floor(c / F.lit(32)).cast("long")),
+        ("frequency", "f", lambda c: c.cast("long")),
+        ("monetary", "m", lambda c: F.floor(c / F.lit(25000.0)).cast("long")),
+    ):
+        one = two_level_quantiles(rfm, col, bucket, qs)
+        cut_frames.append(one.select(
+            *[F.col(f"q{i}_all").alias(f"{pfx}{i+1}") for i in range(len(qs))]
+        ))
+    # three 1-row frames -> one 9-column cutpoint row (1x1 broadcast
+    # crosses: the sanctioned tiny-frame BNLJ shape)
+    cuts = cut_frames[0]
+    for extra in cut_frames[1:]:
+        cuts = cuts.crossJoin(F.broadcast(extra))
 
     def tile(col: str, pfx: str):
         return (
@@ -1160,6 +1185,12 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     over a continuous measure. The two-level form's state never
     exceeds one (type, value-bucket) cell and its doubles are
     bit-identical to ``F.percentile``'s, so the oracle is unchanged.
+
+    NULL-group note (ADVICE r8): grouped two_level_quantiles OMITS
+    groups whose measure is all-NULL (unlike percentile..GROUP BY's
+    NULL-quantile rows) — fine here because events.value is non-null
+    by fixture contract and abs() of a non-null double is non-null;
+    a nullable measure would need the plain grouped percentile row-set.
     """
     from ..operators.twolevel import two_level_quantiles
 

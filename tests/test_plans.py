@@ -478,13 +478,44 @@ def test_quantile_two_level_no_data_sized_aggregate_state(spark, sf_dir):
     plan = formatted_plan(df)
     assert "percentile" not in plan.lower(), "exact percentile crept back"
     assert python_eval_count(df) == 0
+    _assert_two_level_window_partitions(plan)
+
+
+def _assert_two_level_window_partitions(plan: str) -> None:
+    """Every window in a two-level-quantile plan must partition by the
+    bucket column itself (``_tq_bk#N``) or by a projected alias
+    (``_wN#id``) whose definition in the SAME plan is the sanctioned
+    constant ``pmod(hash(_tq_bk..), 1)`` over the one-row-per-bucket
+    offsets frame. Anchored exact-token matching (ADVICE r8: the old
+    substring check would also pass a data-sized partition column that
+    merely CONTAINED '_w' or 'pmod')."""
+    import re
+
+    sanctioned = set(re.findall(
+        r"pmod\(hash\(_tq_bk#\d+L?, \d+\), 1\) AS (_w\d+#\d+)", plan
+    ))
     for line in plan.splitlines():
         if "windowspecdefinition(" not in line:
             continue
         first_arg = line.split("windowspecdefinition(", 1)[1].split(",", 1)[0]
-        assert "_tq_bk" in first_arg or "pmod" in first_arg or "_w" in first_arg, (
-            f"data-sized window partition: {line.strip()}"
+        ok = (
+            re.fullmatch(r"_tq_bk#\d+L?", first_arg)
+            or first_arg in sanctioned
         )
+        assert ok, f"data-sized window partition: {line.strip()}"
+
+
+def test_rfm_bucketed_no_data_sized_aggregate_state(spark, sf_dir):
+    """r8 verdict item 1: rfm_segments_bucketed's cutpoints (the last
+    F.percentile call in non-test code) now come from the two-level
+    bucketed rank — no exact percentile TypedImperativeAggregate (its
+    merge state is O(|customers|) for the continuous monetary sum), no
+    Python, and only bucket/pmod-partitioned windows."""
+    df = QUERIES["rfm_segments_bucketed"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "percentile" not in plan.lower(), "exact percentile crept back"
+    assert python_eval_count(df) == 0
+    _assert_two_level_window_partitions(plan)
 
 
 def test_kmv_overlap_production_mode_touches_only_sketch_rows(spark, sf_dir):
