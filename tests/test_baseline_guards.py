@@ -33,12 +33,15 @@ def test_guard_passes_under_bound_and_with_override(spark, monkeypatch):
 
 
 def test_baseline_inventory_matches_documented_set():
-    """Exactly the 3 quadratic anchors + 5 engine-specific sketches are
+    """Exactly the 4 quadratic anchors + 5 engine-specific sketches are
     tagged; each tag names its scalable/exact twin."""
     expected_twins = {
         "similar_pairs": "lsh_ann_topk",
         "embedding_near_dup_dedup": "corpus_semdedup",
         "part_name_jw_pairs": "part_name_blocked_pairs",
+        # r9: measured output-quadratic (1.55M true pairs at 20k parts —
+        # no blocking key can beat Omega(true pairs) full verification)
+        "part_name_blocked_pairs": "minhash_near_dups",
         "agg_approx_distinct": "agg_distinct_kmv",
         "agg_approx_quantile": "agg_quantile_hash_sample",
         "events_hll_sketch_rollup": "events_kmv_sketch_rollup",
@@ -58,5 +61,6 @@ def test_guarded_queries_still_run_at_fixture_scale(spark, sf_dir):
     """The guards must never trip at sweep fixtures (<= sf0.1)."""
     from dynamic_etl_pipeline_spark.queries import QUERIES
 
-    for name in ("similar_pairs", "part_name_jw_pairs"):
+    for name in ("similar_pairs", "part_name_jw_pairs",
+                 "part_name_blocked_pairs"):
         assert QUERIES[name](spark, sf_dir).limit(1).count() >= 0
