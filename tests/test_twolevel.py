@@ -414,3 +414,38 @@ def test_grouped_two_level_quantiles_bitexact_vs_percentile(
         gr = got[(w["grp"],)]
         for c in ("n_all", *[f"q{i}_all" for i in range(len(probs))]):
             assert gr[c] == w[c], (w["grp"], c, gr[c], w[c])
+
+
+def test_grouped_quantiles_group_cardinality_guard(spark):
+    """VERDICT r8 item 4: an unbounded group key must raise
+    GroupCardinalityError (the offsets frame would be data-sized)
+    instead of silently building a data-sized broadcast; bounded keys
+    and max_groups=None pass."""
+    import pytest
+
+    from dynamic_etl_pipeline_spark.operators.twolevel import (
+        GroupCardinalityError,
+        two_level_quantiles,
+    )
+
+    df = spark.range(500).select(
+        (F.col("id") % 7).alias("g"),       # bounded key: 7 groups
+        F.col("id").alias("gk"),            # unbounded key: 1 group/row
+        (F.col("id") % 50).cast("double").alias("v"),
+    )
+    bucket = lambda c: F.floor(c / 10).cast("long")  # noqa: E731
+
+    with pytest.raises(GroupCardinalityError) as exc:
+        two_level_quantiles(df, "v", bucket, [0.5],
+                            part_cols=["gk"], max_groups=100)
+    assert "partitioned window" in str(exc.value)
+
+    # bounded key under the same limit: fine
+    out = two_level_quantiles(df, "v", bucket, [0.5],
+                              part_cols=["g"], max_groups=100)
+    assert out.count() == 7
+
+    # explicit opt-out: the caller owns the contract
+    out2 = two_level_quantiles(df, "v", bucket, [0.5],
+                               part_cols=["gk"], max_groups=None)
+    assert out2.count() == 500
