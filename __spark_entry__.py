@@ -47,7 +47,13 @@ _FRONT = [
     # r8 rotates out five long-green ANN rows — lsh_ann_topk,
     # ivf_ann_topk, ann_mmr_rerank, knn_bruteforce, simhash_near_dups
     # (all still swept + benched) — for the never-driver-sampled
-    # mutation/timeseries tier (VERDICT r7 item 5)
+    # mutation/timeseries tier (VERDICT r7 item 5);
+    # r9 rotates out five long-green rows — minhash_dup_clusters,
+    # corpus_semdedup (r6; siblings minhash_near_dups / exact-dedup
+    # family stay), bpe_train_merges, embedding_pca_project (r5),
+    # udtf_session_summary (udtf_doc_sentences stays) — for the
+    # never-driver-sampled analytics/statistics tier (VERDICT r8
+    # item 6), incl. the two queries this round's scale fixes touched
     "q1_pricing_summary", "q3_shipping_priority",
     # mutation / SCD2 / timeseries tier (r8 rotation: long-green in the
     # sweep since r4-r5, first time in the driver sample)
@@ -61,15 +67,17 @@ _FRONT = [
     "agg_distinct_kmv", "events_kmv_sketch_rollup",
     "agg_quantile_hash_sample", "word_heavy_hitters_cms",
     "events_kmv_type_overlap",
-    # r6 exact oracles: the formerly rows-only LSH family — portable-
-    # hash MinHash-LSH pairs + recursive-CTE components, sha256-
-    # featurizer multimodal kNN, tiled SemDeDup
-    "minhash_near_dups", "minhash_dup_clusters",
-    "multimodal_feature_knn", "corpus_semdedup",
-    # r5-r6 exact oracles: LPA communities, iterative BPE, deflated
-    # PCA, end-to-end PDF/DOCX ingest
-    "copurchase_communities", "bpe_train_merges",
-    "embedding_pca_project", "pdf_extract_pages", "docx_extract_paragraphs",
+    # r6 exact oracles still representing the LSH/multimodal family
+    "minhash_near_dups", "multimodal_feature_knn",
+    # analytics/statistics tier (r9 rotation: never driver-sampled;
+    # rfm_segments_bucketed + part_name_blocked_pairs are this round's
+    # two scale fixes — cutpoints via two-level quantiles, guarded
+    # output-quadratic ER baseline — both exact at sf0.01)
+    "events_mad_outliers", "agg_percentiles", "rfm_segments_bucketed",
+    "part_name_blocked_pairs", "events_winsorized_stats",
+    # r5-r6 exact oracles: LPA communities, end-to-end PDF/DOCX ingest
+    "copurchase_communities",
+    "pdf_extract_pages", "docx_extract_paragraphs",
     # TPC-H battery (q21 rotated out r6-late for the skew-safe
     # sessionizer — green since r1, still swept + benched)
     "q9_product_profit",
@@ -99,7 +107,7 @@ _FRONT = [
     "streaming_tumbling_rollup", "streaming_minhash_index",
     "streaming_stream_stream_left_join", "streaming_user_running_totals",
     # UDTF / UDAF / grouping
-    "udtf_doc_sentences", "udtf_session_summary", "udaf_geo_mean_price",
+    "udtf_doc_sentences", "udaf_geo_mean_price",
     # analytics
     "bloom_pruned_join",
     # recursive SQL + reference-parity extraction
