@@ -216,12 +216,22 @@ def main() -> None:
         "n_runs": n_runs,
         "sf": sf_val,
     }
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), f"BENCH_DETAIL_sf{sf}.json"
-    )
+    here = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.path.join(here, f"BENCH_DETAIL_sf{sf}.json")
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
     print(f"full detail (medians, spreads) -> {detail_path}")
+    # Round-stamped copy (VERDICT r8 item 5): the driver's own bench
+    # run overwrites BENCH_DETAIL_sf{sf}.json with a single-session
+    # snapshot, clobbering the builder's committed RUNS=3 reading. With
+    # SPARK_GRAFT_BENCH_TAG=r09 the builder's evidence also lands under
+    # a name the driver never writes.
+    tag = os.environ.get("SPARK_GRAFT_BENCH_TAG")
+    if tag:
+        tagged = os.path.join(here, f"BENCH_DETAIL_sf{sf}_{tag}.json")
+        with open(tagged, "w") as f:
+            json.dump(detail, f, indent=1)
+        print(f"tagged detail copy -> {tagged}")
     # Final line: compact (separators, 2-decimal values, no medians) so
     # the whole JSON fits inside the driver's 2 KB stdout-tail capture.
     compact = {

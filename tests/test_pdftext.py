@@ -249,7 +249,7 @@ def test_docx_zip_without_document_part(tmp_path):
 # ---------------------------------------------------------------------------
 
 try:
-    from hypothesis import given, settings
+    from hypothesis import example, given, settings
     from hypothesis import strategies as st
 
     _HAVE_HYPOTHESIS = True
@@ -259,9 +259,19 @@ except ImportError:  # pragma: no cover
 if _HAVE_HYPOTHESIS:
     import zlib as _zlib
 
-    def _escape_literal(s: str) -> bytes:
-        out = s.encode("latin-1")
-        return (out.replace(b"\\", rb"\\")
+    def _encode_text(s: str) -> bytes:
+        """Conforming-writer string bytes: latin-1, EXCEPT when that
+        byte sequence would begin with FE FF — per PDF 32000 §7.9.2.2
+        a string starting with those bytes IS UTF-16BE, so a correct
+        writer (like pypdf) must emit real UTF-16BE there. Found by
+        hypothesis: the page text 'þÿ' encodes to exactly the BOM."""
+        b = s.encode("latin-1")
+        if b[:2] == b"\xfe\xff":
+            return b"\xfe\xff" + s.encode("utf-16-be")
+        return b
+
+    def _escape_literal(raw: bytes) -> bytes:
+        return (raw.replace(b"\\", rb"\\")
                    .replace(b"(", rb"\(")
                    .replace(b")", rb"\)"))
 
@@ -282,10 +292,11 @@ if _HAVE_HYPOTHESIS:
         for lines in lines_per_page:
             parts = [b"BT 12 TL 72 720 Td"]
             for k, line in enumerate(lines):
+                raw = _encode_text(line)
                 if use_hex:
-                    shown = b"<" + line.encode("latin-1").hex().encode() + b">"
+                    shown = b"<" + raw.hex().encode() + b">"
                 else:
-                    shown = b"(" + _escape_literal(line) + b")"
+                    shown = b"(" + _escape_literal(raw) + b")"
                 if k:
                     parts.append(b"T*")
                 parts.append(shown + b" Tj")
@@ -330,6 +341,10 @@ if _HAVE_HYPOTHESIS:
         compress=st.booleans(),
         use_hex=st.booleans(),
     )
+    # pinned: latin-1 bytes of 'þÿ' are exactly the UTF-16BE BOM —
+    # exercises the conforming-writer branch of _encode_text both ways
+    @example(pages=[["þÿ"]], compress=False, use_hex=False)
+    @example(pages=[["þÿ abc"]], compress=True, use_hex=True)
     def test_roundtrip_random_text(pages, compress, use_hex):
         pdf = _page_pdf(pages, compress, use_hex)
         assert extract_pdf_pages(pdf) == ["\n".join(p) for p in pages]
