@@ -379,6 +379,58 @@ def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("join_theta_rank", oracle="""
+SELECT s_suppkey, s_name, count(*) AS n_poorer_cust
+FROM supplier JOIN customer
+  ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+GROUP BY s_suppkey, s_name
+""")
+def join_theta_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE twin of join_theta (r9): the identical answer with no
+    pair enumeration. ``count(customers poorer than supplier)`` is an
+    ORDER STATISTIC — per nation, each supplier's count is its rank
+    among customer balances — so instead of the hash join's
+    sum-over-nations of |S_n|x|C_n| probe pairs (~6B at the 100x
+    corpus; output-linear but probe-quadratic for a fixed nation key),
+    the two frames union into one tagged stream and a single running
+    sum of the customer indicator, ordered by (acctbal, suppliers
+    BEFORE customers at ties — the predicate is STRICT >), yields every
+    supplier's count in O(n log n). The running sum itself is the
+    skew-safe two-level primitive (bucketed by floor(acctbal),
+    partitioned by nation), so no nation ever becomes a single-task
+    sort. Suppliers with zero poorer customers are filtered to match
+    the inner join's row set; oracle identical to join_theta's."""
+    from ..operators.twolevel import two_level_running_sum
+
+    t = load_tables(spark, sf_dir, ["supplier", "customer"])
+    tagged = t["supplier"].select(
+        F.col("s_nationkey").alias("nk"),
+        F.col("s_acctbal").alias("bal"),
+        F.lit(0).alias("is_cust"),  # ties: supplier sorts first (strict >)
+        F.col("s_suppkey").alias("s_suppkey"),
+        F.col("s_name").alias("s_name"),
+    ).unionByName(t["customer"].select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_acctbal").alias("bal"),
+        F.lit(1).alias("is_cust"),
+        F.lit(None).cast("long").alias("s_suppkey"),
+        F.lit(None).cast("string").alias("s_name"),
+    ))
+    ranked = two_level_running_sum(
+        tagged, F.col("is_cust"),
+        [F.col("bal"), F.col("is_cust")],
+        F.floor(F.col("bal")).cast("long"),
+        "n_poorer", part_cols=["nk"],
+    )
+    return (
+        ranked.filter((F.col("is_cust") == 0) & (F.col("n_poorer") > 0))
+        .select(
+            "s_suppkey", "s_name",
+            F.col("n_poorer").cast("long").alias("n_poorer_cust"),
+        )
+    )
+
+
 @query("scalar_subquery", oracle="""
 SELECT o_orderkey, o_totalprice
 FROM orders

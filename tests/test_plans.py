@@ -546,3 +546,21 @@ def test_cms_heavy_hitters_sketch_side_broadcasts(spark, sf_dir):
     assert python_eval_count(df) == 0
     assert has_operator(df, "BroadcastExchange")
     assert data_sized_nested_loops(df) == 0
+
+
+def test_join_theta_rank_has_no_pair_join(spark, sf_dir):
+    """r9: the order-statistic theta twin must contain NO
+    supplier-x-customer pair join — its only joins are the two-level
+    primitive's broadcast offset joins — and no data-sized window
+    partition (windows partition by (nation, bucket) / nation over the
+    one-row-per-bucket offsets frame)."""
+    df = QUERIES["join_theta_rank"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert python_eval_count(df) == 0
+    assert not has_operator(df, "CartesianProduct")
+    assert not has_operator(df, "SortMergeJoin"), "pair join crept back"
+    assert not has_operator(df, "ShuffledHashJoin"), "pair join crept back"
+    # row-set parity with the pair-enumerating original at fixture scale
+    a = set(map(tuple, QUERIES["join_theta"](spark, sf_dir).collect()))
+    b = set(map(tuple, df.collect()))
+    assert a == b
