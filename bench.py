@@ -85,6 +85,7 @@ HEADLINE = [
     "word_heavy_hitters_cms",   # CMS heavy hitters, fixed-grid sketch (round 7)
     "events_kmv_type_overlap",  # theta-sketch pairwise set operations (round 7)
     "bloom_pruned_join",        # Bloom runtime row-level pruning (round 8: one-lit bitmap)
+    "join_theta_rank",          # theta join's order-statistic scale twin (round 9)
 ]
 
 
