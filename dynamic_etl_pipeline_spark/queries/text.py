@@ -486,17 +486,26 @@ def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     Docs shorter than k + w - 1 chars have no complete winnowing window;
     the oracle's range() yields no rows for them, and Spark's sequence()
     would instead produce a DESCENDING sequence (then slice(..., 0, ...)
-    throws), so they are filtered out up front."""
+    throws), so they are filtered out up front.
+
+    Access-cost note (r9): the k-gram hashes index CHARACTERS, and
+    ``substring(text, i, 1)`` on a UTF8String is O(i) — it byte-scans
+    to find char i — so hashing every position straight off the string
+    made the per-document cost O(len^2 * k). The text is now exploded
+    ONCE into a char-code array (``split(text, '')`` + ascii, verified
+    identical per char incl. non-ASCII) and the hash reads it with
+    O(1) ``element_at``: same int64 mod-space math, same oracle,
+    measured 172 s -> (see SCALING.md) at the 100x corpus."""
     d = spread(
         load_table(spark, sf_dir, "documents").filter(
             F.length("text") >= _WIN_K + _WIN_W - 1
         )
     )
     hashes = F.expr(f"""
-      transform(sequence(1, length(text) - {_WIN_K} + 1),
+      transform(sequence(1, size(cs) - {_WIN_K} + 1),
                 i -> aggregate(sequence(0, {_WIN_K} - 1), 0L,
                                (acc, j) -> (acc * {_WIN_B}
-                                 + ascii(substring(text, i + j, 1)))
+                                 + element_at(cs, i + j))
                                  % {_WIN_M}))
     """)
     fps = F.expr(
@@ -504,7 +513,12 @@ def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" i -> array_min(slice(hs, i, {_WIN_W}))))"
     )
     return (
-        d.select("doc_id", hashes.alias("hs"))
+        d.select(
+            "doc_id",
+            F.expr("transform(split(text, ''), c -> cast(ascii(c) as bigint))")
+            .alias("cs"),
+        )
+        .select("doc_id", hashes.alias("hs"))
         .select("doc_id", F.explode(fps).alias("fp"))
         .distinct()
     )
@@ -556,16 +570,19 @@ def doc_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk-level dedup robust to edits, where fixed-size blocks would
     re-hash everything downstream. Shares the winnowing rolling hash
     (same mod-space polynomial, bit-exact on both engines); md5 chunk
-    ids are the dedup join key. Map-only + a bounded explode."""
+    ids are the dedup join key. Map-only + a bounded explode. r9: the
+    hash reads a once-exploded char-code array with O(1) element_at
+    instead of O(i) per-position substring scans (same math — see
+    doc_winnow_fingerprint's access-cost note)."""
     d = spread(
         load_table(spark, sf_dir, "documents")
         .filter((F.col("doc_id") < 100) & (F.length("text") >= _WIN_K))
     )
     hashes = F.expr(f"""
-      transform(sequence(1, length(text) - {_WIN_K} + 1),
+      transform(sequence(1, size(cs) - {_WIN_K} + 1),
                 i -> aggregate(sequence(0, {_WIN_K} - 1), 0L,
                                (acc, j) -> (acc * {_WIN_B}
-                                 + ascii(substring(text, i + j, 1)))
+                                 + element_at(cs, i + j))
                                  % {_WIN_M}))
     """)
     cuts = F.expr(
@@ -581,7 +598,12 @@ def doc_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo = F.element_at("bs", F.col("j"))
     hi = F.element_at("bs", F.col("j") + 1)
     return (
-        d.select("doc_id", "text", hashes.alias("hs"))
+        d.select(
+            "doc_id", "text",
+            F.expr("transform(split(text, ''), c -> cast(ascii(c) as bigint))")
+            .alias("cs"),
+        )
+        .select("doc_id", "text", hashes.alias("hs"))
         .select("doc_id", "text", cuts.alias("cuts"))
         .select("doc_id", "text", bs.alias("bs"))
         .select(
