@@ -53,7 +53,16 @@ _FRONT = [
     # family stay), bpe_train_merges, embedding_pca_project (r5),
     # udtf_session_summary (udtf_doc_sentences stays) — for the
     # never-driver-sampled analytics/statistics tier (VERDICT r8
-    # item 6), incl. the two queries this round's scale fixes touched
+    # item 6), incl. the two queries this round's scale fixes touched;
+    # r10 rotates out eight long-green rows — minhash_near_dups (r6;
+    # exact-dedup family + jaccard prefix filter stay),
+    # multimodal_feature_knn (r6; multimodal_media_stats stays),
+    # copurchase_communities (r5; copurchase_pagerank rotates IN),
+    # doc_tf_idf_top, embedding_kmeans_exact, corpus_boilerplate_strip,
+    # doc_ngram_containment_pairs, doc_duplicate_spans (all r5-r6,
+    # still swept + benched) — for the never-driver-sampled
+    # window-frame / funnel-retention / lateral / as-of / pagerank
+    # tier (VERDICT r9 item 4)
     "q1_pricing_summary", "q3_shipping_priority",
     # mutation / SCD2 / timeseries tier (r8 rotation: long-green in the
     # sweep since r4-r5, first time in the driver sample)
@@ -67,16 +76,27 @@ _FRONT = [
     "agg_distinct_kmv", "events_kmv_sketch_rollup",
     "agg_quantile_hash_sample", "word_heavy_hitters_cms",
     "events_kmv_type_overlap",
-    # r6 exact oracles still representing the LSH/multimodal family
-    "minhash_near_dups", "multimodal_feature_knn",
+    # window-frame tier (r10 rotation: never driver-sampled, long-green
+    # in the sweep — GROUPS frames, percent_rank/cume_dist, RANGE
+    # frames over real intervals)
+    "window_groups_frame", "window_percent_rank_cume",
+    "window_range_frame",
+    # events analytics tier (r10 rotation: never driver-sampled —
+    # ordered funnel conversion, weekly cohort retention)
+    "events_funnel_conversion", "events_weekly_retention",
+    # lateral join + as-of join + pagerank (r10 rotation: never
+    # driver-sampled; asof_join_events is the operators/asof.py
+    # backward-join surface, copurchase_pagerank the iterative
+    # graph twin of the rotated-out LPA communities)
+    "sql_lateral_top2_orders", "asof_join_events",
+    "copurchase_pagerank",
     # analytics/statistics tier (r9 rotation: never driver-sampled;
     # rfm_segments_bucketed + part_name_blocked_pairs are this round's
     # two scale fixes — cutpoints via two-level quantiles, guarded
     # output-quadratic ER baseline — both exact at sf0.01)
     "events_mad_outliers", "agg_percentiles", "rfm_segments_bucketed",
     "part_name_blocked_pairs", "events_winsorized_stats",
-    # r5-r6 exact oracles: LPA communities, end-to-end PDF/DOCX ingest
-    "copurchase_communities",
+    # r5-r6 exact oracles: end-to-end PDF/DOCX ingest
     "pdf_extract_pages", "docx_extract_paragraphs",
     # TPC-H battery (q21 rotated out r6-late for the skew-safe
     # sessionizer — green since r1, still swept + benched)
@@ -89,16 +109,14 @@ _FRONT = [
     "events_sessionize_skew_safe",
     # text / exact dedup
     "exact_dedup", "ngram_jaccard_pairs", "dedup_keep_best_exact",
-    "jaccard_prefix_filter_pairs", "doc_tf_idf_top",
-    # vectors / clustering / multimodal — incl. the streaming drain
-    # that inherits the batch PC1 oracle bit-for-bit (r5)
-    "multimodal_media_stats", "embedding_kmeans_exact",
-    "streaming_scatter_pc1",
+    "jaccard_prefix_filter_pairs",
+    # vectors / multimodal — incl. the streaming drain that inherits
+    # the batch PC1 oracle bit-for-bit (r5)
+    "multimodal_media_stats", "streaming_scatter_pc1",
     # curation
-    "doc_gopher_quality", "corpus_boilerplate_strip",
-    "doc_ngram_containment_pairs",
+    "doc_gopher_quality",
     # training-data ops + pinned-model scoring (newly oracled r5)
-    "corpus_pack_sequences", "doc_quality_classifier", "doc_duplicate_spans",
+    "corpus_pack_sequences", "doc_quality_classifier",
     # streaming drains (real micro-batch engine, exact oracles) + the
     # newly-oracled custom stateful op (exact fixed-point state, r5)
     # + the incremental near-dup index drain under the exact portable-

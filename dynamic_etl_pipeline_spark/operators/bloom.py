@@ -151,12 +151,18 @@ def bloom_semi_filter(probe: DataFrame, build: DataFrame,
     ).distinct().count()
     num_bits, k = optimal_params(n, fpp)
     if num_bits > max_bits:
-        bcol = F.col(build_key)
+        # Qualify the build side through a frame alias so the join
+        # condition binds unambiguously even if the probe lineage
+        # already carries a column of the same name (e.g. a prior
+        # bloom_semi_filter fallback in the same plan) — ADVICE r9.
+        b = (
+            build.select(F.col(build_key).alias("_bloom_bk"))
+            .filter(F.col("_bloom_bk").isNotNull())
+            .alias("_bloom_build")
+        )
         return probe.join(
-            build.select(bcol.alias("_bloom_bk")).filter(
-                F.col("_bloom_bk").isNotNull()
-            ),
-            probe[probe_key] == F.col("_bloom_bk"),
+            b,
+            probe[probe_key] == F.col("_bloom_build._bloom_bk"),
             "left_semi",
         )
     words = build_bloom(build, build_key, num_bits, k)

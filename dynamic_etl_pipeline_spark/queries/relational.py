@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table, load_tables
 from ._helpers import davg, dsum, ntz
-from .registry import query
+from .registry import guard_baseline, query
 
 
 # --------------------------------------------------------------------------
@@ -363,12 +363,35 @@ SELECT s_suppkey, s_name, count(*) AS n_poorer_cust
 FROM supplier JOIN customer
   ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
 GROUP BY s_suppkey, s_name
-""")
+""", baseline="textbook theta-join plan (hash on equi key, residual "
+              "post-probe) — output-LINEAR but probe-QUADRATIC: the "
+              "nation key has a FIXED 25-value domain, so probe pairs "
+              "grow as sum-over-nations |S_n|x|C_n| ~ n^2/25 with "
+              "scale (253 s at the 100x corpus); scalable twin: "
+              "join_theta_rank (identical oracle, one skew-safe "
+              "running sum, 3.4 s at 100x)")
 def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi + inequality (theta) join: hash on the equi key, residual
-    predicate evaluated post-probe — stays a hash join, not a BNLJ."""
+    predicate evaluated post-probe — stays a hash join, not a BNLJ.
+
+    Guarded baseline (r10, closes VERDICT r9 item 1): this is the
+    honest demonstration of the theta-join PLAN, but the equi key is
+    the 25-value nation domain, so the post-probe residual evaluates
+    sum-over-nations |S_n|x|C_n| pairs — quadratic in scale factor
+    even though the OUTPUT (one row per qualifying supplier) is
+    linear. Measured: ~6B probe pairs / 253 s at the 100x corpus;
+    another 10x puts it at ~7 hours. ``join_theta_rank`` answers the
+    IDENTICAL oracle as an order statistic (one two-level running sum,
+    3.4 s at 100x, 74x) — that is the production path; this entry
+    stays as the exact-recall anchor below the guard bound."""
     t = load_tables(spark, sf_dir, ["supplier", "customer"])
-    s, cust = t["supplier"], t["customer"]
+    s = t["supplier"]
+    # Bound on the probe-side (customer) rows: sweep fixtures top out
+    # at sf0.1 (15k customers), the 100x smoke corpus has 1.5M — the
+    # guard trips there by design and points at the twin.
+    cust = guard_baseline(
+        t["customer"], 200_000, "join_theta", "join_theta_rank",
+    )
     return (
         s.join(
             cust,

@@ -495,7 +495,12 @@ def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONCE into a char-code array (``split(text, '')`` + ascii, verified
     identical per char incl. non-ASCII) and the hash reads it with
     O(1) ``element_at``: same int64 mod-space math, same oracle,
-    measured 172 s -> (see SCALING.md) at the 100x corpus."""
+    measured 172 s -> (see SCALING.md) at the 100x corpus. The rewrite
+    leans on ``size(split(text, '')) == length(text)`` — no trailing
+    "" element (raw Java ``split("", -1)`` WOULD append one, ascii 0,
+    one bogus k-gram per doc); the invariant is pinned by
+    tests/test_advice_regressions.py::test_empty_regex_split_has_no_trailing_empty
+    so an engine change fails loudly (ADVICE r9)."""
     d = spread(
         load_table(spark, sf_dir, "documents").filter(
             F.length("text") >= _WIN_K + _WIN_W - 1

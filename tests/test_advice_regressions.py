@@ -561,3 +561,31 @@ def test_round_half_up_halfway_boundary_vs_duckdb(spark):
             "closed upstream — update _round_half_up's docstring"
         )
         assert abs(dd - py) <= 10 ** -d * 1.0000001
+
+
+def test_empty_regex_split_has_no_trailing_empty(spark):
+    """ADVICE r9: the winnowing/CDC char-array rewrite
+    (queries/text.py:518,603) relies on Spark's split(text, '')
+    returning EXACTLY length(text) elements — no trailing "" (whose
+    ascii() is 0 and would append one bogus k-gram position per
+    document, silently changing every fingerprint). Raw Java
+    split("", -1) semantics WOULD yield that trailing element; pinned
+    PySpark 4.1.2 does not. This test makes an engine/version change
+    fail loudly instead of corrupting hashes."""
+    rows = spark.createDataFrame(
+        [("",), ("a",), ("ab",), ("hello world",), ("café ü",),
+         ("trailing space ",), ("\n",), ("a" * 300,)],
+        ["text"],
+    ).select(
+        F.length("text").alias("n"),
+        F.size(F.split("text", "")).alias("k"),
+        F.expr("transform(split(text, ''), c -> ascii(c))").alias("codes"),
+    ).collect()
+    for r in rows:
+        # empty string: split returns [""] (size 1) but the winnow path
+        # filters length(text) >= k beforehand, so only the invariant
+        # for non-empty text is load-bearing
+        if r["n"] == 0:
+            continue
+        assert r["k"] == r["n"], (r["n"], r["k"])
+        assert 0 not in r["codes"], "trailing empty element leaked"

@@ -142,3 +142,26 @@ def test_bitmap_cap_falls_back_to_exact_semi_join(spark):
     out2 = bloom_semi_filter(probe, build, "k", "bk")
     plan2 = out2._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" not in plan2
+
+
+def test_fallback_join_unambiguous_when_probe_has_bloom_bk(spark):
+    """ADVICE r9: the fallback's internal `_bloom_bk` name must not
+    collide with a probe column of the same name — e.g. a probe that
+    already went through a prior fallback in the same lineage, or a
+    user column that happens to share the name. The aliased build
+    frame keeps the condition bound to the build side."""
+    build = spark.range(0, 2000, 2).select(F.col("id").alias("bk"))
+    probe = spark.range(3000).select(
+        F.col("id").alias("k"), F.lit(-1).alias("_bloom_bk")
+    )
+    out = bloom_semi_filter(probe, build, "k", "bk", max_bits=64)
+    got = sorted(r["k"] for r in out.collect())
+    assert got == list(range(0, 2000, 2))
+    assert out.columns == ["k", "_bloom_bk"]
+
+    # chained fallbacks compose (the original failure scenario)
+    out2 = bloom_semi_filter(
+        out.select("k"), build, "k", "bk", max_bits=64
+    )
+    out3 = bloom_semi_filter(out2, build, "k", "bk", max_bits=64)
+    assert sorted(r["k"] for r in out3.collect()) == list(range(0, 2000, 2))

@@ -449,3 +449,76 @@ def test_grouped_quantiles_group_cardinality_guard(spark):
     out2 = two_level_quantiles(df, "v", bucket, [0.5],
                                part_cols=["gk"], max_groups=None)
     assert out2.count() == 500
+
+    # ADVICE r9: a key bounded EXACTLY at max_groups must not flap on
+    # approx_count_distinct overestimation — the 10% headroom (2x the
+    # probe's rsd) absorbs it
+    out3 = two_level_quantiles(df, "v", bucket, [0.5],
+                               part_cols=["gk"], max_groups=500)
+    assert out3.count() == 500
+
+
+# --------------------------------------------------------------------------
+# join_theta_rank tie-semantics fuzz (r10, VERDICT r9 item 5): the
+# order-statistic theta-join twin hinges on supplier-BEFORE-customer
+# ordering at equal balances (the predicate is STRICT s_bal > c_bal;
+# a tied customer must NOT count). The r9 test asserted parity on the
+# TPC-H fixture only; this family drives tie-HEAVY random balances —
+# tiny integer/half-integer domains guarantee massive collision — and
+# compares the running-sum pipeline against the plain hash-join
+# ground truth, including the zero-count row-set filter.
+# --------------------------------------------------------------------------
+
+_bal_st = st.one_of(
+    st.integers(0, 4).map(float),                 # dense exact ties
+    st.integers(0, 8).map(lambda i: i * 0.5),     # half-grid ties
+    st.floats(-2, 2, allow_nan=False, allow_infinity=False),
+)
+
+_theta_st = st.tuples(
+    st.lists(st.tuples(st.integers(0, 2), _bal_st),
+             min_size=1, max_size=40),  # suppliers: (nation, bal)
+    st.lists(st.tuples(st.integers(0, 2), _bal_st),
+             min_size=0, max_size=40),  # customers: (nation, bal)
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(frames=_theta_st)
+def test_theta_rank_ties_match_hash_join(spark, frames):
+    supp_rows, cust_rows = frames
+    supp = spark.createDataFrame(
+        [(i, nk, bal) for i, (nk, bal) in enumerate(supp_rows)],
+        "sk long, nk long, bal double",
+    )
+    cust = spark.createDataFrame(
+        [(nk, bal) for nk, bal in cust_rows] or [],
+        "nk long, bal double",
+    )
+    # ground truth: hash join + residual strict >
+    truth = {
+        (r["sk"], r["n"]) for r in supp.alias("s").join(
+            cust.alias("c"),
+            (F.col("s.nk") == F.col("c.nk"))
+            & (F.col("s.bal") > F.col("c.bal")),
+        ).groupBy("sk").agg(F.count("*").alias("n")).collect()
+    }
+    # order-statistic twin: the join_theta_rank pipeline shape
+    tagged = supp.select(
+        "nk", "bal", F.lit(0).alias("is_cust"), F.col("sk")
+    ).unionByName(cust.select(
+        "nk", "bal", F.lit(1).alias("is_cust"),
+        F.lit(None).cast("long").alias("sk"),
+    ))
+    ranked = two_level_running_sum(
+        tagged, F.col("is_cust"),
+        [F.col("bal"), F.col("is_cust")],
+        F.floor(F.col("bal")).cast("long"),
+        "n_poorer", part_cols=["nk"],
+    )
+    got = {
+        (r["sk"], r["n_poorer"]) for r in ranked.filter(
+            (F.col("is_cust") == 0) & (F.col("n_poorer") > 0)
+        ).collect()
+    }
+    assert got == truth
