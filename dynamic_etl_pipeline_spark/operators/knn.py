@@ -832,7 +832,19 @@ def ivf_index_topk(spark, index_dir: str, queries: DataFrame, k: int = 10,
 # full clustering (not just its shape) can be held to a DuckDB oracle.
 
 
-def _kmeans_exact_assign(base: DataFrame, mu: list[list[float]]) -> DataFrame:
+# k*dim above which assignment switches from the interpreted HOF fold
+# to the Arrow/numpy kernel (r10): Spark evaluates transform/zip_with/
+# aggregate lambdas per ROW per CENTROID per DIM interpreted, so a
+# sqrt-k clustering (k=448 at the 100x corpus) spent its whole wall in
+# assignment. 2048 keeps every fixed-small-k caller (kmeans k=8=512
+# cells, IVF k=16=1024, PQ 16x8=128) on the plan-pinned JVM path while
+# the sf0.1 sweep's sqrt-k run (45*64=2880) already exercises — and
+# oracle-verifies — the Arrow kernel, not just the 100x corpus.
+_ARROW_ASSIGN_MIN_CELLS = 2048
+
+
+def _kmeans_exact_assign(base: DataFrame, mu: list[list[float]],
+                         arrow: "bool | None" = None) -> DataFrame:
     """argmin of squared L2 distance over the centroid list, lowest-
     index tie-break (array_position finds the FIRST occurrence of the
     min).
@@ -844,13 +856,66 @@ def _kmeans_exact_assign(base: DataFrame, mu: list[list[float]]) -> DataFrame:
     analysis/codegen). Bit-parity with an oracle's left-associated
     ``t1 + t2 + ... + tn``: the fold runs left-to-right over the
     dimension order, per-term squares use x*x (never pow), and the
-    0.0 accumulator start is exact because every term is >= +0.0."""
+    0.0 accumulator start is exact because every term is >= +0.0.
+
+    ``arrow`` (r10): None = auto-pick by k*dim (the HOF fold is
+    interpreted per row x centroid x dim, so large-k assignment was
+    compute-bound in lambda dispatch — 448 centroids cost ~190 s of
+    the 100x corpus run); True/False force a path. The Arrow kernel
+    computes the SAME left-associated per-dimension fold vectorized
+    (acc[n,k] += (x[:,d]-m[k,d])^2 in dimension order — elementwise
+    each (row, centroid) accumulates left-to-right exactly like the
+    SQL aggregate), and np.argmin's first-occurrence rule is
+    array_position(array_min)'s tie-break. Bit-parity between the two
+    paths is pinned in tests/test_operators.py."""
+    if arrow is None:
+        arrow = len(mu) * len(mu[0]) >= _ARROW_ASSIGN_MIN_CELLS
+    if arrow:
+        return _kmeans_exact_assign_arrow(base, mu)
     return _kmeans_exact_dists(base, mu).withColumn(
         "cluster_id",
         F.expr(
             "CAST(array_position(_dists, array_min(_dists)) - 1 AS INT)"
         ),
     ).drop("_dists")
+
+
+def _kmeans_exact_assign_arrow(base: DataFrame,
+                               mu: list[list[float]]) -> DataFrame:
+    """Arrow/numpy twin of the HOF assignment — bit-identical argmin,
+    ~100x the throughput at large k (one GEMM-shaped sweep per batch
+    instead of interpreted lambda dispatch per row x centroid x dim).
+    The centroid matrix ships inside the serialized closure (k*dim
+    float64 — 448*64 = 230 KB at the 100x corpus's sqrt-k), which is
+    broadcast-sized by construction since k ~ sqrt(n)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    m = np.asarray(mu, dtype=np.float64)
+    out_schema = StructType(
+        list(base.schema.fields) + [StructField("cluster_id", IntegerType())]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            x = np.stack([
+                np.asarray(v, dtype=np.float64) for v in pdf["qd"]
+            ])
+            acc = np.zeros((n, m.shape[0]))
+            for d in range(m.shape[1]):
+                t = x[:, d, None] - m[None, :, d]
+                acc += t * t
+            out = pdf.copy()
+            out["cluster_id"] = pd.Series(
+                np.argmin(acc, axis=1).astype("int32"), index=pdf.index
+            )
+            yield out
+
+    return base.mapInPandas(assign, out_schema)
 
 
 def _kmeans_exact_dists(base: DataFrame, mu: list[list[float]]) -> DataFrame:

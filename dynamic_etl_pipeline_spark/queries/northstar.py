@@ -680,12 +680,12 @@ def pq_ann_topk_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_exact_topk(e, queries, k=10, m=8, ksub=16, dim=64)
 
 
-def _semdedup_oracle() -> str:
+def _semdedup_oracle(k: "int | str" = 8) -> str:
     from .vectors import _km_cte_chain
 
     cos = ("list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v))"
            " * sqrt(list_dot_product(b.v, b.v)))")
-    return _km_cte_chain() + f"""
+    return _km_cte_chain(k=k) + f"""
 , m AS (SELECT af.vec_id, af.cluster_id, emb.label,
                CAST(emb.embedding AS DOUBLE[]) AS v
         FROM af JOIN embeddings emb USING (vec_id)),
@@ -698,23 +698,22 @@ WHERE vec_id NOT IN (SELECT dup_id FROM dups)
 """
 
 
-@query("corpus_semdedup", oracle=_semdedup_oracle())
-def corpus_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup semantic deduplication: k-means partition of the
-    embedding space, keep-first cosine pruning within each cluster —
-    the per-cluster restriction that makes embedding dedup linear-ish
-    instead of all-pairs quadratic (properties in
-    tests/test_operators.py: survivors clean, planted dups removed,
-    deterministic; the float/numpy semantic_dedup operator keeps
-    those tests for the seeded-centroid path).
+# ceil(sqrt(n)) over the non-null embedding rows, as a scalar subquery
+# DuckDB evaluates in the seed CTE's LIMIT. Spark computes the same k
+# with math.ceil(math.sqrt(n)) — sqrt is a single correctly-rounded
+# IEEE op on an exact integer in both engines, so the two k's agree
+# for any count below 2^52.
+_SQRTK_SQL = "(SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM q0)"
 
-    Exact oracle since round 5: clustering is the integer-exact
-    Lloyd's (kmeans_exact_assign), the intra-cluster prune computes
-    each cosine with the identical dot-product fold order as the
-    oracle's list_dot_product, so the unrounded 0.3 threshold agrees
-    bit for bit. Scale shape: pairwise work is confined within
-    clusters — sum over clusters of |c|^2 instead of n^2 — and runs
-    as block-tiled numpy inside one Arrow group per cluster."""
+
+def _semdedup_pipeline(spark: SparkSession, sf_dir: str,
+                       n_centroids: int) -> DataFrame:
+    """Shared SemDeDup pipeline: integer-exact k-means partition, then
+    keep-first cosine pruning inside each cluster via ONE Arrow group
+    per cluster (block-tiled numpy, dimension-at-a-time accumulation so
+    every cosine is bit-identical to the oracle's left-fold
+    list_dot_product). Callers choose the cluster count — that choice
+    IS the scale story, see corpus_semdedup vs corpus_semdedup_sqrtk."""
     from ..materialize import materialize
     from ..operators.knn import kmeans_exact_assign
 
@@ -723,7 +722,7 @@ def corpus_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vector): it feeds both the per-cluster dup stage and the
     # anti-join tail (else the k-means lineage recomputes twice)
     m = materialize(
-        kmeans_exact_assign(e, n_centroids=8, iters=2)
+        kmeans_exact_assign(e, n_centroids=n_centroids, iters=2)
         .select("vec_id", "cluster_id")
         .join(e.select("vec_id", "label", "embedding"), "vec_id")
     )
@@ -785,6 +784,81 @@ def corpus_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.join(dups, F.col("vec_id") == F.col("_dup_id"), "left_anti")
         .select("vec_id", "label", "cluster_id")
     )
+
+
+@query("corpus_semdedup", oracle=_semdedup_oracle(),
+       baseline="SemDeDup at a FIXED cluster count (k=8): the "
+                "per-cluster prune does sum-over-clusters |c|^2 work, "
+                "which at fixed k is ~n^2/8 — probe-quadratic with "
+                "scale (262 s at the 100x corpus; another 10x => ~7 h); "
+                "scalable twin: corpus_semdedup_sqrtk (k=ceil(sqrt(n)) "
+                "balances nk assignment vs n^2/k prune at O(n^1.5))")
+def corpus_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication: k-means partition of the
+    embedding space, keep-first cosine pruning within each cluster —
+    the per-cluster restriction that bounds embedding dedup below
+    all-pairs quadratic (properties in tests/test_operators.py:
+    survivors clean, planted dups removed, deterministic; the
+    float/numpy semantic_dedup operator keeps those tests for the
+    seeded-centroid path).
+
+    Exact oracle since round 5: clustering is the integer-exact
+    Lloyd's (kmeans_exact_assign), the intra-cluster prune computes
+    each cosine with the identical dot-product fold order as the
+    oracle's list_dot_product, so the unrounded 0.3 threshold agrees
+    bit for bit.
+
+    Guarded baseline (r10): the FIXED k=8 makes the prune's
+    sum-over-clusters |c|^2 grow as n^2/8 — the same
+    fixed-key-domain disease join_theta was tagged for this round
+    (262 s at the 100x corpus, and the r6-r9 smoke history reads
+    357/318/297/262 s: constant-factor wins, unchanged quadratic
+    class). ``corpus_semdedup_sqrtk`` scales the cluster count with
+    the corpus instead — identical pipeline and threshold, its own
+    exact oracle (the seed LIMIT becomes a scalar subquery), O(n^1.5)
+    total. The fixed-k form stays as the exact-recall anchor below
+    the guard bound; the bound sits at the 10x corpus size so scale
+    benches through 10x still run it and the 100x smoke GUARDs."""
+    from .registry import guard_baseline
+
+    e = load_table(spark, sf_dir, "embeddings")
+    guard_baseline(e, 20_000, "corpus_semdedup", "corpus_semdedup_sqrtk")
+    return _semdedup_pipeline(spark, sf_dir, n_centroids=8)
+
+
+@query("corpus_semdedup_sqrtk", oracle=_semdedup_oracle(k=_SQRTK_SQL))
+def corpus_semdedup_sqrtk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus_semdedup's SCALE twin (r10): identical SemDeDup pipeline
+    — integer-exact Lloyd's partition, keep-first 0.3-cosine prune,
+    bit-identical fold order — but the cluster count is
+    ``k = ceil(sqrt(n))`` instead of a fixed 8, which is the classic
+    flat-clustering balance point: assignment costs O(n*k) and the
+    per-cluster prune O(n^2/k); k = sqrt(n) makes both O(n^1.5). At
+    the 100x corpus (200k vectors) that is k=448 clusters of ~450
+    vectors — ~9e7 prune pairs instead of fixed-k's 5e9, with 448-way
+    prune parallelism instead of 8 — and the r9-measured 262 s drops
+    to 38.3 s measured (SCALING.md r10 section; the first cut measured
+    210.9 s because the INTERPRETED HOF assignment fold became the
+    bottleneck at k=448 — the Arrow assignment kernel in
+    operators/knn.py, bit-parity-pinned against the HOF path, removed
+    it). The oracle is the SAME CTE
+    chain with the seed LIMIT computed by a scalar subquery
+    (ceil(sqrt(count(*))) — one correctly-rounded IEEE sqrt of an
+    exact integer, so Spark's math.ceil(math.sqrt(n)) picks the
+    identical k). NOT SemDeDup-paper-identical clustering (different
+    k => different partition => possibly different survivors): it is
+    the same ALGORITHM at the parameterization a 100 TB deployment
+    would actually run, which is exactly why it needs its own oracle
+    rather than reusing the fixed-k answer.
+
+    One count() action fires at plan-build time to size k (same eager
+    contract as grouped two_level_quantiles; documented there)."""
+    import math
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.filter(F.col("embedding").isNotNull()).count()
+    k = max(1, math.ceil(math.sqrt(n)))
+    return _semdedup_pipeline(spark, sf_dir, n_centroids=k)
 
 
 def _mm_knn_oracle(k: int = 5, dim: int = 16) -> str:

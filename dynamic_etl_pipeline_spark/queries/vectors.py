@@ -138,7 +138,7 @@ dups AS (
 SELECT vec_id, label FROM embeddings
 WHERE vec_id NOT IN (SELECT dup_id FROM dups)
 """, baseline="O(n^2) exact pairwise dedup anchor; scalable twin: "
-              "corpus_semdedup")
+              "corpus_semdedup_sqrtk")
 def embedding_near_dup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup dedup (north-star §2.12): drop every
     vector whose cosine with ANY lower-id vector clears the threshold;
@@ -149,12 +149,12 @@ def embedding_near_dup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-join tail, equi-join candidate generation). The anti join on
     the distinct dup-id set is a shuffle-hash join on a key set no
     larger than the input. guard_baseline fails fast above 20k
-    vectors — the scalable dedup is corpus_semdedup."""
+    vectors — the scalable dedup is corpus_semdedup_sqrtk (r10)."""
     e = guard_baseline(
         load_table(spark, sf_dir, "embeddings").select(
             "vec_id", "label", "embedding"
         ),
-        20_000, "embedding_near_dup_dedup", "corpus_semdedup",
+        20_000, "embedding_near_dup_dedup", "corpus_semdedup_sqrtk",
     )
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
@@ -700,11 +700,14 @@ def embedding_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def _km_cte_chain(k: int = _KM_K, iters: int = _KM_ITERS) -> str:
+def _km_cte_chain(k: "int | str" = _KM_K, iters: int = _KM_ITERS) -> str:
     """The WITH-body shared by every oracle built on the exact k-means:
     quantize -> seed -> [assign -> update] x iters -> final assign
     (``af``); the last centroid frame is ``c{iters}``. Parameterized
-    (round 6) so the IVF oracle can train its own k."""
+    (round 6) so the IVF oracle can train its own k. ``k`` may also be
+    a SQL expression string (r10: the sqrt-k semdedup twin passes a
+    scalar subquery computing ceil(sqrt(n)) so the cluster count
+    scales with the corpus — DuckDB accepts any expression in LIMIT)."""
     d = _KM_DIM
     qv = "[" + ", ".join(
         f"CAST(floor(CAST(embedding[{i+1}] AS DOUBLE) * {_KM_SCALE}) AS BIGINT)"

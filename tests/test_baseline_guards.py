@@ -33,11 +33,14 @@ def test_guard_passes_under_bound_and_with_override(spark, monkeypatch):
 
 
 def test_baseline_inventory_matches_documented_set():
-    """Exactly the 5 quadratic anchors + 5 engine-specific sketches are
+    """Exactly the 6 quadratic anchors + 5 engine-specific sketches are
     tagged; each tag names its scalable/exact twin."""
     expected_twins = {
         "similar_pairs": "lsh_ann_topk",
-        "embedding_near_dup_dedup": "corpus_semdedup",
+        "embedding_near_dup_dedup": "corpus_semdedup_sqrtk",
+        # r10: fixed k=8 makes the per-cluster prune ~n^2/8 — the twin
+        # scales k=ceil(sqrt(n)) for O(n^1.5) under its own exact oracle
+        "corpus_semdedup": "corpus_semdedup_sqrtk",
         "part_name_jw_pairs": "part_name_blocked_pairs",
         # r9: measured output-quadratic (1.55M true pairs at 20k parts —
         # no blocking key can beat Omega(true pairs) full verification)
@@ -65,7 +68,8 @@ def test_guarded_queries_still_run_at_fixture_scale(spark, sf_dir):
     from dynamic_etl_pipeline_spark.queries import QUERIES
 
     for name in ("similar_pairs", "part_name_jw_pairs",
-                 "part_name_blocked_pairs", "join_theta"):
+                 "part_name_blocked_pairs", "join_theta",
+                 "corpus_semdedup"):
         assert QUERIES[name](spark, sf_dir).limit(1).count() >= 0
 
 

@@ -865,3 +865,44 @@ def test_kmeans_exact_matches_pure_python_reference(spark):
         }
         want = ref(vecs, k, 2, 1_000_000)
         assert got == {i: want[i] for i in range(n)}, (seed, n, d, k)
+
+
+def test_kmeans_assign_arrow_path_bit_matches_hof(spark, sf_dir):
+    """r10: the Arrow/numpy assignment kernel (auto-picked above
+    k*dim=2048 cells, e.g. the sqrt-k semdedup twin) must produce the
+    IDENTICAL cluster id per vector as the interpreted HOF fold — the
+    per-dimension acc += (x-m)^2 accumulation is the same
+    left-associated fold, and np.argmin's first-occurrence matches
+    array_position(array_min)'s tie-break. Forced both ways on the
+    same frame + centroids, including a centroid count right at the
+    auto threshold."""
+    import numpy as np
+
+    from dynamic_etl_pipeline_spark.operators.knn import (
+        _ARROW_ASSIGN_MIN_CELLS,
+        _kmeans_exact_assign,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("embedding").isNotNull()
+    )
+    base = e.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000000))"
+        ).alias("qv"),
+    ).withColumn("qd", F.expr("transform(qv, x -> CAST(x AS DOUBLE))"))
+    # deterministic "centroids": 40 evenly-spaced quantized vectors
+    # (40 * 64 = 2560 cells > the 2048 auto threshold)
+    seeds = base.orderBy("vec_id").limit(200).collect()
+    mu = [[float(v) for v in seeds[i]["qv"]]
+          for i in range(0, 200, 5)]
+    assert len(mu) * len(mu[0]) >= _ARROW_ASSIGN_MIN_CELLS
+    # nudge a few centroids onto exact ties with each other
+    mu[3] = list(mu[2])
+    hof = {r["vec_id"]: r["cluster_id"]
+           for r in _kmeans_exact_assign(base, mu, arrow=False).collect()}
+    arw = {r["vec_id"]: r["cluster_id"]
+           for r in _kmeans_exact_assign(base, mu, arrow=True).collect()}
+    assert hof == arw
+    assert 3 not in set(arw.values())  # duplicate centroid: ties -> lower j
