@@ -86,6 +86,7 @@ HEADLINE = [
     "events_kmv_type_overlap",  # theta-sketch pairwise set operations (round 7)
     "bloom_pruned_join",        # Bloom runtime row-level pruning (round 8: one-lit bitmap)
     "join_theta_rank",          # theta join's order-statistic scale twin (round 9)
+    "corpus_semdedup_sqrtk",    # sqrt-k SemDeDup + Arrow assignment kernel (round 10)
 ]
 
 
