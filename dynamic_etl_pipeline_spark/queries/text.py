@@ -469,7 +469,8 @@ SELECT DISTINCT doc_id,
                         i -> list_min(hs[i:i+{_WIN_W}-1])))) AS fp
 FROM h
 """)
-def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str,
+                           arrow: bool = True) -> DataFrame:
     """Winnowing fingerprints (MOSS-style): a polynomial ROLLING hash
     over character 5-grams, then the minimum hash of every 4-hash
     window, deduplicated — the guarantee is any shared substring of
@@ -491,40 +492,85 @@ def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     Access-cost note (r9): the k-gram hashes index CHARACTERS, and
     ``substring(text, i, 1)`` on a UTF8String is O(i) — it byte-scans
     to find char i — so hashing every position straight off the string
-    made the per-document cost O(len^2 * k). The text is now exploded
-    ONCE into a char-code array (``split(text, '')`` + ascii, verified
-    identical per char incl. non-ASCII) and the hash reads it with
-    O(1) ``element_at``: same int64 mod-space math, same oracle,
-    measured 172 s -> (see SCALING.md) at the 100x corpus. The rewrite
-    leans on ``size(split(text, '')) == length(text)`` — no trailing
-    "" element (raw Java ``split("", -1)`` WOULD append one, ascii 0,
-    one bogus k-gram per doc); the invariant is pinned by
-    tests/test_advice_regressions.py::test_empty_regex_split_has_no_trailing_empty
-    so an engine change fails loudly (ADVICE r9)."""
+    made the per-document cost O(len^2 * k); r9 dropped that to
+    O(len*k) via a once-exploded char-code array + ``element_at``
+    (172 -> ~75 s at the 100x corpus).
+
+    Arrow kernel (r10): even at O(len*k) the remaining wall was
+    interpreted lambda DISPATCH — transform/aggregate evaluate per
+    position x k-gram step, the same per-cell cost profile the sqrt-k
+    k-means assignment hit (SCALING.md r10). The hash + window-min +
+    distinct now run vectorized in one mapInPandas kernel: the
+    polynomial fold is k numpy passes over the position vector with
+    mod applied EVERY step (``h = (h * B + codes[j:]) % M`` — the
+    identical left-fold sequence per position, int64-exact since
+    (M-1)*B + 255 < 2^39), the winnow min is w np.minimum passes, and
+    np.unique replaces array_distinct. ``ord()`` equals both engines'
+    per-character code point (the r9 split+ascii parity carries over);
+    bit-parity against the retained HOF expression form — incl.
+    non-ASCII — is pinned in tests/test_text_kernels.py, and the HOF
+    twin stays available as doc_winnow_fingerprint(..., arrow=False)
+    for that test."""
     d = spread(
         load_table(spark, sf_dir, "documents").filter(
             F.length("text") >= _WIN_K + _WIN_W - 1
         )
     )
-    hashes = F.expr(f"""
-      transform(sequence(1, size(cs) - {_WIN_K} + 1),
-                i -> aggregate(sequence(0, {_WIN_K} - 1), 0L,
-                               (acc, j) -> (acc * {_WIN_B}
-                                 + element_at(cs, i + j))
-                                 % {_WIN_M}))
-    """)
-    fps = F.expr(
-        f"array_distinct(transform(sequence(1, size(hs) - {_WIN_W} + 1),"
-        f" i -> array_min(slice(hs, i, {_WIN_W}))))"
-    )
-    return (
-        d.select(
-            "doc_id",
-            F.expr("transform(split(text, ''), c -> cast(ascii(c) as bigint))")
-            .alias("cs"),
+    if not arrow:
+        hashes = F.expr(f"""
+          transform(sequence(1, size(cs) - {_WIN_K} + 1),
+                    i -> aggregate(sequence(0, {_WIN_K} - 1), 0L,
+                                   (acc, j) -> (acc * {_WIN_B}
+                                     + element_at(cs, i + j))
+                                     % {_WIN_M}))
+        """)
+        fps = F.expr(
+            f"array_distinct(transform(sequence(1, size(hs) - {_WIN_W} + 1),"
+            f" i -> array_min(slice(hs, i, {_WIN_W}))))"
         )
-        .select("doc_id", hashes.alias("hs"))
-        .select("doc_id", F.explode(fps).alias("fp"))
+        return (
+            d.select(
+                "doc_id",
+                F.expr(
+                    "transform(split(text, ''), c -> cast(ascii(c) as bigint))"
+                ).alias("cs"),
+            )
+            .select("doc_id", hashes.alias("hs"))
+            .select("doc_id", F.explode(fps).alias("fp"))
+            .distinct()
+        )
+
+    def winnow(batches):
+        import numpy as np
+        import pandas as pd
+
+        k, w, bb, mm = _WIN_K, _WIN_W, _WIN_B, _WIN_M
+        for pdf in batches:
+            ids, fps_out = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                codes = np.fromiter(
+                    (ord(c) for c in text), dtype=np.int64, count=len(text)
+                )
+                npos = codes.size - k + 1
+                h = np.zeros(npos, dtype=np.int64)
+                for j in range(k):
+                    h = (h * bb + codes[j:j + npos]) % mm
+                nwin = npos - w + 1
+                m = h[:nwin].copy()
+                for t in range(1, w):
+                    np.minimum(m, h[t:t + nwin], out=m)
+                fp = np.unique(m)
+                ids.append(np.full(fp.size, doc_id, dtype=np.int64))
+                fps_out.append(fp)
+            if ids:
+                yield pd.DataFrame({
+                    "doc_id": np.concatenate(ids),
+                    "fp": np.concatenate(fps_out),
+                })
+
+    return (
+        d.select("doc_id", "text")
+        .mapInPandas(winnow, "doc_id long, fp long")
         .distinct()
     )
 
