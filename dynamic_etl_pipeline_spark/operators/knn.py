@@ -905,14 +905,26 @@ def _kmeans_exact_assign_arrow(base: DataFrame,
             x = np.stack([
                 np.asarray(v, dtype=np.float64) for v in pdf["qd"]
             ])
+            # NULL-element parity (ADVICE r10): a None element arrives
+            # as NaN after the float64 cast, and np.argmin over the
+            # resulting all-NaN distance row silently returns 0 — while
+            # the HOF twin folds null terms to a NULL distance for
+            # every centroid and yields NULL cluster_id. Mask any
+            # non-finite element to a NULL cluster_id instead (genuine
+            # NaN/inf elements can't reach here from kmeans_exact_fit —
+            # qd is floor(x*scale) of finite doubles — so folding them
+            # into the same NULL outcome is the conservative choice).
+            dense = np.isfinite(x).all(axis=1)
             acc = np.zeros((n, m.shape[0]))
             for d in range(m.shape[1]):
                 t = x[:, d, None] - m[None, :, d]
                 acc += t * t
-            out = pdf.copy()
-            out["cluster_id"] = pd.Series(
-                np.argmin(acc, axis=1).astype("int32"), index=pdf.index
+            cid = pd.array(
+                np.argmin(acc, axis=1).astype("int32"), dtype="Int32"
             )
+            cid[~dense] = pd.NA
+            out = pdf.copy()
+            out["cluster_id"] = pd.Series(cid, index=pdf.index)
             yield out
 
     return base.mapInPandas(assign, out_schema)

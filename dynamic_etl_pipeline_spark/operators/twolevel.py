@@ -316,7 +316,9 @@ def two_level_quantiles(
         if ngroups > max_groups * 1.1:
             raise GroupCardinalityError(
                 f"grouped two_level_quantiles: ~{ngroups} groups exceed "
-                f"max_groups={max_groups}; the per-(group, bucket) "
+                f"max_groups={max_groups} (+10% probe headroom, so the "
+                f"actual trip point is {max_groups * 1.1:.0f}); the "
+                "per-(group, bucket) "
                 "offsets frame and broadcast hit-bucket set would be "
                 "data-sized. Use a plain partitioned window for "
                 "many-group quantiles (already per-group parallel), or "

@@ -548,9 +548,16 @@ def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str,
         for pdf in batches:
             ids, fps_out = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                codes = np.fromiter(
-                    (ord(c) for c in text), dtype=np.int64, count=len(text)
-                )
+                # UTF-32-LE is exactly one uint32 per code point, so
+                # this equals [ord(c) for c in text] with no Python
+                # per-character loop — the last interpreted loop in
+                # this kernel (VERDICT r10 item 4). Parquet strings are
+                # valid UTF-8, so the encode cannot hit lone
+                # surrogates; parity incl. astral plane is pinned in
+                # tests/test_text_kernels.py.
+                codes = np.frombuffer(
+                    text.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
                 npos = codes.size - k + 1
                 h = np.zeros(npos, dtype=np.int64)
                 for j in range(k):

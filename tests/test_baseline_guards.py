@@ -73,13 +73,11 @@ def test_guarded_queries_still_run_at_fixture_scale(spark, sf_dir):
         assert QUERIES[name](spark, sf_dir).limit(1).count() >= 0
 
 
-def test_join_theta_guard_trips_at_scale(spark, sf_dir, monkeypatch):
-    """Above the 200k customer bound join_theta must fail fast with the
-    join_theta_rank pointer — the r10 tag (VERDICT r9 item 1). Simulated
-    by lowering the bound via a shim rather than building a 1.5M-row
-    corpus in a unit test: instead, assert the guard wiring is live by
-    checking the registered callable actually routes customer through
-    guard_baseline (monkeypatching it to record the call)."""
+def test_join_theta_guard_wiring(spark, sf_dir, monkeypatch):
+    """join_theta routes its customer input through guard_baseline with
+    the documented (bound, twin) pair — wiring-only coverage, spied via
+    monkeypatch (renamed from *_trips_at_scale per ADVICE r10: the old
+    name overstated what this asserts)."""
     import dynamic_etl_pipeline_spark.queries.relational as rel
 
     calls = {}
@@ -91,3 +89,20 @@ def test_join_theta_guard_trips_at_scale(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(rel, "guard_baseline", spy)
     rel.join_theta(spark, sf_dir)
     assert calls == {"join_theta": (200_000, "join_theta_rank")}
+
+
+def test_join_theta_guard_raise_path_trips(spark, sf_dir, monkeypatch):
+    """The raise path itself (ADVICE r10): with the bound shimmed below
+    the fixture's customer count, running the registered join_theta
+    must raise BaselineScaleError pointing at the join_theta_rank twin
+    — this exercises the real guard_baseline count + raise, not a spy."""
+    import dynamic_etl_pipeline_spark.queries.relational as rel
+
+    def low_bound(df, bound, name, twin):
+        return guard_baseline(df, 1, name, twin)
+
+    monkeypatch.setattr(rel, "guard_baseline", low_bound)
+    with pytest.raises(BaselineScaleError) as exc:
+        rel.join_theta(spark, sf_dir)
+    msg = str(exc.value)
+    assert "join_theta_rank" in msg and "join_theta " in msg

@@ -906,3 +906,26 @@ def test_kmeans_assign_arrow_path_bit_matches_hof(spark, sf_dir):
            for r in _kmeans_exact_assign(base, mu, arrow=True).collect()}
     assert hof == arw
     assert 3 not in set(arw.values())  # duplicate centroid: ties -> lower j
+
+
+def test_kmeans_assign_arrow_null_elements_match_hof(spark):
+    """ADVICE r10: an embedding with a NULL ELEMENT must yield NULL
+    cluster_id on BOTH assignment paths. The HOF fold turns a null
+    term into a NULL distance for every centroid (array_min -> NULL ->
+    NULL position); the Arrow kernel used to cast None -> NaN and let
+    np.argmin over the all-NaN row silently assign cluster 0."""
+    from dynamic_etl_pipeline_spark.operators.knn import _kmeans_exact_assign
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [None, 2.0]), (2, [3.0, None]),
+         (3, [4.0, 5.0])],
+        "vec_id int, qd array<double>",
+    )
+    mu = [[0.0, 0.0], [4.0, 5.0]]
+    hof = {r["vec_id"]: r["cluster_id"]
+           for r in _kmeans_exact_assign(df, mu, arrow=False).collect()}
+    arw = {r["vec_id"]: r["cluster_id"]
+           for r in _kmeans_exact_assign(df, mu, arrow=True).collect()}
+    assert hof == arw
+    assert hof[1] is None and hof[2] is None
+    assert hof[0] == 0 and hof[3] == 1

@@ -31,16 +31,42 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
-def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = args[0] if args else "/tmp/sfscale/sf10"
+def parse_args(argv: list[str]) -> tuple[str, int, list[int]]:
+    """Accept both '--flag value' and '--flag=value' (ADVICE r10: the
+    usage string shows the space form but only '=' parsed, so a bare
+    '--runs N' crashed and N was swallowed as the positional sf_dir)."""
+    sf_dir = "/tmp/sfscale/sf10"
     runs = 2
     sizes = [10_000, 100_000]
-    for a in sys.argv[1:]:
-        if a.startswith("--runs"):
-            runs = int(a.split("=", 1)[1])
-        if a.startswith("--batch-sizes"):
-            sizes = [int(x) for x in a.split("=", 1)[1].split(",")]
+    positional: list[str] = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a.startswith("--runs") or a.startswith("--batch-sizes"):
+            if "=" in a:
+                flag, val = a.split("=", 1)
+            else:
+                flag = a
+                i += 1
+                if i >= len(argv):
+                    raise SystemExit(f"{flag} requires a value")
+                val = argv[i]
+            if flag == "--runs":
+                runs = int(val)
+            else:
+                sizes = [int(x) for x in val.split(",")]
+        elif a.startswith("--"):
+            raise SystemExit(f"unknown flag {a}")
+        else:
+            positional.append(a)
+        i += 1
+    if positional:
+        sf_dir = positional[0]
+    return sf_dir, runs, sizes
+
+
+def main() -> None:
+    sf_dir, runs, sizes = parse_args(sys.argv[1:])
 
     from dynamic_etl_pipeline_spark.queries import QUERIES
     from dynamic_etl_pipeline_spark.session import get_spark
