@@ -842,6 +842,27 @@ def ivf_index_topk(spark, index_dir: str, queries: DataFrame, k: int = 10,
 # oracle-verifies — the Arrow kernel, not just the 100x corpus.
 _ARROW_ASSIGN_MIN_CELLS = 2048
 
+# kmeans_exact_fit holds centroid state DRIVER-side: the seed collect,
+# the per-iteration (cluster, dim)-cell update collect, and the
+# assignment-closure matrix all grow as k*dim — and the sqrt-k semdedup
+# twin ties k to ceil(sqrt(n)), so at true 100-TB counts this grows
+# with the corpus (448*64 = 28.7k cells at the 100x smoke; ~2M at
+# n=1e9 docs, dim 64). Measured on this host (tools/bench_kmeans_state
+# .py, r11): per-ITERATION driver cost is ~linear in cells — 0.47 s at
+# 28.7k, 1.6 s at 262k, 6.0 s at 1M, 23.8 s at 4.2M cells (collect +
+# mu rebuild), with a 33.6 MB task closure at 4.2M. The guard trips at
+# 2^21 cells (~12 s/iteration driver-side, ~17 MB closure) — the point
+# where the DRIVER rivals the executors as the per-iteration
+# bottleneck. Above it a deployment should shard dims / reduce k, or
+# move the update to a centroid-frame join; override for deliberate
+# runs with SPARK_GRAFT_ALLOW_KMEANS_STATE=1.
+_KMEANS_MAX_STATE_CELLS = 2_097_152
+
+
+class CentroidStateError(ValueError):
+    """Raised by kmeans_exact_fit when k*dim exceeds the documented
+    driver-state bound (_KMEANS_MAX_STATE_CELLS)."""
+
 
 def _kmeans_exact_assign(base: DataFrame, mu: list[list[float]],
                          arrow: "bool | None" = None) -> DataFrame:
@@ -979,6 +1000,14 @@ def kmeans_exact_fit(df: DataFrame, n_centroids: int = 8,
     shuffle of k*(dim+1) longs per partition. Empty clusters keep
     their previous centroid.
 
+    DRIVER-STATE BOUND (r11, VERDICT r10 item 2): the seed collect,
+    per-iteration (cluster, dim)-cell collect, and closure matrix all
+    grow as k*dim, and the sqrt-k semdedup twin ties k to
+    ceil(sqrt(n)) — so this raises :class:`CentroidStateError` above
+    ``_KMEANS_MAX_STATE_CELLS`` (2^21 cells; measured curve at that
+    constant's definition) instead of silently degrading into a
+    driver-bottlenecked loop at extreme corpus sizes.
+
     Returns (assigned frame with id_col, cluster_id INT plus the
     quantized columns, final centroid list) — the centroid list is
     what IVF's probe assignment reuses.
@@ -1005,6 +1034,20 @@ def kmeans_exact_fit(df: DataFrame, n_centroids: int = 8,
         raise ValueError("kmeans_exact_assign: no non-null vectors")
     mu = [[float(v) for v in r["qv"]] for r in seed_rows]
     dim = len(mu[0])
+    import os
+
+    if (n_centroids * dim > _KMEANS_MAX_STATE_CELLS
+            and os.environ.get("SPARK_GRAFT_ALLOW_KMEANS_STATE") != "1"):
+        raise CentroidStateError(
+            f"kmeans_exact_fit: k*dim = {n_centroids}*{dim} = "
+            f"{n_centroids * dim} cells exceeds the documented driver-"
+            f"state bound {_KMEANS_MAX_STATE_CELLS} (~12 s/iteration of "
+            "driver-side collect+rebuild and a ~17 MB task closure at "
+            "the bound; measured curve in SCALING.md r11 / tools/"
+            "bench_kmeans_state.py). Reduce n_centroids or dim, shard "
+            "the update distributively, or set "
+            "SPARK_GRAFT_ALLOW_KMEANS_STATE=1 to run anyway."
+        )
     for _ in range(iters):
         assigned = _kmeans_exact_assign(base, mu)
         # posexplode update: a (cluster, dim) keyed sum plans/compiles

@@ -929,3 +929,37 @@ def test_kmeans_assign_arrow_null_elements_match_hof(spark):
     assert hof == arw
     assert hof[1] is None and hof[2] is None
     assert hof[0] == 0 and hof[3] == 1
+
+
+def test_kmeans_driver_state_guard_trips_and_overrides(spark, monkeypatch):
+    """VERDICT r10 item 2: kmeans_exact_fit's driver-side centroid
+    state (seed collect + per-iteration cell collect + closure matrix)
+    grows as k*dim, and the sqrt-k twin ties k to sqrt(n) — above the
+    measured bound it must fail fast with the measured price tag, and
+    the env override must run anyway (guard_baseline convention)."""
+    import pytest
+
+    import dynamic_etl_pipeline_spark.operators.knn as knn
+    from dynamic_etl_pipeline_spark.operators.knn import (
+        CentroidStateError,
+        kmeans_exact_fit,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i + 1)]) for i in range(20)],
+        "vec_id int, embedding array<double>",
+    )
+    monkeypatch.setattr(knn, "_KMEANS_MAX_STATE_CELLS", 8)
+    with pytest.raises(CentroidStateError) as exc:
+        kmeans_exact_fit(df, n_centroids=8, iters=1)  # 8*2 = 16 > 8
+    msg = str(exc.value)
+    assert "SPARK_GRAFT_ALLOW_KMEANS_STATE" in msg and "16" in msg
+
+    monkeypatch.setenv("SPARK_GRAFT_ALLOW_KMEANS_STATE", "1")
+    assigned, mu = kmeans_exact_fit(df, n_centroids=8, iters=1)
+    assert assigned.count() == 20 and len(mu) == 8
+
+    # real bound: every in-repo caller (kmeans k=8, IVF k=16, PQ 16x8,
+    # sqrt-k at the 100x corpus = 448*64 = 28.7k cells) sits far below
+    monkeypatch.setattr(knn, "_KMEANS_MAX_STATE_CELLS", 2_097_152)
+    assert 448 * 64 < knn._KMEANS_MAX_STATE_CELLS
