@@ -62,7 +62,19 @@ _FRONT = [
     # doc_ngram_containment_pairs, doc_duplicate_spans (all r5-r6,
     # still swept + benched) — for the never-driver-sampled
     # window-frame / funnel-retention / lateral / as-of / pagerank
-    # tier (VERDICT r9 item 4)
+    # tier (VERDICT r9 item 4);
+    # r11 rotates out eight long-green rows — q9_product_profit (r1),
+    # window_topk_per_group (r1), events_hourly_rollup (r1),
+    # exact_dedup (r1; keep-best + similarity-join family stays),
+    # doc_gopher_quality (r2; doc_quality_classifier stays),
+    # udaf_geo_mean_price (r4), docx_extract_paragraphs (r5;
+    # pdf_extract_pages stays), word_heavy_hitters_cms (r7; the other
+    # three portable-sketch rows stay) — for the never-driver-sampled
+    # timeseries / graph / curation-e2e tier PLUS the three queries
+    # round 10's kernel work touched (doc_winnow_fingerprint,
+    # doc_cdc_chunks share the rolling-hash kernel; corpus_semdedup_
+    # sqrtk is the new sqrt-k twin with its own oracle) — VERDICT r10
+    # item 3. All rotated-out rows remain swept + benched.
     "q1_pricing_summary", "q3_shipping_priority",
     # mutation / SCD2 / timeseries tier (r8 rotation: long-green in the
     # sweep since r4-r5, first time in the driver sample)
@@ -74,8 +86,7 @@ _FRONT = [
     # re-derived via the two-level bucketed rank, same oracle), and CMS
     # heavy hitters with the freqItems superset contract
     "agg_distinct_kmv", "events_kmv_sketch_rollup",
-    "agg_quantile_hash_sample", "word_heavy_hitters_cms",
-    "events_kmv_type_overlap",
+    "agg_quantile_hash_sample", "events_kmv_type_overlap",
     # window-frame tier (r10 rotation: never driver-sampled, long-green
     # in the sweep — GROUPS frames, percent_rank/cume_dist, RANGE
     # frames over real intervals)
@@ -96,25 +107,33 @@ _FRONT = [
     # output-quadratic ER baseline — both exact at sf0.01)
     "events_mad_outliers", "agg_percentiles", "rfm_segments_bucketed",
     "part_name_blocked_pairs", "events_winsorized_stats",
-    # r5-r6 exact oracles: end-to-end PDF/DOCX ingest
-    "pdf_extract_pages", "docx_extract_paragraphs",
-    # TPC-H battery (q21 rotated out r6-late for the skew-safe
-    # sessionizer — green since r1, still swept + benched)
-    "q9_product_profit",
-    # windows
-    "window_topk_per_group",
+    # r5-r6 exact oracles: end-to-end PDF ingest (DOCX rotated out r11)
+    "pdf_extract_pages",
+    # timeseries tier (r11 rotation: never driver-sampled — dense
+    # resample + forward fill, OHLC 2-exchange window+agg)
+    "events_gap_fill", "events_ohlc_buckets",
+    # graph: triangle counting (r11 rotation: never driver-sampled;
+    # rides with copurchase_pagerank above)
+    "copurchase_triangles",
+    # curation end-to-end + decontamination (r11 rotation: never
+    # driver-sampled — the full filter->dedup->decontaminate->pack
+    # chain and the n-gram benchmark-overlap filter)
+    "corpus_curation_e2e", "corpus_decontaminate",
+    # r10 kernel-rewrite evidence (r11 rotation: winnowing + CDC share
+    # the vectorized rolling-hash kernel; sqrt-k semdedup twin carries
+    # its own brand-new exact oracle — VERDICT r10 item 3 called these
+    # out by name for driver-gate evidence)
+    "doc_winnow_fingerprint", "doc_cdc_chunks", "corpus_semdedup_sqrtk",
     # events (batch twins) — sessionize rides with its hot-key-safe
     # twin (r6 late: bucket-decomposed windows, identical oracle)
-    "events_hourly_rollup", "events_sessionize",
-    "events_sessionize_skew_safe",
-    # text / exact dedup
-    "exact_dedup", "ngram_jaccard_pairs", "dedup_keep_best_exact",
+    "events_sessionize", "events_sessionize_skew_safe",
+    # text / similarity-join dedup family (exact_dedup rotated out r11;
+    # keep-best carries the exact-dedup semantics)
+    "ngram_jaccard_pairs", "dedup_keep_best_exact",
     "jaccard_prefix_filter_pairs",
     # vectors / multimodal — incl. the streaming drain that inherits
     # the batch PC1 oracle bit-for-bit (r5)
     "multimodal_media_stats", "streaming_scatter_pc1",
-    # curation
-    "doc_gopher_quality",
     # training-data ops + pinned-model scoring (newly oracled r5)
     "corpus_pack_sequences", "doc_quality_classifier",
     # streaming drains (real micro-batch engine, exact oracles) + the
@@ -124,8 +143,9 @@ _FRONT = [
     # streaming_chained_windows which had been green since r4)
     "streaming_tumbling_rollup", "streaming_minhash_index",
     "streaming_stream_stream_left_join", "streaming_user_running_totals",
-    # UDTF / UDAF / grouping
-    "udtf_doc_sentences", "udaf_geo_mean_price",
+    # UDTF (UDAF geo-mean rotated out r11; grouped-agg UDAF coverage
+    # stays in the sweep + pytest)
+    "udtf_doc_sentences",
     # analytics
     "bloom_pruned_join",
     # recursive SQL + reference-parity extraction
