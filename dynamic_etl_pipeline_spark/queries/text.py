@@ -505,12 +505,13 @@ def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str,
     mod applied EVERY step (``h = (h * B + codes[j:]) % M`` — the
     identical left-fold sequence per position, int64-exact since
     (M-1)*B + 255 < 2^39), the winnow min is w np.minimum passes, and
-    np.unique replaces array_distinct. ``ord()`` equals both engines'
-    per-character code point (the r9 split+ascii parity carries over);
-    bit-parity against the retained HOF expression form — incl.
-    non-ASCII — is pinned in tests/test_text_kernels.py, and the HOF
-    twin stays available as doc_winnow_fingerprint(..., arrow=False)
-    for that test."""
+    np.unique replaces array_distinct. Code points come from a
+    utf-32-le frombuffer view (r11 — identical to ``ord()`` per code
+    point, the r9 split+ascii parity carries over, and it removes the
+    kernel's last per-character Python loop); bit-parity against the
+    retained HOF expression form — incl. non-ASCII — is pinned in
+    tests/test_text_kernels.py, and the HOF twin stays available as
+    doc_winnow_fingerprint(..., arrow=False) for that test."""
     d = spread(
         load_table(spark, sf_dir, "documents").filter(
             F.length("text") >= _WIN_K + _WIN_W - 1
