@@ -1029,11 +1029,13 @@ def kmeans_exact_fit(df: DataFrame, n_centroids: int = 8,
         .select(F.col(id_col), qv.alias("qv"))
         .withColumn("qd", F.transform(F.col("qv"), lambda x: x.cast("double")))
     )
-    seed_rows = base.orderBy(id_col).limit(n_centroids).select("qv").collect()
-    if not seed_rows:
+    # Probe dim from ONE row so the k*dim driver-state guard can fire
+    # BEFORE the n_centroids-row seed collect (a fail-fast that first
+    # collects k rows would itself be the state it guards against).
+    probe = base.select(F.size("qv").alias("_d")).first()
+    if probe is None:
         raise ValueError("kmeans_exact_assign: no non-null vectors")
-    mu = [[float(v) for v in r["qv"]] for r in seed_rows]
-    dim = len(mu[0])
+    dim = probe["_d"]
     import os
 
     if (n_centroids * dim > _KMEANS_MAX_STATE_CELLS
@@ -1048,6 +1050,10 @@ def kmeans_exact_fit(df: DataFrame, n_centroids: int = 8,
             "the update distributively, or set "
             "SPARK_GRAFT_ALLOW_KMEANS_STATE=1 to run anyway."
         )
+    seed_rows = base.orderBy(id_col).limit(n_centroids).select("qv").collect()
+    if not seed_rows:
+        raise ValueError("kmeans_exact_assign: no non-null vectors")
+    mu = [[float(v) for v in r["qv"]] for r in seed_rows]
     for _ in range(iters):
         assigned = _kmeans_exact_assign(base, mu)
         # posexplode update: a (cluster, dim) keyed sum plans/compiles

@@ -42,7 +42,7 @@ def parse_args(argv: list[str]) -> tuple[str, int, list[int]]:
     i = 0
     while i < len(argv):
         a = argv[i]
-        if a.startswith("--runs") or a.startswith("--batch-sizes"):
+        if a.startswith("--"):
             if "=" in a:
                 flag, val = a.split("=", 1)
             else:
@@ -53,10 +53,10 @@ def parse_args(argv: list[str]) -> tuple[str, int, list[int]]:
                 val = argv[i]
             if flag == "--runs":
                 runs = int(val)
-            else:
+            elif flag == "--batch-sizes":
                 sizes = [int(x) for x in val.split(",")]
-        elif a.startswith("--"):
-            raise SystemExit(f"unknown flag {a}")
+            else:
+                raise SystemExit(f"unknown flag {flag}")
         else:
             positional.append(a)
         i += 1
