@@ -963,3 +963,33 @@ def test_kmeans_driver_state_guard_trips_and_overrides(spark, monkeypatch):
     # sqrt-k at the 100x corpus = 448*64 = 28.7k cells) sits far below
     monkeypatch.setattr(knn, "_KMEANS_MAX_STATE_CELLS", 2_097_152)
     assert 448 * 64 < knn._KMEANS_MAX_STATE_CELLS
+
+
+def test_simhash_chunk_cap_trips_on_distinct_fingerprints(spark):
+    """SCALING.md r11 audit-table row pinned in code: simhash's 16-bit
+    chunk key is a FIXED domain (the join_theta class) — a cluster of
+    near-dup documents with DISTINCT fingerprints lands in shared chunk
+    buckets, where the chunk equi-join is quadratic in bucket size and
+    the identical-signature collapse cannot help (nothing is
+    identical). The max_postings_per_chunk cap is the linearizer: with
+    a tiny cap forced, the hot-bucket path must actually thin distinct
+    fingerprints and surface drop volume through Observation metrics,
+    and surviving pairs stay canonical (id_a < id_b)."""
+    from dynamic_etl_pipeline_spark.operators.dedup import (
+        _LSH_CAP_OBSERVATIONS,
+        simhash_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog near the "
+             f"river bank today variant{i}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    del _LSH_CAP_OBSERVATIONS[:]
+    out = simhash_pairs(
+        df, "doc_id", "text", max_hamming=10, max_postings_per_chunk=2
+    ).collect()
+    assert _LSH_CAP_OBSERVATIONS, "chunk-cap path did not register"
+    stats = [o.get for o in _LSH_CAP_OBSERVATIONS]
+    assert any(s["n_hot"] > 0 and s["dropped_postings"] > 0 for s in stats)
+    assert out and all(r["id_a"] < r["id_b"] for r in out)
