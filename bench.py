@@ -87,6 +87,7 @@ HEADLINE = [
     "bloom_pruned_join",        # Bloom runtime row-level pruning (round 8: one-lit bitmap)
     "join_theta_rank",          # theta join's order-statistic scale twin (round 9)
     "corpus_semdedup_sqrtk",    # sqrt-k SemDeDup + Arrow assignment kernel (round 10)
+    "doc_winnow_fingerprint",   # vectorized rolling-hash winnowing kernel (round 11)
 ]
 
 
