@@ -888,7 +888,19 @@ def _kmeans_exact_assign(base: DataFrame, mu: list[list[float]],
     each (row, centroid) accumulates left-to-right exactly like the
     SQL aggregate), and np.argmin's first-occurrence rule is
     array_position(array_min)'s tie-break. Bit-parity between the two
-    paths is pinned in tests/test_operators.py."""
+    paths is pinned in tests/test_operators.py.
+
+    Parity domain (ADVICE r11): the bit-identical claim covers
+    elements that are FINITE or NULL — the only inputs reachable from
+    in-repo callers, since every caller's ``qd`` is cast from
+    floor-quantized BIGINTs (NaN/inf cannot survive a bigint cast).
+    For a genuine NaN or +/-inf element the paths intentionally
+    diverge: the HOF fold yields an all-NaN/all-inf distance row and
+    Spark's NaN-largest ordering + array_position(NaN)=NaN-equals-NaN
+    semantics land on cluster 0, while the Arrow kernel masks any
+    non-finite element to cluster_id NULL (conservative: a vector
+    with an undefined coordinate has no defined nearest centroid).
+    Pinned in test_kmeans_assign_arrow_nonfinite_documented_divergence."""
     if arrow is None:
         arrow = len(mu) * len(mu[0]) >= _ARROW_ASSIGN_MIN_CELLS
     if arrow:
@@ -1027,6 +1039,14 @@ def kmeans_exact_fit(df: DataFrame, n_centroids: int = 8,
     base = materialize(
         df.filter(F.col(vec_col).isNotNull())
         .select(F.col(id_col), qv.alias("qv"))
+        # Element-null vectors are excluded up front (ADVICE r11):
+        # both assignment paths give them cluster_id NULL, and the
+        # update's new_mu rebuild would then hit a None key and raise
+        # an opaque TypeError mid-iteration. A vector with a null
+        # element has no defined distance to any centroid, so the
+        # well-defined semantics is "not clusterable" — drop it here,
+        # symmetric with the vec_col.isNotNull() filter above.
+        .filter(F.forall("qv", lambda x: x.isNotNull()))
         .withColumn("qd", F.transform(F.col("qv"), lambda x: x.cast("double")))
     )
     # Probe dim from ONE row so the k*dim driver-state guard can fire

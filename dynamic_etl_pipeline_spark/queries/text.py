@@ -556,8 +556,12 @@ def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str,
                 # valid UTF-8, so the encode cannot hit lone
                 # surrogates; parity incl. astral plane is pinned in
                 # tests/test_text_kernels.py.
+                # '<u4' (explicit little-endian) not np.uint32: the
+                # buffer is explicitly LE, so a native-endian view
+                # would silently misread code points on a big-endian
+                # host (ADVICE r11).
                 codes = np.frombuffer(
-                    text.encode("utf-32-le"), dtype=np.uint32
+                    text.encode("utf-32-le"), dtype="<u4"
                 ).astype(np.int64)
                 npos = codes.size - k + 1
                 h = np.zeros(npos, dtype=np.int64)

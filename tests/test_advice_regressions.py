@@ -638,3 +638,73 @@ def test_group_cardinality_error_names_real_trip_point(spark):
     msg = str(exc.value)
     assert "max_groups=100" in msg
     assert "110" in msg and "headroom" in msg
+
+
+def test_winnow_codepoint_dtype_is_explicit_little_endian():
+    """ADVICE r11: the winnow kernel decodes text.encode('utf-32-le')
+    with an EXPLICITLY little-endian dtype ('<u4'), not native-order
+    np.uint32 — a native view on a big-endian host would silently
+    misread every code point. The decode must equal [ord(c) for c in
+    text] regardless of host byte order (which this asserts on the
+    only host we have; the source pin below keeps the dtype honest)."""
+    import inspect
+
+    import numpy as np
+
+    from dynamic_etl_pipeline_spark.queries import text as text_mod
+
+    s = "aé中\U0001f600z"  # ascii, latin-1, CJK, astral
+    codes = np.frombuffer(s.encode("utf-32-le"), dtype="<u4").astype(
+        np.int64
+    )
+    assert codes.tolist() == [ord(c) for c in s]
+    src = inspect.getsource(text_mod)
+    assert 'dtype="<u4"' in src
+    assert "dtype=np.uint32" not in src
+
+
+def test_kmeans_fit_drops_element_null_vectors(spark):
+    """ADVICE r11: a vector with a NULL ELEMENT used to reach the
+    update step as a cluster_id=None group, and the new_mu rebuild's
+    mu[None] raised an opaque TypeError mid-iteration (on both
+    assignment paths once the Arrow NULL-parity landed). The fit now
+    excludes element-null vectors up front — same semantics as the
+    whole-vector null filter — and the run completes with the dense
+    rows only."""
+    from dynamic_etl_pipeline_spark.operators.knn import kmeans_exact_fit
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [None, 2.0]), (2, [9.0, 8.0]),
+         (3, None), (4, [3.0, None]), (5, [2.0, 1.0])],
+        "vec_id int, embedding array<double>",
+    )
+    assigned, mu = kmeans_exact_fit(df, n_centroids=2, iters=2)
+    rows = {r["vec_id"]: r["cluster_id"] for r in assigned.collect()}
+    assert set(rows) == {0, 2, 5}          # 1, 3, 4 dropped up front
+    assert all(c is not None for c in rows.values())
+    assert len(mu) == 2
+
+
+def test_kmeans_assign_arrow_nonfinite_documented_divergence(spark):
+    """ADVICE r11: for genuine NaN/+-inf elements the two assignment
+    paths intentionally diverge — HOF's all-NaN/all-inf distance row
+    lands on cluster 0 (Spark's NaN-largest ordering plus
+    array_position's NaN=NaN), the Arrow kernel masks any non-finite
+    element to NULL. Unreachable from in-repo callers (qd is cast from
+    floor-quantized BIGINTs), but the docstring now states the
+    divergence and this test pins it so it cannot drift silently."""
+    from dynamic_etl_pipeline_spark.operators.knn import _kmeans_exact_assign
+
+    inf, nan = float("inf"), float("nan")
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [inf, 2.0]), (2, [nan, 2.0]),
+         (3, [-inf, 1.0])],
+        "vec_id int, qd array<double>",
+    )
+    mu = [[0.0, 0.0], [4.0, 5.0]]
+    hof = {r["vec_id"]: r["cluster_id"]
+           for r in _kmeans_exact_assign(df, mu, arrow=False).collect()}
+    arw = {r["vec_id"]: r["cluster_id"]
+           for r in _kmeans_exact_assign(df, mu, arrow=True).collect()}
+    assert hof == {0: 0, 1: 0, 2: 0, 3: 0}
+    assert arw == {0: 0, 1: None, 2: None, 3: None}
