@@ -993,3 +993,32 @@ def test_simhash_chunk_cap_trips_on_distinct_fingerprints(spark):
     stats = [o.get for o in _LSH_CAP_OBSERVATIONS]
     assert any(s["n_hot"] > 0 and s["dropped_postings"] > 0 for s in stats)
     assert out and all(r["id_a"] < r["id_b"] for r in out)
+
+
+def test_minhash_band_cap_trips_on_distinct_signatures(spark):
+    """VERDICT r11 item 5 (same pattern as the simhash chunk-cap trip):
+    a templated corpus of near-dup documents with DISTINCT signatures
+    defeats the identical-signature collapse — the postings land in
+    shared band buckets where the band self-join is quadratic in
+    bucket size. max_postings_per_band is the linearizer: with a tiny
+    cap forced, the hot-bucket path must actually thin distinct
+    postings and surface drop volume through the Observation metrics,
+    and surviving pairs stay canonical (id_a < id_b)."""
+    from dynamic_etl_pipeline_spark.operators.dedup import (
+        _LSH_CAP_OBSERVATIONS,
+        minhash_lsh_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog near the "
+             f"river bank today variant{i}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    del _LSH_CAP_OBSERVATIONS[:]
+    out = minhash_lsh_pairs(
+        df, "doc_id", "text", threshold=0.3, max_postings_per_band=2
+    ).collect()
+    assert _LSH_CAP_OBSERVATIONS, "band-cap path did not register"
+    stats = [o.get for o in _LSH_CAP_OBSERVATIONS]
+    assert any(s["n_hot"] > 0 and s["dropped_postings"] > 0 for s in stats)
+    assert out and all(r["id_a"] < r["id_b"] for r in out)

@@ -202,3 +202,25 @@ def test_threshold_arithmetic_parity_with_oracle_formula(spark):
             f"sqrt({n}))) AS BIGINT))"
         ).fetchone()[0]
         assert got[n] == want, (n, got[n], want)
+
+
+def test_default_formula_trips_with_observation(spark, boiler_dir):
+    """VERDICT r11 item 5: the DEFAULT df formula (no threshold
+    overrides — max(floor 100, min(0.05*n, 10*sqrt(n))) at n=1000 docs
+    = max(100, min(50, 316)) = 100) must itself trip on a forced-hot
+    corpus AND surface the drop through the Observation — the earlier
+    default-threshold test checked only the surviving postings, the
+    Observation test only ran with overridden thresholds."""
+    from dynamic_etl_pipeline_spark.operators.shingles import (
+        last_cap_observation,
+    )
+
+    docs = spark.read.parquet(f"{boiler_dir}/documents.parquet")
+    shingled = word_ngram_postings(docs, 3)
+    capped = drop_stop_shingles(shingled, label="default-trip")
+    survivors = capped.count()  # action -> Observation populated
+    got = last_cap_observation("default-trip").get
+    assert got["n_hot"] >= 1
+    # the planted boilerplate shingle has df=1000 > threshold 100
+    assert got["dropped_postings"] >= 1000
+    assert survivors == shingled.count() - got["dropped_postings"]
