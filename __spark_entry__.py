@@ -75,18 +75,48 @@ _FRONT = [
     # doc_cdc_chunks share the rolling-hash kernel; corpus_semdedup_
     # sqrtk is the new sqrt-k twin with its own oracle) — VERDICT r10
     # item 3. All rotated-out rows remain swept + benched.
+    # r12 rotates out ten long-green rows — agg_distinct_kmv,
+    # agg_quantile_hash_sample (r7 sketch tier, 5 driver rounds green;
+    # the two events_kmv rollup/overlap rows stay), merge_orders_upsert
+    # (r8; scd2_customer_segments carries the mutation tier),
+    # events_pit_features + window_ratio_to_report (r8; decay_ewma
+    # stays, corpus_pack_sequences keeps the two-level global window
+    # sampled), events_winsorized_stats, part_name_blocked_pairs,
+    # rfm_segments_bucketed (r9; mad_outliers + agg_percentiles stay),
+    # jaccard_prefix_filter_pairs (r6; ngram_jaccard_pairs +
+    # dedup_keep_best_exact carry the similarity-join family),
+    # events_sessionize (r6; the skew-safe twin with the identical
+    # oracle carries the tier) — for
+    # the never-driver-sampled analytics/pivot/window-exotic/ANN/
+    # layout/range-join tier VERDICT r11 item 3 named, plus
+    # ivf_ann_topk (sampled r6-r7, rotated back in deliberately: it
+    # rides the kmeans family whose state path round 12 rewrote).
+    # All rotated-out rows remain swept + benched.
     "q1_pricing_summary", "q3_shipping_priority",
-    # mutation / SCD2 / timeseries tier (r8 rotation: long-green in the
-    # sweep since r4-r5, first time in the driver sample)
-    "merge_orders_upsert", "scd2_customer_segments",
-    "events_decay_ewma", "events_pit_features", "window_ratio_to_report",
-    # newest exact oracles (r7): the last rows-only sketch tier made
-    # portable — KMV distinct order statistics, the two-level mergeable
-    # KMV day->type rollup, hash-Bernoulli sampled quantiles (r8:
-    # re-derived via the two-level bucketed rank, same oracle), and CMS
-    # heavy hitters with the freqItems superset contract
-    "agg_distinct_kmv", "events_kmv_sketch_rollup",
-    "agg_quantile_hash_sample", "events_kmv_type_overlap",
+    # mutation / SCD2 / timeseries tier (r8 rotation; merge upsert +
+    # ratio_to_report rotated out r12 — corpus_pack_sequences keeps
+    # the two-level global-window surface sampled)
+    "scd2_customer_segments", "events_decay_ewma",
+    # portable sketch tier (r7): the two mergeable-rollup rows (the
+    # order-statistic + sampled-quantile rows rotated out r12)
+    "events_kmv_sketch_rollup", "events_kmv_type_overlap",
+    # analytics battery (r12 rotation: never driver-sampled —
+    # equi-depth histogram via two-level bucketed ranks, day-streak
+    # islands, per-type mode with deterministic tie-break, lag-1
+    # autocorrelation)
+    "events_equidepth_hist", "events_user_day_streaks",
+    "events_mode_value_per_type", "events_autocorr_lag1",
+    # pivot/unpivot + window-frame exotics (r12 rotation:
+    # unpivot_flag_measures last sampled r3; window_exclude_current
+    # last sampled r6 — EXCLUDE CURRENT ROW frames)
+    "unpivot_flag_measures", "window_exclude_current",
+    # ANN variants (r12 rotation: pq_ann_topk_exact never sampled —
+    # integer-exact PQ codebooks end to end; ivf_ann_topk back in on
+    # the round-12 kmeans state-path rewrite it rides)
+    "pq_ann_topk_exact", "ivf_ann_topk",
+    # layout + range join (r12 rotation: never driver-sampled —
+    # Z-order interleave clustering, bucketized interval join)
+    "layout_zorder_orders", "range_join_clicks_before_purchase",
     # window-frame tier (r10 rotation: never driver-sampled, long-green
     # in the sweep — GROUPS frames, percent_rank/cume_dist, RANGE
     # frames over real intervals)
@@ -101,12 +131,9 @@ _FRONT = [
     # graph twin of the rotated-out LPA communities)
     "sql_lateral_top2_orders", "asof_join_events",
     "copurchase_pagerank",
-    # analytics/statistics tier (r9 rotation: never driver-sampled;
-    # rfm_segments_bucketed + part_name_blocked_pairs are this round's
-    # two scale fixes — cutpoints via two-level quantiles, guarded
-    # output-quadratic ER baseline — both exact at sf0.01)
-    "events_mad_outliers", "agg_percentiles", "rfm_segments_bucketed",
-    "part_name_blocked_pairs", "events_winsorized_stats",
+    # analytics/statistics tier (r9 rotation; winsorized/RFM/blocked-ER
+    # rows rotated out r12)
+    "events_mad_outliers", "agg_percentiles",
     # r5-r6 exact oracles: end-to-end PDF ingest (DOCX rotated out r11)
     "pdf_extract_pages",
     # timeseries tier (r11 rotation: never driver-sampled — dense
@@ -124,13 +151,14 @@ _FRONT = [
     # its own brand-new exact oracle — VERDICT r10 item 3 called these
     # out by name for driver-gate evidence)
     "doc_winnow_fingerprint", "doc_cdc_chunks", "corpus_semdedup_sqrtk",
-    # events (batch twins) — sessionize rides with its hot-key-safe
-    # twin (r6 late: bucket-decomposed windows, identical oracle)
-    "events_sessionize", "events_sessionize_skew_safe",
-    # text / similarity-join dedup family (exact_dedup rotated out r11;
-    # keep-best carries the exact-dedup semantics)
+    # events (batch twins) — the hot-key-safe sessionize twin carries
+    # the tier (identical oracle; plain events_sessionize rotated out
+    # r12 after 6+ green rounds)
+    "events_sessionize_skew_safe",
+    # text / similarity-join dedup family (exact_dedup rotated out r11,
+    # jaccard_prefix_filter_pairs r12; keep-best carries the
+    # exact-dedup semantics)
     "ngram_jaccard_pairs", "dedup_keep_best_exact",
-    "jaccard_prefix_filter_pairs",
     # vectors / multimodal — incl. the streaming drain that inherits
     # the batch PC1 oracle bit-for-bit (r5)
     "multimodal_media_stats", "streaming_scatter_pc1",

@@ -850,13 +850,27 @@ _ARROW_ASSIGN_MIN_CELLS = 2048
 # n=1e9 docs, dim 64). Measured on this host (tools/bench_kmeans_state
 # .py, r11): per-ITERATION driver cost is ~linear in cells — 0.47 s at
 # 28.7k, 1.6 s at 262k, 6.0 s at 1M, 23.8 s at 4.2M cells (collect +
-# mu rebuild), with a 33.6 MB task closure at 4.2M. The guard trips at
-# 2^21 cells (~12 s/iteration driver-side, ~17 MB closure) — the point
-# where the DRIVER rivals the executors as the per-iteration
-# bottleneck. Above it a deployment should shard dims / reduce k, or
-# move the update to a centroid-frame join; override for deliberate
-# runs with SPARK_GRAFT_ALLOW_KMEANS_STATE=1.
+# mu rebuild), with a 33.6 MB task closure at 4.2M. Above 2^21 cells
+# (~12 s/iteration driver-side, ~17 MB closure) — the point where the
+# DRIVER rivals the executors as the per-iteration bottleneck —
+# kmeans_exact_fit auto-switches to the FRAMES state path (r12,
+# VERDICT r11 item 1): the (cluster, dim)-cell aggregate is collapsed
+# to k per-cluster centroid ARRAYS inside Spark (never collected as
+# cells), and assignment reads the matrix from a TorrentBroadcast
+# (shipped once per executor) instead of a per-task closure. Measured
+# crossover curve: tools/bench_kmeans_state.py --frames / SCALING.md
+# r12.
 _KMEANS_MAX_STATE_CELLS = 2_097_152
+
+# The frames path's remaining wall is the centroid matrix itself: one
+# k-row collect per iteration feeds the broadcast (the same shape
+# MLlib's KMeans uses — collect centers, broadcast, map-side argmin;
+# exact Lloyd's assignment inherently needs the full matrix visible to
+# every task). 2^27 cells = 1 GiB of float64 — past that the broadcast
+# rivals executor memory and the k-row collect rivals the iteration;
+# shard dims / reduce k, or override deliberate runs with
+# SPARK_GRAFT_ALLOW_KMEANS_STATE=1 (which runs the frames path).
+_KMEANS_MAX_BROADCAST_CELLS = 134_217_728
 
 
 class CentroidStateError(ValueError):
@@ -901,7 +915,15 @@ def _kmeans_exact_assign(base: DataFrame, mu: list[list[float]],
     non-finite element to cluster_id NULL (conservative: a vector
     with an undefined coordinate has no defined nearest centroid).
     Pinned in test_kmeans_assign_arrow_nonfinite_documented_divergence."""
-    if arrow is None:
+    from pyspark.broadcast import Broadcast
+
+    if isinstance(mu, Broadcast):
+        # frames state path: the matrix never exists as a driver list,
+        # so only the Arrow kernel (which resolves the broadcast
+        # executor-side) can serve it — the HOF path would need the
+        # k*dim literal string.
+        arrow = True
+    elif arrow is None:
         arrow = len(mu) * len(mu[0]) >= _ARROW_ASSIGN_MIN_CELLS
     if arrow:
         return _kmeans_exact_assign_arrow(base, mu)
@@ -923,14 +945,26 @@ def _kmeans_exact_assign_arrow(base: DataFrame,
     broadcast-sized by construction since k ~ sqrt(n)."""
     import numpy as np
     import pandas as pd
+    from pyspark.broadcast import Broadcast
     from pyspark.sql.types import IntegerType, StructField, StructType
 
-    m = np.asarray(mu, dtype=np.float64)
+    # ``mu`` may be the plain k x dim list (closure-shipped, the
+    # small-k path) or a Broadcast of the float64 matrix (the frames
+    # state path, r12): a broadcast ships once per EXECUTOR via
+    # torrent blocks instead of re-serializing k*dim doubles into
+    # every task closure. Resolution happens inside the kernel so the
+    # closure itself stays tiny on the broadcast path.
+    mu_src = mu
+
     out_schema = StructType(
         list(base.schema.fields) + [StructField("cluster_id", IntegerType())]
     )
 
     def assign(batches):
+        m = np.asarray(
+            mu_src.value if isinstance(mu_src, Broadcast) else mu_src,
+            dtype=np.float64,
+        )
         for pdf in batches:
             n = len(pdf)
             if n == 0:
@@ -984,10 +1018,83 @@ def _kmeans_exact_dists(base: DataFrame, mu: list[list[float]]) -> DataFrame:
     return base.withColumn("_dists", F.expr(dists))
 
 
+def _kmeans_exact_fit_frames(base: DataFrame, n_centroids: int,
+                             iters: int, id_col: str
+                             ) -> "tuple[DataFrame, list[list[float]]]":
+    """Lloyd's loop with DISTRIBUTED centroid state (r12, VERDICT r11
+    item 1) — the large-k*dim twin of kmeans_exact_fit's collect path,
+    bit-identical centroids by construction:
+
+    - the update's (cluster, dim)-cell aggregate is NEVER collected as
+      cells: Spark collapses it to k per-cluster centroid ARRAYS
+      (array_sort over (i, m) structs — the s/c division happens
+      JVM-side as CAST(sum AS DOUBLE)/CAST(count AS DOUBLE), the same
+      correctly-rounded double division as the collect path's
+      float(s)/float(c));
+    - assignment is the same Arrow kernel, but the matrix rides a
+      TorrentBroadcast (one ship per executor) instead of a k*dim
+      per-task closure — the only driver materialization left is the
+      k-row array collect that feeds each broadcast, the same shape
+      MLlib's KMeans uses (collect centers -> broadcast -> map-side
+      argmin; exact assignment inherently needs the full matrix
+      visible to every task);
+    - each iteration's plan is built fresh off the materialized base,
+      so lineage does not grow across rounds; empty clusters keep
+      their previous centroid via the matrix copy.
+
+    Parity with the collect path (same seeds => bit-identical
+    centroids and assignments) is pinned in
+    tests/test_operators.py::test_kmeans_frames_state_bit_matches_collect.
+    """
+    import numpy as np
+
+    sc = base.sparkSession.sparkContext
+    seed_rows = base.orderBy(id_col).limit(n_centroids).select("qv").collect()
+    if not seed_rows:
+        raise ValueError("kmeans_exact_assign: no non-null vectors")
+    m = np.asarray(
+        [[float(v) for v in r["qv"]] for r in seed_rows], dtype=np.float64
+    )
+    bc = sc.broadcast(m)
+    prev_bc = None
+    for _ in range(iters):
+        assigned = _kmeans_exact_assign(base, bc)
+        cent_rows = (
+            assigned.select(
+                "cluster_id", F.posexplode("qv").alias("i", "x")
+            )
+            .groupBy("cluster_id", "i")
+            .agg(
+                (F.sum("x").cast("double") / F.count("*").cast("double"))
+                .alias("m")
+            )
+            .groupBy("cluster_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "m"))),
+                    lambda s: s["m"],
+                ).alias("mu")
+            )
+            .collect()
+        )
+        new_m = m.copy()  # empty clusters keep their previous centroid
+        for r in cent_rows:
+            new_m[r["cluster_id"]] = r["mu"]
+        m = new_m
+        # the broadcast consumed by the job just collected is dead now
+        if prev_bc is not None:
+            prev_bc.unpersist(blocking=False)
+        prev_bc, bc = bc, sc.broadcast(m)
+    if prev_bc is not None:
+        prev_bc.unpersist(blocking=False)
+    return _kmeans_exact_assign(base, bc), [list(map(float, row)) for row in m]
+
+
 def kmeans_exact_fit(df: DataFrame, n_centroids: int = 8,
                      iters: int = 2, scale: int = 1_000_000,
                      id_col: str = "vec_id",
-                     vec_col: str = "embedding"
+                     vec_col: str = "embedding",
+                     state: "str | None" = None
                      ) -> "tuple[DataFrame, list[list[float]]]":
     """Distributed Lloyd's k-means with bit-deterministic, engine-
     portable arithmetic — the variant a verification gate can hold to
@@ -1012,13 +1119,23 @@ def kmeans_exact_fit(df: DataFrame, n_centroids: int = 8,
     shuffle of k*(dim+1) longs per partition. Empty clusters keep
     their previous centroid.
 
-    DRIVER-STATE BOUND (r11, VERDICT r10 item 2): the seed collect,
-    per-iteration (cluster, dim)-cell collect, and closure matrix all
-    grow as k*dim, and the sqrt-k semdedup twin ties k to
-    ceil(sqrt(n)) — so this raises :class:`CentroidStateError` above
-    ``_KMEANS_MAX_STATE_CELLS`` (2^21 cells; measured curve at that
-    constant's definition) instead of silently degrading into a
-    driver-bottlenecked loop at extreme corpus sizes.
+    STATE PATHS (r12, VERDICT r11 item 1): centroid state has two
+    bit-identical homes, auto-selected by k*dim (``state`` / env
+    ``SPARK_GRAFT_KMEANS_STATE`` force either for parity tests):
+
+    - ``"collect"`` (k*dim <= ``_KMEANS_MAX_STATE_CELLS``, 2^21): the
+      original small-k path — per-iteration cell collect + Python
+      rebuild, matrix in the task closure. Fastest at fixture k*dim
+      (measured curve at the constant's definition).
+    - ``"frames"`` (above the bound): the update collapses to k
+      per-cluster arrays inside Spark (cells never collected), the
+      matrix rides a TorrentBroadcast (see
+      :func:`_kmeans_exact_fit_frames`). This replaced the r11 hard
+      guard: above the bound the fit now RUNS distributed instead of
+      refusing. The remaining wall — the broadcast matrix itself,
+      inherent to exact Lloyd's — raises :class:`CentroidStateError`
+      above ``_KMEANS_MAX_BROADCAST_CELLS`` (2^27 cells = 1 GiB);
+      ``SPARK_GRAFT_ALLOW_KMEANS_STATE=1`` overrides deliberately.
 
     Returns (assigned frame with id_col, cluster_id INT plus the
     quantized columns, final centroid list) — the centroid list is
@@ -1058,18 +1175,31 @@ def kmeans_exact_fit(df: DataFrame, n_centroids: int = 8,
     dim = probe["_d"]
     import os
 
-    if (n_centroids * dim > _KMEANS_MAX_STATE_CELLS
+    cells = n_centroids * dim
+    if (cells > _KMEANS_MAX_BROADCAST_CELLS
             and os.environ.get("SPARK_GRAFT_ALLOW_KMEANS_STATE") != "1"):
         raise CentroidStateError(
             f"kmeans_exact_fit: k*dim = {n_centroids}*{dim} = "
-            f"{n_centroids * dim} cells exceeds the documented driver-"
-            f"state bound {_KMEANS_MAX_STATE_CELLS} (~12 s/iteration of "
-            "driver-side collect+rebuild and a ~17 MB task closure at "
-            "the bound; measured curve in SCALING.md r11 / tools/"
-            "bench_kmeans_state.py). Reduce n_centroids or dim, shard "
-            "the update distributively, or set "
-            "SPARK_GRAFT_ALLOW_KMEANS_STATE=1 to run anyway."
+            f"{cells} cells exceeds the broadcast-matrix bound "
+            f"{_KMEANS_MAX_BROADCAST_CELLS} (1 GiB of float64 shipped "
+            "to every executor + a k-row driver collect per iteration "
+            "— the wall inherent to exact Lloyd's assignment; measured "
+            "curve in SCALING.md r12 / tools/bench_kmeans_state.py). "
+            "Reduce n_centroids or dim, or set "
+            "SPARK_GRAFT_ALLOW_KMEANS_STATE=1 to run anyway on the "
+            "frames state path."
         )
+    if state is None:
+        state = os.environ.get("SPARK_GRAFT_KMEANS_STATE")
+    if state is None:
+        state = "collect" if cells <= _KMEANS_MAX_STATE_CELLS else "frames"
+    if state not in ("collect", "frames"):
+        raise ValueError(
+            f"kmeans_exact_fit: state={state!r}, expected 'collect', "
+            "'frames', or None (auto by k*dim)"
+        )
+    if state == "frames":
+        return _kmeans_exact_fit_frames(base, n_centroids, iters, id_col)
     seed_rows = base.orderBy(id_col).limit(n_centroids).select("qv").collect()
     if not seed_rows:
         raise ValueError("kmeans_exact_assign: no non-null vectors")

@@ -932,11 +932,12 @@ def test_kmeans_assign_arrow_null_elements_match_hof(spark):
 
 
 def test_kmeans_driver_state_guard_trips_and_overrides(spark, monkeypatch):
-    """VERDICT r10 item 2: kmeans_exact_fit's driver-side centroid
-    state (seed collect + per-iteration cell collect + closure matrix)
-    grows as k*dim, and the sqrt-k twin ties k to sqrt(n) — above the
-    measured bound it must fail fast with the measured price tag, and
-    the env override must run anyway (guard_baseline convention)."""
+    """VERDICT r10 item 2 / r11 item 1: above _KMEANS_MAX_STATE_CELLS
+    the fit now auto-selects the distributed frames path and RUNS
+    (r12 — the r11 guard's only escape used to re-centralize); the
+    remaining fail-fast is the broadcast-matrix bound, with the env
+    override running the frames path anyway (guard_baseline
+    convention)."""
     import pytest
 
     import dynamic_etl_pipeline_spark.operators.knn as knn
@@ -949,9 +950,15 @@ def test_kmeans_driver_state_guard_trips_and_overrides(spark, monkeypatch):
         [(i, [float(i), float(i + 1)]) for i in range(20)],
         "vec_id int, embedding array<double>",
     )
+    # above the STATE bound: auto-switch to frames, not a refusal
     monkeypatch.setattr(knn, "_KMEANS_MAX_STATE_CELLS", 8)
+    assigned, mu = kmeans_exact_fit(df, n_centroids=8, iters=1)  # 16 > 8
+    assert assigned.count() == 20 and len(mu) == 8
+
+    # above the BROADCAST bound: fail fast with the price tag
+    monkeypatch.setattr(knn, "_KMEANS_MAX_BROADCAST_CELLS", 8)
     with pytest.raises(CentroidStateError) as exc:
-        kmeans_exact_fit(df, n_centroids=8, iters=1)  # 8*2 = 16 > 8
+        kmeans_exact_fit(df, n_centroids=8, iters=1)
     msg = str(exc.value)
     assert "SPARK_GRAFT_ALLOW_KMEANS_STATE" in msg and "16" in msg
 
@@ -959,10 +966,47 @@ def test_kmeans_driver_state_guard_trips_and_overrides(spark, monkeypatch):
     assigned, mu = kmeans_exact_fit(df, n_centroids=8, iters=1)
     assert assigned.count() == 20 and len(mu) == 8
 
-    # real bound: every in-repo caller (kmeans k=8, IVF k=16, PQ 16x8,
+    # real bounds: every in-repo caller (kmeans k=8, IVF k=16, PQ 16x8,
     # sqrt-k at the 100x corpus = 448*64 = 28.7k cells) sits far below
+    # the state bound, and the frames path extends the runnable range
+    # 64x beyond that
     monkeypatch.setattr(knn, "_KMEANS_MAX_STATE_CELLS", 2_097_152)
+    monkeypatch.setattr(knn, "_KMEANS_MAX_BROADCAST_CELLS", 134_217_728)
     assert 448 * 64 < knn._KMEANS_MAX_STATE_CELLS
+    assert knn._KMEANS_MAX_STATE_CELLS < knn._KMEANS_MAX_BROADCAST_CELLS
+
+
+def test_kmeans_frames_state_bit_matches_collect(spark, sf_dir):
+    """r12 (VERDICT r11 item 1): the frames state path (distributed
+    update, broadcast matrix) must produce BIT-IDENTICAL centroids and
+    assignments to the collect path from the same seeds — the update
+    division is the same correctly-rounded CAST(long AS DOUBLE)
+    arithmetic, empty clusters keep their previous centroid on both
+    paths, and assignment is the same Arrow kernel either way."""
+    from dynamic_etl_pipeline_spark.operators.knn import kmeans_exact_fit
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a_df, a_mu = kmeans_exact_fit(e, n_centroids=7, iters=3,
+                                  state="collect")
+    b_df, b_mu = kmeans_exact_fit(e, n_centroids=7, iters=3,
+                                  state="frames")
+    assert a_mu == b_mu  # exact float equality, not approx
+    a = {r["vec_id"]: r["cluster_id"] for r in a_df.collect()}
+    b = {r["vec_id"]: r["cluster_id"] for r in b_df.collect()}
+    assert a == b
+    # ... and an empty-cluster configuration (k > distinct points in a
+    # tight blob): both paths must carry the seed centroid forward
+    tiny = spark.createDataFrame(
+        [(i, [1.0, 2.0]) for i in range(3)] + [(9, [100.0, 200.0])],
+        "vec_id int, embedding array<double>",
+    )
+    c_df, c_mu = kmeans_exact_fit(tiny, n_centroids=4, iters=2,
+                                  state="collect")
+    d_df, d_mu = kmeans_exact_fit(tiny, n_centroids=4, iters=2,
+                                  state="frames")
+    assert c_mu == d_mu
+    assert {r["vec_id"]: r["cluster_id"] for r in c_df.collect()} == \
+           {r["vec_id"]: r["cluster_id"] for r in d_df.collect()}
 
 
 def test_simhash_chunk_cap_trips_on_distinct_fingerprints(spark):

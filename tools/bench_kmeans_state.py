@@ -21,6 +21,13 @@ The measured numbers set _KMEANS_MAX_STATE_CELLS in operators/knn.py
 (guard convention: trip with a pointer + env override) and the
 SCALING.md r11 note.
 
+r12 (VERDICT r11 item 1): each point now also measures the FRAMES
+state path's per-iteration costs — the k-row centroid-array collect +
+matrix copy + TorrentBroadcast creation (its whole driver footprint)
+and an assignment pass reading the matrix from the broadcast instead
+of the closure — so the collect->frames crossover in SCALING.md r12
+is a measured number, not a guess.
+
 Usage: python tools/bench_kmeans_state.py [--cells 28672,262144,...]
 """
 from __future__ import annotations
@@ -97,6 +104,34 @@ def main() -> None:
             )
         t_rebuild = time.perf_counter() - t0
 
+        # FRAMES path (r12) — cost A: an assignment pass reading the
+        # matrix from a TorrentBroadcast instead of the closure
+        m_np = np.asarray(mu, dtype=np.float64)
+        bc = spark.sparkContext.broadcast(m_np)
+        t0 = time.perf_counter()
+        _kmeans_exact_assign(base, bc).write.format("noop").mode(
+            "overwrite").save()
+        t_assign_bc = time.perf_counter() - t0
+
+        # FRAMES path — cost B: the per-iteration driver footprint =
+        # k compact array rows collected + matrix copy + new broadcast
+        # (the cell aggregate itself never reaches the driver). Same
+        # row shape the frames update produces: (cluster_id, mu array).
+        cent_df = spark.range(k).select(
+            F.col("id").cast("int").alias("cluster_id"),
+            F.expr(f"transform(sequence(1, {dim}), "
+                   "j -> CAST(id * 37 + j AS DOUBLE))").alias("mu"),
+        )
+        t0 = time.perf_counter()
+        cent_rows = cent_df.collect()
+        new_m = m_np.copy()
+        for r in cent_rows:
+            new_m[r["cluster_id"]] = r["mu"]
+        bc2 = spark.sparkContext.broadcast(new_m)
+        t_frames_iter = time.perf_counter() - t0
+        bc.unpersist(blocking=False)
+        bc2.unpersist(blocking=False)
+
         rec = {
             "cells": cells, "k": k, "dim": dim,
             "closure_mb": round(cells * 8 / 1e6, 1),
@@ -104,6 +139,8 @@ def main() -> None:
             "cell_collect_sec": round(t_collect, 2),
             "mu_rebuild_sec": round(t_rebuild, 2),
             "per_iter_driver_sec": round(t_collect + t_rebuild, 2),
+            "frames_assign_pass_sec": round(t_assign_bc, 2),
+            "frames_per_iter_driver_sec": round(t_frames_iter, 2),
         }
         results.append(rec)
         print(json.dumps(rec), flush=True)
