@@ -23,6 +23,8 @@ SHOWCASE = [
     ("events_gap_fill", "grid build + forward-fill window"),
     ("basket_part_pairs", "equi self-join on blocking key"),
     ("ngram_jaccard_pairs", "inverted-index similarity join"),
+    ("dedup_keep_best_exact",
+     "size-ratio pre-filter ahead of the pair aggregate (r12)"),
     ("knn_bruteforce", "broadcast query set over candidate stream"),
     ("copurchase_pagerank", "iterative join+agg, reused exchanges"),
     ("corpus_pack_sequences", "two-level prefix sum + bounded explode"),
