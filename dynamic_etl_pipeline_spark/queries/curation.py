@@ -583,18 +583,37 @@ def doc_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingled = word_ngram_postings(spread(d), 3).transform(materialize)
     counts = shingled.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     capped = drop_stop_shingles(shingled, label="doc_ngram_containment_pairs")
-    a = capped.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = capped.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # Size pre-filter (r12, the keep-best pattern one-sided): the final
+    # test n_common / n_a >= 0.5 together with n_common <= n_b (common
+    # shingles of B are a subset of B's, capped or not) forces
+    # 2*n_b >= n_a — so carrying the exact per-doc counts onto the
+    # postings lets the join drop (big A, sub-half B) directions BEFORE
+    # the (doc_a, doc_b) aggregate shuffle. Provably lossless: the
+    # final containment filter is unchanged and any pair passing it
+    # passes the size test. The counts broadcast is |docs|-row — same
+    # documented ~100M-row bound as dedup_keep_best_exact's.
+    a = (
+        capped.join(F.broadcast(counts), "doc_id")
+        .select(F.col("doc_id").alias("doc_a"),
+                F.col("n_sh").alias("_na"), "shingle")
+    )
+    b = (
+        capped.join(F.broadcast(counts), "doc_id")
+        .select(F.col("doc_id").alias("doc_b"),
+                F.col("n_sh").alias("_nb"), "shingle")
+    )
     pairs = (
         a.join(b, "shingle")
-        .filter(F.col("doc_a") != F.col("doc_b"))
+        .filter(
+            (F.col("doc_a") != F.col("doc_b"))
+            & (2 * F.col("_nb") >= F.col("_na"))
+        )
         .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").cast("bigint").alias("n_common"))
+        .agg(F.count("*").cast("bigint").alias("n_common"),
+             F.first("_na").alias("n_sh"))
     )
-    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh"))
     return (
-        pairs.join(ca, "doc_a")
-        .withColumn(
+        pairs.withColumn(
             "containment",
             F.col("n_common").cast("double") / F.col("n_sh"),
         )
