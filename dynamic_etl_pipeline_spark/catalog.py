@@ -50,9 +50,34 @@ def normalize_event_ts(df: DataFrame, ntz: bool = True) -> DataFrame:
     return df.withColumn("ts", ts.cast(target))
 
 
+# Declared-schema cache (r12 optimization round): schemas are METADATA,
+# and re-deriving them per read is pure planning overhead — measured
+# 136 ms/call for spark.read.parquet(path) (footer fetch + merge) vs
+# 26 ms with an explicit schema, ~0.1 s saved per load_table call at
+# ANY scale. This is the production stance the bench ingest path
+# already documents ("schemas are declared, not re-inferred per
+# batch") applied to the fixture catalog: infer once per (path,
+# nanos-mode), then declare. Keyed on the nanosAsLong conf too because
+# it changes what the reader reports for TIMESTAMP(NANOS) columns
+# (LongType vs TimestampType) — two sessions with different settings
+# must not share an entry. Fixture tables are immutable per path, so
+# no invalidation is needed; tests that write their own parquet use
+# fresh tempdir paths.
+_SCHEMA_CACHE: dict[tuple[str, str], "object"] = {}
+
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tune(spark)
-    df = spark.read.parquet(table_path(sf_dir, name))
+    path = table_path(sf_dir, name)
+    key = (path, spark.conf.get(_NANOS_CONF, "false"))
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+    else:
+        df = spark.read.schema(schema).parquet(path)
     if name == "events":
         df = normalize_event_ts(df)
     return df
@@ -63,7 +88,13 @@ def load_tables(spark: SparkSession, sf_dir: str,
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every fixture table as a temp view for spark.sql use."""
-    for name, df in load_tables(spark, sf_dir).items():
+def register_views(spark: SparkSession, sf_dir: str,
+                   names: list[str] | None = None) -> None:
+    """Register fixture tables as temp views for spark.sql use.
+
+    ``names`` limits registration to the tables a query actually
+    references (r12 optimization round): each registration is a
+    read+view round trip, and the SQL-facade queries were paying for
+    all 10 tables to use 1-3 of them."""
+    for name, df in load_tables(spark, sf_dir, names).items():
         df.createOrReplaceTempView(name)

@@ -29,7 +29,7 @@ import logging
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
@@ -263,8 +263,6 @@ def _cap_postings(postings: DataFrame, max_per_bucket: int,
     call purely on logging/no-op detection. Drop volume is recorded as
     Observation metrics on the hot frame instead.
     """
-    from pyspark.sql import Observation
-
     sizes = (
         postings.groupBy(*keys)
         .agg(F.count("*").alias("_bn"))
@@ -403,9 +401,13 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
         # Fast path: a corpus with no exact-dup signatures (the common
         # case after an upstream exact dedup) needs no reconstruction —
         # the representative set IS the document set, so skip the
-        # membership/expansion joins entirely. One cheap count on an
-        # already-checkpointed aggregate buys back the whole overhead.
-        if reps.count() == sigs.count():
+        # membership/expansion joins entirely. One max(_gn) probe on the
+        # already-checkpointed (small) aggregate answers it — r12 opt:
+        # this replaces a reps.count()+sigs.count() pair (two jobs, the
+        # second over the full signature frame) with a single job over
+        # the representative frame; measured ~0.2 s/query at sf0.1.
+        max_gn = reps.agg(F.max("_gn")).first()[0]
+        if (max_gn or 1) == 1:
             collapse_identical = False
             sigs = reps.select(id_col, "sig")
         band_src = reps.select(id_col, "sig")
@@ -546,8 +548,9 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
             .transform(materialize)
         )
         # fast path: no duplicate fingerprints -> no reconstruction
-        # needed (see minhash_lsh_pairs)
-        if reps.count() == fp.count():
+        # needed (see minhash_lsh_pairs; r12 opt: one max(_gn) probe on
+        # the small representative frame, not reps+fp counts = two jobs)
+        if (reps.agg(F.max("_gn")).first()[0] or 1) == 1:
             collapse_identical = False
         chunk_src = reps.select("_id", "fp")
     else:
@@ -637,27 +640,30 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src").agg(F.min("component").alias("nbr_min"))
         )
+        new_comp = F.least(
+            F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+        )
         updated = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
-                ).alias("component"),
+                (new_comp != F.col("component")).alias("_chg"),
+                new_comp.alias("component"),
             )
         )
-        # materialize BEFORE the convergence check (r7): the check and
-        # the checkpoint both execute the round's plan — running the
-        # check against the already-checkpointed frame halves the work
-        # per round (was: plan executed twice per iteration)
-        updated = updated.transform(materialize)  # truncate lineage per round
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "id")
-            .filter(F.col("u.component") != F.col("l.component"))
-            .limit(1).count()
-        )
-        labels = updated
-        if changed == 0:
+        # Convergence check rides the materialize action as an
+        # Observation metric (r12 opt): the eager checkpoint already
+        # executes the round's plan, so counting changed labels there
+        # costs ZERO extra jobs — the r7 shape still paid one
+        # join+limit+count job per round against the previous labels.
+        # Same verdict either way: sum(_chg) == 0  <=>  no label moved.
+        obs = Observation()
+        updated = updated.observe(
+            obs, F.sum(F.col("_chg").cast("int")).alias("changed")
+        ).drop("_chg")
+        # materialize BEFORE reading the metric: the eager action both
+        # truncates lineage for the next round and delivers the metric.
+        labels = updated.transform(materialize)
+        if not (obs.get["changed"] or 0):
             break
     return labels

@@ -168,7 +168,7 @@ def sql_recursive_supplier_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         sub = spark.newSession()
         sub.conf.set("spark.sql.cteRecursionRowLimit", 2_000_000_000)
         sql_recursive_supplier_chain._sub_session = sub
-    register_views(sub, sf_dir)
+    register_views(sub, sf_dir, ["supplier"])  # the only table referenced
     return sub.sql(_RECURSIVE_SPARK)
 
 
@@ -188,5 +188,5 @@ def sql_lateral_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-2-orders-per-customer shape): identical SQL text runs on both
     engines. Catalyst decorrelates this into a window/top-k plan rather
     than per-row re-execution."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ["customer", "orders"])
     return spark.sql(_LATERAL_SQL)

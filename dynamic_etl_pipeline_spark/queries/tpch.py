@@ -485,7 +485,7 @@ def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     battery documents the trade."""
     from ..catalog import register_views
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ["part", "lineitem", "supplier"])
     return spark.sql(_Q16_SQL)
 
 

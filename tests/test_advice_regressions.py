@@ -496,7 +496,7 @@ def test_recursive_cte_scales_past_default_row_limit(spark, monkeypatch):
     spark.conf.set("spark.sql.cteRecursionRowLimit", 1_000_000)
     monkeypatch.setattr(
         mutations, "register_views",
-        lambda s, d: s.range(1, 120_001)
+        lambda s, d, names=None: s.range(1, 120_001)
         .selectExpr("id AS s_suppkey")
         .createOrReplaceTempView("supplier"),
     )
