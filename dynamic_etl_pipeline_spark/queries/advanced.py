@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators.twolevel import two_level_quantiles
+from ._helpers import spread
 from .registry import query
 
 # --- portable KMV distinct sketch (Bar-Yossef et al. 2002, "Counting
@@ -244,8 +245,16 @@ def agg_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     Estimate accuracy vs exact distinct is additionally bounded in
     tests/test_approx.py; arbitrary-frame parity is fuzzed in
     tests/test_portable_hash_fuzz.py."""
+    # Project to the two live columns BEFORE the spread shuffle (guide
+    # §2.3: shuffle fewer bytes), then spread (r12 opt): the md5-prefix
+    # hash otherwise runs on the single-row-group scan task. Measured
+    # x0.77 at sf0.1 (2.07 -> 1.59 s best-of-4).
     return kmv_distinct(
-        load_table(spark, sf_dir, "lineitem"), "l_returnflag", "l_orderkey"
+        spread(
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_returnflag", "l_orderkey")
+        ),
+        "l_returnflag", "l_orderkey",
     )
 
 
