@@ -77,11 +77,20 @@ STOP_SHINGLE_FLOOR = 100
 STOP_SHINGLE_SQRT_COEF = 10.0
 
 
-def word_ngram_postings(df: DataFrame, n: int, id_col: str = "doc_id",
-                        text_col: str = "text") -> DataFrame:
-    """(id, shingle) inverted-index postings: one row per DISTINCT
-    word n-gram per document; documents shorter than n words drop out
-    (matching the DuckDB ``len(toks) >= n`` oracles)."""
+def word_ngram_arrays(df: DataFrame, n: int, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """(id, shingles: array<string>) — each document's DISTINCT word
+    n-grams as ONE array row; documents shorter than n words drop out
+    (matching the DuckDB ``len(toks) >= n`` oracles).
+
+    This is the primary representation for the exact near-dup family
+    (r12 optimization round): materializing the doc-level arrays
+    instead of the exploded postings keeps the checkpoint at one row
+    per document, makes the per-doc shingle COUNT a map-side
+    ``size(shingles)`` instead of a doc_id-keyed count shuffle, and the
+    posting form is recovered with a free ``explode`` wherever an
+    inverted index is genuinely needed (the jaccard_prefix_filter_pairs
+    shape, now shared)."""
     toks = F.split(F.col(text_col), " ")
     # the Filter between the two projections is a CollapseProject
     # barrier: `toks` stays materialized, so the element_at accesses in
@@ -92,18 +101,25 @@ def word_ngram_postings(df: DataFrame, n: int, id_col: str = "doc_id",
     )
     return base.select(
         id_col,
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("toks") - n),
-                    lambda i: F.concat_ws(
-                        " ",
-                        *[F.element_at(F.col("toks"), i + j + 1)
-                          for j in range(n)],
-                    ),
-                )
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - n),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at(F.col("toks"), i + j + 1)
+                      for j in range(n)],
+                ),
             )
-        ).alias("shingle"),
+        ).alias("shingles"),
+    )
+
+
+def word_ngram_postings(df: DataFrame, n: int, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """(id, shingle) inverted-index postings: one row per DISTINCT
+    word n-gram per document — ``word_ngram_arrays`` exploded."""
+    return word_ngram_arrays(df, n, id_col, text_col).select(
+        id_col, F.explode("shingles").alias("shingle")
     )
 
 

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..materialize import materialize
 from ..catalog import load_table
-from ..operators.shingles import drop_stop_shingles, word_ngram_postings
+from ..operators.shingles import drop_stop_shingles, word_ngram_arrays
 from ..operators.twolevel import two_level_running_sum
 from ._helpers import spread
 from .registry import query
@@ -584,8 +584,13 @@ def doc_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold (all fixtures) the result is exact.
     """
     d = load_table(spark, sf_dir, "documents")
-    shingled = word_ngram_postings(spread(d), 3).transform(materialize)
-    counts = shingled.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # doc-level arrays as the checkpointed form (r12 opt — see
+    # ngram_jaccard_pairs): counts become map-side size(shingles)
+    arrs = word_ngram_arrays(spread(d), 3).transform(materialize)
+    shingled = arrs.select("doc_id", F.explode("shingles").alias("shingle"))
+    counts = arrs.select(
+        "doc_id", F.size("shingles").cast("long").alias("n_sh")
+    )
     capped = drop_stop_shingles(shingled, label="doc_ngram_containment_pairs")
     # Size pre-filter (r12, the keep-best pattern one-sided): the final
     # test n_common / n_a >= 0.5 together with n_common <= n_b (common

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..materialize import materialize
 from ..catalog import load_table
-from ..operators.shingles import drop_stop_shingles, word_ngram_postings
+from ..operators.shingles import drop_stop_shingles, word_ngram_arrays
 from ._helpers import davg, spread
 from .registry import query
 
@@ -190,13 +190,18 @@ def doc_tf_idf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = tokens.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     df = tf.groupBy("tok").agg(F.count("*").alias("df"))
-    n_docs = d.count()  # driver-side scalar: one number, not data movement
+    # n_docs as a broadcast 1-row frame (r12 opt): the old d.count()
+    # was a separate scan job per execution purely to inline a literal;
+    # the oracle's own CROSS JOIN n shape does it inside the one plan.
+    # Same double: ln(n/df) is the identical IEEE division either way.
+    n = d.agg(F.count("*").cast("double").alias("_scalar_gate_n_docs"))
     return (
         tf.join(F.broadcast(df), "tok")
         .filter(F.col("doc_id") < 10)
+        .crossJoin(F.broadcast(n))
         .select(
             "doc_id", "tok",
-            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+            F.round(F.col("tf") * F.log(F.col("_scalar_gate_n_docs") / F.col("df")), 6)
             .alias("tfidf"),
         )
     )
@@ -319,12 +324,18 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     property in tests/test_differential.py).
     """
     d = load_table(spark, sf_dir, "documents")
-    # Three consumers (both join sides + counts) would each recompute
-    # the shingle explode; materialize it once (measured 1.5x at sf0.1).
-    # At cluster scale: persist the shingled frame (or reuse the stored
-    # signature table) instead of an executor-local checkpoint.
-    shingled = word_ngram_postings(spread(d), 3).transform(materialize)
-    counts = shingled.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # Doc-level shingle ARRAYS are the materialized representation
+    # (r12 opt, the jaccard_prefix_filter_pairs shape): one checkpoint
+    # row per document, per-doc counts as a map-side size(shingles)
+    # instead of a doc_id count shuffle, and the inverted-index form
+    # recovered with a free explode for the join sides. At cluster
+    # scale: persist the array frame (or reuse the stored signature
+    # table) instead of an executor-local checkpoint.
+    arrs = word_ngram_arrays(spread(d), 3).transform(materialize)
+    shingled = arrs.select("doc_id", F.explode("shingles").alias("shingle"))
+    counts = arrs.select(
+        "doc_id", F.size("shingles").cast("long").alias("n_sh")
+    )
     capped = drop_stop_shingles(shingled, label="ngram_jaccard_pairs")
     a = capped.alias("a")
     b = capped.alias("b")
@@ -1136,8 +1147,13 @@ def dedup_keep_best_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import connected_components
 
     d = load_table(spark, sf_dir, "documents")
-    shingled = word_ngram_postings(spread(d), 3).transform(materialize)
-    cnt = shingled.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # doc-level arrays as the checkpointed form (r12 opt — see
+    # ngram_jaccard_pairs): counts become map-side size(shingles)
+    arrs = word_ngram_arrays(spread(d), 3).transform(materialize)
+    shingled = arrs.select("doc_id", F.explode("shingles").alias("shingle"))
+    cnt = arrs.select(
+        "doc_id", F.size("shingles").cast("long").alias("n_sh")
+    )
     # stop-shingle cap on the join sides only (counts stay exact): when
     # it triggers, n_common undercounts by the boilerplate grams, so
     # edges are CONSERVATIVE (missed edge = docs similar mostly via
