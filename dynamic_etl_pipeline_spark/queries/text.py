@@ -993,8 +993,14 @@ def doc_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     n_pairs = F.greatest(F.size("toks") - 1, F.lit(0))
+    # one spread frame feeds BOTH the bigram explode and the vocab
+    # count (r12 opt): the vocab branch previously re-tokenized the
+    # corpus on the raw single-row-group scan (one task); sharing the
+    # repartitioned frame parallelizes it and lets Catalyst reuse the
+    # spread exchange between the branches.
+    sd = spread(d)
     big = (
-        spread(d).select("doc_id", toks.alias("toks"))
+        sd.select("doc_id", toks.alias("toks"))
         .select(
             "doc_id",
             F.explode(
@@ -1008,7 +1014,7 @@ def doc_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "p.w1", "p.w2")
     )
     vocab = (
-        d.select(F.explode(toks).alias("term"))
+        sd.select(F.explode(toks).alias("term"))
         .agg(F.countDistinct("term").alias("v"))
     )
     c2 = big.groupBy("w1", "w2").agg(F.count("*").alias("n2"))
