@@ -32,7 +32,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
 from ..materialize import materialize
 
@@ -92,14 +92,23 @@ def _perm_coeffs(num_perm: int, seed: int) -> list[tuple[int, int]]:
     return list(zip(a.tolist(), b.tolist()))
 
 
-def _sig_udf(num_perm: int, seed: int, shingle_n: int):
-    """Arrow-batched numpy kernel: from per-doc TOKEN-hash arrays, the
-    rolling shingle polynomial AND all permutation minima in one C
-    sweep per batch. Doing the n-gram fold here (instead of zip_with
-    column expressions) keeps the whole shingle pipeline out of the
-    interpreted higher-order-function path — one flat vectorized pass
-    over every token in the batch. MinHash minima are insensitive to
-    duplicate shingles, so no distinct step is needed anywhere.
+def _sig_kernel(num_perm: int, seed: int, shingle_n: int, id_name: str):
+    """Arrow-batched numpy kernel (``mapInArrow`` form): from per-doc
+    TOKEN-hash arrays, the rolling shingle polynomial AND all
+    permutation minima in one C sweep per batch. Doing the n-gram fold
+    here (instead of zip_with column expressions) keeps the whole
+    shingle pipeline out of the interpreted higher-order-function path —
+    one flat vectorized pass over every token in the batch. MinHash
+    minima are insensitive to duplicate shingles, so no distinct step
+    is needed anywhere.
+
+    mapInArrow instead of a pandas_udf (r13 optimization, guide §4.2):
+    the kernel's natural inputs are exactly an Arrow ListArray's
+    buffers — one flat int64 values vector plus per-row lengths — so
+    reading the record batch directly skips the Arrow->pandas
+    materialization of one Python object per row that dominated the
+    signature stage (measured x0.47 at sf0.1, bit-identical output;
+    the numpy math below is unchanged from the pandas_udf form).
 
     The gram value matches the old zip_with fold bit-for-bit:
     (sum_j h_j * 8191^(n-1-j)) mod M31 with h_j pre-reduced mod M31
@@ -117,53 +126,67 @@ def _sig_udf(num_perm: int, seed: int, shingle_n: int):
         dtype=np.int64,
     )
 
-    @pandas_udf(ArrayType(LongType()))
-    def sig(th: pd.Series) -> pd.Series:
-        n = shingle_n
-        lens = np.fromiter(
-            (0 if x is None else len(x) for x in th),
-            dtype=np.int64, count=len(th),
-        )
-        gcounts = np.maximum(lens - n + 1, 0)
-        out: list[list[int] | None] = [None] * len(th)
-        if gcounts.sum() == 0:
-            return pd.Series(out)
-        flat = np.concatenate(
-            [np.asarray(x, dtype=np.int64) for x in th
-             if x is not None and len(x)]
-        ) % _M31
-        ne_lens = lens[lens > 0]
-        # gram values over the concatenated token stream ...
-        gall = np.zeros(len(flat) - n + 1, dtype=np.int64)
-        for j in range(n):
-            gall += flat[j: len(flat) - n + 1 + j] * P[j]
-        gall %= _M31
-        # ... dropping the grams that straddle a row boundary
-        starts = np.zeros(len(ne_lens), dtype=np.int64)
-        np.cumsum(ne_lens[:-1], out=starts[1:])
-        valid = np.ones(len(gall), dtype=bool)
-        for j in range(1, n):
-            # clamp both ends: a short FINAL doc (< n-1 tokens) puts its
-            # boundary-cross positions past the end of gall
-            cross = starts[1:] - j
-            valid[cross[(cross >= 0) & (cross < len(gall))]] = False
-        gvalid = gall[valid]
-        ne_g = np.maximum(ne_lens - n + 1, 0)
-        seg = ne_g[ne_g > 0]
-        goffs = np.zeros(len(seg), dtype=np.int64)
-        np.cumsum(seg[:-1], out=goffs[1:])
-        mins = np.empty((len(seg), num_perm), dtype=np.int64)
-        for i in range(num_perm):
-            vals = (A[i] * gvalid + B[i]) % _M31
-            mins[:, i] = np.minimum.reduceat(vals, goffs)
-        j = 0
-        for row, gc in enumerate(gcounts):
-            if gc > 0:
-                out[row] = mins[j].tolist()
-                j += 1
-        return pd.Series(out)
+    def sig_batches(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-    return sig
+        n = shingle_n
+        for batch in batches:
+            ids = batch.column(0)
+            th = batch.column(1)
+            # per-row token counts; NULL token arrays count as 0 (and
+            # flatten() below skips null slots), mirroring the old
+            # per-row None handling
+            lens = pc.list_value_length(th).fill_null(0).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            nrows = len(lens)
+            gcounts = np.maximum(lens - n + 1, 0)
+            valid_out = gcounts > 0
+            if gcounts.sum() == 0:
+                sig = pa.ListArray.from_arrays(
+                    pa.array(np.zeros(nrows + 1, dtype=np.int32)),
+                    pa.array([], type=pa.int64()),
+                    mask=pa.array(~valid_out))
+                yield pa.RecordBatch.from_arrays(
+                    [ids, sig], [id_name, "sig"])
+                continue
+            flat = th.flatten().to_numpy(
+                zero_copy_only=False).astype(np.int64) % _M31
+            ne_lens = lens[lens > 0]
+            # gram values over the concatenated token stream ...
+            gall = np.zeros(len(flat) - n + 1, dtype=np.int64)
+            for j in range(n):
+                gall += flat[j: len(flat) - n + 1 + j] * P[j]
+            gall %= _M31
+            # ... dropping the grams that straddle a row boundary
+            starts = np.zeros(len(ne_lens), dtype=np.int64)
+            np.cumsum(ne_lens[:-1], out=starts[1:])
+            valid = np.ones(len(gall), dtype=bool)
+            for j in range(1, n):
+                # clamp both ends: a short FINAL doc (< n-1 tokens)
+                # puts its boundary-cross positions past the end
+                cross = starts[1:] - j
+                valid[cross[(cross >= 0) & (cross < len(gall))]] = False
+            gvalid = gall[valid]
+            ne_g = np.maximum(ne_lens - n + 1, 0)
+            seg = ne_g[ne_g > 0]
+            goffs = np.zeros(len(seg), dtype=np.int64)
+            np.cumsum(seg[:-1], out=goffs[1:])
+            mins = np.empty((len(seg), num_perm), dtype=np.int64)
+            for i in range(num_perm):
+                vals = (A[i] * gvalid + B[i]) % _M31
+                mins[:, i] = np.minimum.reduceat(vals, goffs)
+            offs = np.zeros(nrows + 1, dtype=np.int32)
+            np.cumsum(
+                np.where(valid_out, num_perm, 0).astype(np.int32),
+                out=offs[1:],
+            )
+            sig = pa.ListArray.from_arrays(
+                pa.array(offs), pa.array(mins.reshape(-1)),
+                mask=pa.array(~valid_out))
+            yield pa.RecordBatch.from_arrays([ids, sig], [id_name, "sig"])
+
+    return sig_batches
 
 
 def portable_token_hash(t: Column) -> Column:
@@ -194,7 +217,6 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     Documents with no shingles (shorter than shingle_n words) are
     dropped, matching grouped-agg semantics.
     """
-    sig = _sig_udf(num_perm, seed, shingle_n)
     if udf_partitions is not None:
         # Arrow-batch efficiency knob: per-partition Python-worker
         # round-trips dominate when partitions are tiny (a small file
@@ -209,8 +231,16 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
         else (lambda t: F.hash(t).cast("long"))
     )
     token_hashes = F.transform(F.split(F.trim(c), r"\s+"), tok_hash)
+    kernel = _sig_kernel(num_perm, seed, shingle_n, id_col)
+    out_schema = StructType([
+        StructField(id_col, df.schema[id_col].dataType),
+        StructField("sig", ArrayType(LongType())),
+    ])
     return (
-        df.select(F.col(id_col), sig(token_hashes).alias("sig"))
+        # explicit 2-column projection before the opaque map (guide
+        # §4.1): mapInArrow ships every column it receives
+        df.select(F.col(id_col), token_hashes.alias("_th"))
+        .mapInArrow(kernel, out_schema)
         .filter(F.col("sig").isNotNull())
     )
 
@@ -220,16 +250,47 @@ def band_postings(sigs: DataFrame, id_col: str, bands: int, r: int,
     """(_id, band_id, band_hash) LSH postings from a signature frame —
     the skinny rows every band join (batch self-join or incremental
     index probe) moves; the num_perm-long signature array never enters
-    a shuffle. ``portable`` keys bands on the joined minima string
-    instead of xxhash64 of it: band-key equality is then EXACTLY
-    minima-tuple equality (no 2^-64 hash-collision candidates), which
-    an exact SQL oracle can reproduce; the compact hashed key stays
-    the default for the engine-hash mode's narrower shuffle."""
-    bkey = (
-        (lambda b: F.concat_ws(",", F.slice("sig", b * r + 1, r)))
-        if portable
-        else (lambda b: F.xxhash64(F.concat_ws(",", F.slice("sig", b * r + 1, r))))
-    )
+    a shuffle.
+
+    ``portable`` keys bands on the minima TUPLE itself: band-key
+    equality is then EXACTLY minima-tuple equality (no 2^-64
+    hash-collision candidates), which an exact SQL oracle can
+    reproduce. Since r13 the tuple is packed as a struct of longs —
+    each minimum is < 2^31 (Carter-Wegman mod M31), so adjacent pairs
+    pack bijectively into ``m_lo * 2^31 + m_hi`` — instead of the old
+    comma-joined decimal STRING: key equality is unchanged (packing is
+    injective), but the posting row shrinks (~43 string bytes -> 16
+    key bytes at r=4) and the self-join compares/hashes longs instead
+    of strings, with no per-posting int->string formatting (guide
+    §2.3: shuffle fewer bytes). The compact xxhash64 key stays the
+    default for the engine-hash mode's narrower shuffle.
+
+    (The key stays inside the ``transform(sequence(...))`` higher-order
+    form: statically unrolling the 16 struct expressions into an array
+    literal was measured 4-6x SLOWER to build at sf0.1 — the 64-getItem
+    projection falls out of whole-stage codegen — while the small HOF
+    lambda evaluates cheaply per band.)"""
+    sig = F.col("sig")
+    if portable:
+        def bkey(b: Column) -> Column:
+            fields = []
+            j = 0
+            while j < r:
+                lo = F.get(sig, b * r + j)
+                if j + 1 < r:
+                    hi = F.get(sig, b * r + j + 1)
+                    fields.append(
+                        (lo * F.lit(1 << 31) + hi).alias(f"k{j // 2}")
+                    )
+                else:
+                    fields.append(lo.alias(f"k{j // 2}"))
+                j += 2
+            return F.struct(*fields)
+    else:
+        def bkey(b: Column) -> Column:
+            return F.xxhash64(
+                F.concat_ws(",", F.slice("sig", b * r + 1, r))
+            )
     return sigs.select(
         F.col(id_col).alias("_id"),
         F.posexplode(
@@ -406,18 +467,21 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
         # array itself, not a hash of it: no collision can ever merge
         # two genuinely different documents.
         wsig = Window.partitionBy("sig")
+        # Fast path: a corpus with no exact-dup signatures (the common
+        # case after an upstream exact dedup) needs no reconstruction —
+        # the representative set IS the document set, so skip the
+        # expansion joins entirely. The max(_gn) probe rides the
+        # materialize action as an Observation metric (r13: replaces
+        # the r12 separate agg+first job — zero extra jobs, same
+        # pattern as connected_components' convergence check; the
+        # eager checkpoint is the action that delivers it).
+        obs = Observation()
         mem0 = sigs_raw.select(
             id_col, "sig",
             F.min(id_col).over(wsig).alias("_rep"),
             F.count("*").over(wsig).alias("_gn"),
-        ).transform(materialize)
-        # Fast path: a corpus with no exact-dup signatures (the common
-        # case after an upstream exact dedup) needs no reconstruction —
-        # the representative set IS the document set, so skip the
-        # expansion joins entirely. One max(_gn) probe on the
-        # checkpointed frame answers it (r12: replaces the old
-        # reps.count()+sigs.count() two-job pair).
-        max_gn = mem0.agg(F.max("_gn")).first()[0]
+        ).observe(obs, F.max("_gn").alias("max_gn")).transform(materialize)
+        max_gn = obs.get["max_gn"]
         if (max_gn or 1) == 1:
             collapse_identical = False
             sigs = mem0.select(id_col, "sig")
@@ -559,14 +623,17 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
         # skew exposure unchanged (the membership join already shuffled
         # every row by fp).
         wfp = Window.partitionBy("fp")
+        # fast path: no duplicate fingerprints -> no reconstruction
+        # needed; the max(_gn) probe rides the materialize action as
+        # an Observation metric (r13 — zero extra jobs, the CC
+        # convergence pattern)
+        obs = Observation()
         mem0 = fp_raw.select(
             "_id", "fp",
             F.min("_id").over(wfp).alias("_rep"),
             F.count("*").over(wfp).alias("_gn"),
-        ).transform(materialize)
-        # fast path: no duplicate fingerprints -> no reconstruction
-        # needed (one max(_gn) probe on the checkpointed frame)
-        if (mem0.agg(F.max("_gn")).first()[0] or 1) == 1:
+        ).observe(obs, F.max("_gn").alias("max_gn")).transform(materialize)
+        if (obs.get["max_gn"] or 1) == 1:
             collapse_identical = False
             chunk_src = mem0.select("_id", "fp")
         else:

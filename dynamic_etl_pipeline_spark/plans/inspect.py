@@ -90,11 +90,12 @@ def exchange_count(df: DataFrame) -> int:
 
 def python_eval_count(df: DataFrame) -> int:
     """Number of Python-evaluation operators (BatchEvalPython /
-    ArrowEvalPython / MapInPandas...) — 0 means the plan is fully
-    JVM-side."""
+    ArrowEvalPython / MapInPandas / MapInArrow...) — 0 means the plan
+    is fully JVM-side."""
     return len(
         re.findall(
-            r"BatchEvalPython|ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas",
+            r"BatchEvalPython|ArrowEvalPython|MapInPandas"
+            r"|FlatMapGroupsInPandas|MapInArrow",
             formatted_plan(df),
         )
     )
