@@ -544,27 +544,111 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     return _expand_group_pairs(rep_pairs, mem, "est_jaccard", max_group_expand)
 
 
+def _simhash_fp_flat(flat: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Majority vote per bit over CONCATENATED token hashes: ``flat``
+    is the uint64 token-hash stream of all non-empty docs in row
+    order, ``lens`` their token counts (> 0). One
+    ``np.add.reduceat`` per bit position — 64 C passes over the whole
+    batch instead of a Python-level loop over rows. Returns int64
+    fingerprints, bit-identical to the per-row formulation
+    (same popcount-majority arithmetic, just batched)."""
+    goffs = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=goffs[1:])
+    fp = np.zeros(len(lens), dtype=np.uint64)
+    one = np.uint64(1)
+    for b in range(64):
+        ones = np.add.reduceat((flat >> np.uint64(b)) & one, goffs)
+        fp |= (2 * ones > lens.astype(np.uint64)).astype(np.uint64) << np.uint64(b)
+    return fp.view(np.int64)
+
+
 @pandas_udf(LongType())
 def _simhash_votes(hs: pd.Series) -> pd.Series:
-    """Majority vote per bit over a doc's token hashes, vectorized: per
-    doc, a (tokens x 64) bit matrix summed down the columns. numpy C
-    throughput vs 64 interpreted ``aggregate`` passes per row.
-
-    Null/empty token arrays (NULL or empty text upstream) yield NULL,
-    mirroring the MinHash signature kernel's null handling."""
-    shifts = np.arange(64, dtype=np.uint64)
-    out: list[int | None] = []
-    for x in hs:
-        if x is None or len(x) == 0:
-            out.append(None)
-            continue
-        arr = np.asarray(x, dtype=np.int64).view(np.uint64)
-        ones = ((arr[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
-        fp = np.bitwise_or.reduce(
-            ((2 * ones > len(arr)).astype(np.uint64)) << shifts
-        )
-        out.append(int(np.array([fp], dtype=np.uint64).view(np.int64)[0]))
+    """Majority vote per bit over a doc's token hashes (the Column-API
+    form behind :func:`simhash64`; :func:`simhash_fingerprints` is the
+    mapInArrow frame form the pair pipeline uses). Null/empty token
+    arrays (NULL or empty text upstream) yield NULL, mirroring the
+    MinHash signature kernel's null handling."""
+    lens = np.fromiter(
+        (0 if x is None else len(x) for x in hs),
+        dtype=np.int64, count=len(hs),
+    )
+    out: list[int | None] = [None] * len(hs)
+    if lens.sum() == 0:
+        return pd.Series(out, dtype="Int64")
+    flat = np.concatenate(
+        [np.asarray(x, dtype=np.int64) for x in hs
+         if x is not None and len(x)]
+    ).view(np.uint64)
+    fps = _simhash_fp_flat(flat, lens[lens > 0])
+    j = 0
+    for row, ln in enumerate(lens):
+        if ln > 0:
+            out[row] = int(fps[j])
+            j += 1
     return pd.Series(out, dtype="Int64")
+
+
+def _simhash_kernel(id_name: str):
+    """mapInArrow twin of :func:`_simhash_votes` (r13, guide §4.2):
+    reads the token-hash ListArray buffers directly — flat values +
+    per-row lengths — so no per-row Python object ever materializes;
+    the vote math is the shared :func:`_simhash_fp_flat`."""
+    def fp_batches(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            ids = batch.column(0)
+            th = batch.column(1)
+            lens = pc.list_value_length(th).fill_null(0).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            nrows = len(lens)
+            valid = lens > 0
+            if not valid.any():
+                fp = pa.array([None] * nrows, type=pa.int64())
+                yield pa.RecordBatch.from_arrays(
+                    [ids, fp], [id_name, "fp"])
+                continue
+            flat = th.flatten().to_numpy(
+                zero_copy_only=False).astype(np.int64).view(np.uint64)
+            fps = _simhash_fp_flat(flat, lens[valid])
+            out = np.zeros(nrows, dtype=np.int64)
+            out[valid] = fps
+            fp = pa.array(out, mask=~valid)
+            yield pa.RecordBatch.from_arrays([ids, fp], [id_name, "fp"])
+
+    return fp_batches
+
+
+def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str,
+                         portable_hash: bool = False) -> DataFrame:
+    """(_id, fp) SimHash fingerprints via the mapInArrow kernel — the
+    frame-level twin of the ``simhash64`` Column (r13): same JVM
+    token hashing, same vote math, but the Arrow list buffers feed
+    numpy directly instead of per-row pandas objects. Docs with no
+    tokens (NULL/blank text) are dropped (NULL fingerprint)."""
+    c = F.col(text_col)
+    toks = F.when(
+        F.length(F.trim(c)) > 0, F.split(F.trim(c), r"\s+")
+    )
+    tok_hash = (
+        portable_token_hash if portable_hash
+        else (lambda t: F.xxhash64(t))
+    )
+    kernel = _simhash_kernel("_id")
+    out_schema = StructType([
+        StructField("_id", df.schema[id_col].dataType),
+        StructField("fp", LongType()),
+    ])
+    return (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.transform(toks, tok_hash).alias("_th"),
+        )
+        .mapInArrow(kernel, out_schema)
+        .filter(F.col("fp").isNotNull())
+    )
 
 
 def simhash64(col: Column | str, portable_hash: bool = False) -> Column:
@@ -610,10 +694,11 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
     2^16 per position — are capped via ``_cap_postings``."""
     if udf_partitions is not None:
         df = df.repartition(udf_partitions)  # see minhash_signatures
-    fp_raw = df.select(
-        F.col(id_col).alias("_id"),
-        simhash64(text_col, portable_hash=portable_hash).alias("fp"),
-    ).filter(F.col("fp").isNotNull())  # null/empty text: no fingerprint
+    # mapInArrow fingerprint form (r13): same hashes + vote math as
+    # simhash64, without the per-row pandas materialization
+    fp_raw = simhash_fingerprints(
+        df, id_col, text_col, portable_hash=portable_hash
+    )  # null/empty text: no fingerprint (dropped)
     mem = None
     if collapse_identical:
         # Single-pass collapse (r12, same rework as minhash_lsh_pairs):

@@ -277,16 +277,28 @@ def two_level_quantiles(
     part_cols = list(part_cols)
     gcols = ["_tq_g"] if part_cols else []
     v = F.col(val_col)
-    base = df.filter(v.isNotNull()).select(
-        *([F.struct(*part_cols).alias("_tq_g")] if part_cols else []),
-        v.alias("_tq_v"),
-        bucket_of(v).alias("_tq_bk"),
-        *[
+
+    def _flags() -> list[Column]:
+        return [
             (F.lit(1) if pred is None
              else F.when(pred, 1).otherwise(0)).alias(f"_tq_in_{nm}")
             for nm, pred in channels
-        ],
+        ]
+
+    # ``pre`` keeps the original columns alive so the channel
+    # predicates can be (re-)evaluated on either side; the hit-bucket
+    # probe below computes them AFTER its broadcast join (r13 opt),
+    # so an expensive predicate (e.g. the md5 hash-sample channel)
+    # runs on the handful of bracketing-bucket rows in the second
+    # scan, not on the full corpus twice. Flags are deterministic
+    # row functions, so filtering first changes nothing.
+    pre = df.filter(v.isNotNull()).select(
+        df["*"],
+        *([F.struct(*part_cols).alias("_tq_g")] if part_cols else []),
+        v.alias("_tq_v"),
+        bucket_of(v).alias("_tq_bk"),
     )
+    base = pre.select(*gcols, "_tq_v", "_tq_bk", *_flags())
     per_bucket = base.groupBy(*gcols, "_tq_bk").agg(
         *[F.sum(f"_tq_in_{nm}").alias(f"_tq_c_{nm}") for nm in names]
     )
@@ -403,11 +415,13 @@ def two_level_quantiles(
         )
     )
     # second scan touches only the hit buckets; the window partitions
-    # by (group, bucket), so no task ever sorts more than one bucket
-    probe = base.join(
+    # by (group, bucket), so no task ever sorts more than one bucket.
+    # Channel flags are computed AFTER the broadcast join (r13): only
+    # surviving hit-bucket rows pay the channel predicates here.
+    probe = pre.join(
         F.broadcast(hits.select(*gcols, "_tq_bk").distinct()),
         gcols + ["_tq_bk"],
-    )
+    ).select(*gcols, "_tq_bk", "_tq_v", *_flags())
     wloc = (
         Window.partitionBy(*gcols, "_tq_bk").orderBy("_tq_v")
         .rowsBetween(Window.unboundedPreceding, 0)

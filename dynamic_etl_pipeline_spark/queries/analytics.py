@@ -1661,19 +1661,29 @@ def copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = und.select(F.col("s").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
-    w = Window.partitionBy("s").orderBy(F.desc("c"), F.asc("label"))
+    # Per-round argmax as ONE deterministic-mode aggregate (r13 opt):
+    # mode(label, deterministic=True) returns the most frequent label,
+    # ties to the LOWEST value — exactly the oracle's row_number()
+    # OVER (PARTITION BY s ORDER BY c DESC, label) = 1. The r12 shape
+    # paid two exchanges + a sort per round ({groupBy(s,label) count ->
+    # exchange(s,label)} then {row_number window -> exchange(s) +
+    # sort}); the mode aggregate is a single exchange(s) with map-side
+    # partial maps and no sort, and its output partitioning (s = the
+    # next round's node) feeds the next join without re-shuffling the
+    # labels side. Interleaved A/B at sf0.1: x0.74, identical rows.
     for _ in range(_LPA_ROUNDS):
         labels = (
             und.join(labels, und["d"] == labels["node"])
-            .groupBy("s", "label")
-            .agg(F.count("*").alias("c"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
+            .groupBy("s")
+            .agg(F.mode("label", deterministic=True).alias("label"))
             .select(F.col("s").alias("node"), "label")
         )
-    sizes = labels.groupBy("label").agg(F.count("*").alias("comm_n"))
-    return (
-        labels.join(sizes, "label")
-        .select(F.col("node").alias("part"), F.col("label").alias("community"),
-                "comm_n")
+    # community sizes as a count window over the final labels instead
+    # of a groupBy+self-join: the r12 join consumed the whole unrolled
+    # LPA subtree TWICE (once per join side); the window consumes it
+    # once and adds a single label-keyed exchange.
+    return labels.select(
+        F.col("node").alias("part"),
+        F.col("label").alias("community"),
+        F.count("*").over(Window.partitionBy("label")).alias("comm_n"),
     )
