@@ -1151,8 +1151,20 @@ def kmeans_exact_fit(df: DataFrame, n_centroids: int = 8,
     # normalized input for the same reason). materialize() keeps this
     # cluster-safe: localCheckpoint locally, DISK_ONLY/reliable
     # checkpoint under the session's cluster flag.
+    from pyspark.sql import Observation
+
     from ..materialize import materialize
 
+    # The dim probe rides the materialize action as an Observation
+    # metric (r13 opt — the CC-convergence pattern): the eager
+    # checkpoint is a full pass anyway, so reading max(size(qv)) there
+    # removes the separate one-row probe job while still delivering
+    # dim BEFORE the n_centroids-row seed collect (the k*dim
+    # driver-state guard must fire first — a fail-fast that collects
+    # k rows would itself be the state it guards against). max() makes
+    # the probe deterministic where first() depended on row order;
+    # identical for the uniform-dim inputs the operator is defined on.
+    obs = Observation()
     base = materialize(
         df.filter(F.col(vec_col).isNotNull())
         .select(F.col(id_col), qv.alias("qv"))
@@ -1165,14 +1177,11 @@ def kmeans_exact_fit(df: DataFrame, n_centroids: int = 8,
         # symmetric with the vec_col.isNotNull() filter above.
         .filter(F.forall("qv", lambda x: x.isNotNull()))
         .withColumn("qd", F.transform(F.col("qv"), lambda x: x.cast("double")))
+        .observe(obs, F.max(F.size("qv")).alias("dim"))
     )
-    # Probe dim from ONE row so the k*dim driver-state guard can fire
-    # BEFORE the n_centroids-row seed collect (a fail-fast that first
-    # collects k rows would itself be the state it guards against).
-    probe = base.select(F.size("qv").alias("_d")).first()
-    if probe is None:
+    dim = obs.get["dim"]
+    if dim is None:
         raise ValueError("kmeans_exact_assign: no non-null vectors")
-    dim = probe["_d"]
     import os
 
     cells = n_centroids * dim

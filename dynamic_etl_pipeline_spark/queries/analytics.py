@@ -57,10 +57,14 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     single exchange reused by both inputs); the `<` residual halves the
     pair space. Pair count per order is bounded by lines-per-order
     (~7), so output stays linear in |lineitem| at any scale."""
+    # repartition-by-join-key before the dedup: one exchange serves
+    # the distinct AND the self-join (r13, measured on the identical
+    # copurchase_communities edge build: x0.65, identical rows)
     op = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
+        .repartition("l_orderkey")
+        .dropDuplicates()
     )
     a = op.alias("a")
     b = op.alias("b")
@@ -909,10 +913,14 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on a vertex key — the standard distributed triangle
     algorithm; orientation also caps the join fan-out by forward
     degree. The edge list is built once and reused by all three legs."""
+    # repartition-by-join-key before the dedup: one exchange serves
+    # the distinct AND the self-join (r13, measured on the identical
+    # copurchase_communities edge build: x0.65, identical rows)
     op = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
+        .repartition("l_orderkey")
+        .dropDuplicates()
     )
     a, b = op.alias("a"), op.alias("b")
     e = (
@@ -1628,10 +1636,20 @@ def copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     node. Rounds unroll into the plan — no driver round trips at all,
     and label frames stay (node, label) pairs however large the graph.
     """
+    # Repartition by the JOIN key before the dedup (r13 opt, guide
+    # §2.4 "share one exchange"): hash partitioning on l_orderkey
+    # alone satisfies both the (l_orderkey, l_partkey) distinct's
+    # clustering requirement AND the self-join's, so ONE row-level
+    # exchange serves both where .distinct() forced a second
+    # orderkey exchange. Measured edges+materialize x0.65 at sf0.1,
+    # identical edge set. (Map-side partial dedup is forfeited, but
+    # (order, part) repeats only for multi-line parts within one
+    # order — a bounded small factor at any scale.)
     op = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
+        .repartition("l_orderkey")
+        .dropDuplicates()
     )
     a, b = op.alias("a"), op.alias("b")
     e = (
@@ -1670,7 +1688,10 @@ def copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sort}); the mode aggregate is a single exchange(s) with map-side
     # partial maps and no sort, and its output partitioning (s = the
     # next round's node) feeds the next join without re-shuffling the
-    # labels side. Interleaved A/B at sf0.1: x0.74, identical rows.
+    # labels side. Same-session A/B of the unrolled rounds alone:
+    # x0.62 at sf0.1 (plan shrinks 18 Window -> 1, 14 SMJ -> 6); the
+    # whole query moves less (the edge build above dominates it).
+    # Identical rows.
     for _ in range(_LPA_ROUNDS):
         labels = (
             und.join(labels, und["d"] == labels["node"])
