@@ -779,6 +779,30 @@ _CMS_ROWS_SQL = " UNION ALL ".join(
 )
 
 
+def _cms_word_probes(d: DataFrame, text_col: str = "text"):
+    """(wc, probes) for the portable CMS: the word-count aggregate is
+    materialized ONCE (vocab-sized — bounded at any corpus scale), and
+    the d probe rows come from one posexplode instead of a d-way
+    union (r13 opt). The pre-r13 shape re-planned the whole corpus
+    tokenize + word count under EVERY union branch of BOTH consumers
+    (8 scan subtrees in the plan; runtime exchange reuse still paid
+    the vocab-sized final aggregate per branch); now the corpus is
+    tokenized once per run and the probes read checkpoint blocks.
+    Same rows, same values — j is the posexplode position, the bucket
+    expressions are unchanged."""
+    wc = materialize(
+        d.select(F.explode(F.split(text_col, " ")).alias("word"))
+        .groupBy("word").agg(F.count("*").alias("cnt"))
+    )
+    probes = wc.select(
+        "word", "cnt",
+        F.posexplode(F.array(*[
+            F.expr(_cms_bucket(j)).cast("int") for j in range(_CMS_D)
+        ])).alias("j", "b"),
+    )
+    return wc, probes
+
+
 @query("word_count_min_sketch", oracle=f"""
 WITH tok AS (
   SELECT unnest(string_split(text, ' ')) AS word FROM documents
@@ -811,18 +835,9 @@ def word_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     Here the exact counts ride along (the fixture is small) so the
     estimate/truth gap is itself the test; production would build only
     the sketch side."""
-    d = spread(load_table(spark, sf_dir, "documents"))
-    wc = (
-        d.select(F.explode(F.split("text", " ")).alias("word"))
-        .groupBy("word").agg(F.count("*").alias("cnt"))
+    wc, probes = _cms_word_probes(
+        spread(load_table(spark, sf_dir, "documents"))
     )
-    probes = None
-    for j in range(_CMS_D):
-        p = wc.select(
-            "word", "cnt", F.lit(j).alias("j"),
-            F.expr(_cms_bucket(j)).cast("int").alias("b"),
-        )
-        probes = p if probes is None else probes.unionAll(p)
     sketch = probes.groupBy("j", "b").agg(F.sum("cnt").alias("cell"))
     est = (
         probes.join(F.broadcast(sketch), ["j", "b"])
@@ -881,17 +896,7 @@ WHERE cms_estimate * {_HH_DENOM} >= n
 def heavy_hitters_cms(d: DataFrame, text_col: str = "text") -> DataFrame:
     """CMS heavy hitters over any (…, text) frame — the construction
     word_heavy_hitters_cms registers; see its docstring."""
-    wc = (
-        d.select(F.explode(F.split(text_col, " ")).alias("word"))
-        .groupBy("word").agg(F.count("*").alias("cnt"))
-    )
-    probes = None
-    for j in range(_CMS_D):
-        p = wc.select(
-            "word", "cnt", F.lit(j).alias("j"),
-            F.expr(_cms_bucket(j)).cast("int").alias("b"),
-        )
-        probes = p if probes is None else probes.unionAll(p)
+    wc, probes = _cms_word_probes(d, text_col)
     sketch = probes.groupBy("j", "b").agg(F.sum("cnt").alias("cell"))
     est = (
         probes.join(F.broadcast(sketch), ["j", "b"])
