@@ -56,22 +56,41 @@ def normalize_event_ts(df: DataFrame, ntz: bool = True) -> DataFrame:
 # 26 ms with an explicit schema, ~0.1 s saved per load_table call at
 # ANY scale. This is the production stance the bench ingest path
 # already documents ("schemas are declared, not re-inferred per
-# batch") applied to the fixture catalog: infer once per (path,
-# nanos-mode), then declare. Keyed on the nanosAsLong conf too because
-# it changes what the reader reports for TIMESTAMP(NANOS) columns
-# (LongType vs TimestampType) — two sessions with different settings
-# must not share an entry. Fixture tables are immutable per path, so
-# no invalidation is needed; tests that write their own parquet use
-# fresh tempdir paths.
-_SCHEMA_CACHE: dict[tuple[str, str], "object"] = {}
+# batch") applied to the fixture catalog: infer once, then declare.
+# The key covers (ADVICE r12): the path's mtime+size (a rewritten
+# fixture invalidates naturally), and every session conf that changes
+# what parquet schema inference reports — nanosAsLong (TIMESTAMP(NANOS)
+# as LongType vs TimestampType), inferTimestampNTZ, binaryAsString,
+# int96AsTimestamp — so sessions with different settings never share
+# an entry.
+_SCHEMA_CACHE: dict[tuple, "object"] = {}
 
-_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+_INFERENCE_CONFS = (
+    ("spark.sql.legacy.parquet.nanosAsLong", "false"),
+    ("spark.sql.parquet.inferTimestampNTZ.enabled", "true"),
+    ("spark.sql.parquet.binaryAsString", "false"),
+    ("spark.sql.parquet.int96AsTimestamp", "true"),
+)
+
+
+def _schema_key(spark: SparkSession, path: str) -> tuple:
+    import os
+
+    try:
+        st = os.stat(path)
+        stamp = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        stamp = None  # non-local path (hdfs/s3): conf-only key
+    confs = tuple(
+        spark.conf.get(c, default) for c, default in _INFERENCE_CONFS
+    )
+    return (path, stamp, confs)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tune(spark)
     path = table_path(sf_dir, name)
-    key = (path, spark.conf.get(_NANOS_CONF, "false"))
+    key = _schema_key(spark, path)
     schema = _SCHEMA_CACHE.get(key)
     if schema is None:
         df = spark.read.parquet(path)

@@ -751,6 +751,11 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1.79 s at sf0.1, identical output (same IEEE ops: 1/n, 0.15/n,
     # and the damped sum are the same doubles whether n arrives as a
     # Python literal or a broadcast column).
+    # (Empty-graph note, ADVICE r12: with n as a broadcast column an
+    # empty nodes frame yields an empty result silently — the old
+    # Python count would have raised ZeroDivisionError. Fine here:
+    # empty edges => empty ranks is the sensible contract, and the
+    # fixtures guarantee a non-empty graph.)
     nf = F.broadcast(
         nodes.agg(F.count("*").cast("double").alias("_scalar_gate_n"))
     )

@@ -22,13 +22,29 @@ SF_DIR = "/root/testdata/sf0.001"
 
 def test_load_table_schema_cache_hits_and_matches(spark):
     """r12: load_table infers each table's schema once per (path,
-    nanos-mode) and declares it afterwards. The declared-schema read
-    must see the identical StructType the inference read saw."""
+    stat-stamp, inference-conf) key and declares it afterwards (the
+    key gained the file stamp + full conf tuple in r13, ADVICE r12).
+    The declared-schema read must see the identical StructType the
+    inference read saw, and rewriting the file must invalidate."""
     catalog._SCHEMA_CACHE.clear()
     first = catalog.load_table(spark, SF_DIR, "lineitem")
-    key = (catalog.table_path(SF_DIR, "lineitem"),
-           spark.conf.get(catalog._NANOS_CONF, "false"))
+    key = catalog._schema_key(
+        spark, catalog.table_path(SF_DIR, "lineitem"))
     assert key in catalog._SCHEMA_CACHE  # miss populated the cache
+    # a rewritten path gets a DIFFERENT key (mtime/size in the stamp)
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="cache_inval_")
+    p = f"{tmp}/t.parquet"
+    spark.range(3).toPandas().to_parquet(p)
+    k1 = catalog._schema_key(spark, p)
+    import pandas as pd
+
+    pd.DataFrame({"id": [1, 2, 3], "x": ["a", "b", "c"]}).to_parquet(p)
+    k2 = catalog._schema_key(spark, p)
+    assert k1 != k2
+    shutil.rmtree(tmp, ignore_errors=True)
     second = catalog.load_table(spark, SF_DIR, "lineitem")
     assert second.schema == first.schema
     # events goes through the same cache AND the ts normalization
@@ -68,12 +84,25 @@ def test_word_ngram_arrays_explode_is_postings(spark):
     assert sizes == counted == {1: 4, 4: 1, 5: 1}
 
 
-def test_connected_components_observation_convergence(spark):
+def test_connected_components_observation_convergence(spark, monkeypatch):
     """r12: the CC convergence check rides the checkpoint action as an
     Observation metric. Pin that (a) results are the min-label closure
-    and (b) the loop stops early — a 2-chain converges in far fewer
-    than max_iter rounds, which shows the metric is actually read (a
-    broken metric would either loop to max_iter or stop immediately)."""
+    and (b) the loop EXITS EARLY — the round count is observed by
+    counting materialize() calls (ADVICE r12: asserting only the final
+    closure let an always-truthy metric spin to max_iter undetected).
+    The deepest chain here is 20-21-22-23: min-label propagation
+    needs 3 label rounds + 1 no-change round = 5 materializes
+    (1 for the edge frame) — far below max_iter=20's 21."""
+    import dynamic_etl_pipeline_spark.operators.dedup as dedup_mod
+
+    calls = {"n": 0}
+    real = dedup_mod.materialize
+
+    def counting(df, eager=True):
+        calls["n"] += 1
+        return real(df, eager)
+
+    monkeypatch.setattr(dedup_mod, "materialize", counting)
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
         ["id_a", "id_b"],
@@ -84,6 +113,10 @@ def test_connected_components_observation_convergence(spark):
     }
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
                    20: 20, 21: 20, 22: 20, 23: 20}
+    # 1 edge materialize + one per executed round; early exit means
+    # far fewer than the 1 + max_iter ceiling (21)
+    assert calls["n"] <= 6, calls["n"]
+    assert calls["n"] >= 4, calls["n"]
 
 
 def test_connected_components_empty_edges(spark):
