@@ -1027,15 +1027,29 @@ def doc_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     neg_logp = -F.log(
         (F.col("n2") + 0.5) / (F.col("n1") + 0.5 * F.col("v"))
     )
-    return (
-        big.join(c2, ["w1", "w2"])
-        .join(c1, "w1")
+    # Precompute the per-bigram contribution on the VOCAB-sized model
+    # (c2 x c1 x v), then ONE equi-join attaches it to the occurrence
+    # stream (r13 opt): the old shape joined the token-level bigram
+    # frame twice (c2 on (w1,w2), then c1 on w1) plus a crossJoin —
+    # per-occurrence probe work x3 where the log-ratio is a function
+    # of the bigram TYPE alone. Same decimal per occurrence, same sum.
+    # Measured ~neutral at sf0.1 (focused A/Bs x0.94 and x1.08 — the
+    # model join is vocab-sized there); kept for the structural
+    # per-occurrence claim, which grows with the corpus. A
+    # materialized c2 was measured on top and rejected (no consistent
+    # further gain — exchange reuse already dedupes the c2 shuffle).
+    model = (
+        c2.join(c1, "w1")
         .crossJoin(F.broadcast(vocab))
+        .select("w1", "w2", neg_logp.alias("_lp"))
+    )
+    return (
+        big.join(model, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
             F.round(
-                F.sum(neg_logp.cast("decimal(27,12)")).cast("double")
+                F.sum(F.col("_lp").cast("decimal(27,12)")).cast("double")
                 / F.count("*"),
                 6,
             ).alias("avg_neg_logp"),
