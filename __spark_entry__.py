@@ -92,11 +92,36 @@ _FRONT = [
     # ivf_ann_topk (sampled r6-r7, rotated back in deliberately: it
     # rides the kmeans family whose state path round 12 rewrote).
     # All rotated-out rows remain swept + benched.
+    # r13 rotates out ten long-green rows — events_decay_ewma (r8, 5
+    # driver rounds green), the three r10 window-frame exotics
+    # (window_groups_frame / window_percent_rank_cume /
+    # window_range_frame; window_exclude_current keeps the frame tier
+    # sampled), events_funnel_conversion + events_weekly_retention
+    # (r10, 3 rounds), sql_lateral_top2_orders (r10, 3 rounds),
+    # asof_join_events (r10; its never-sampled FORWARD twin rotates in
+    # on the same operator), pdf_extract_pages (r5, long green),
+    # streaming_tumbling_rollup (r4, long green; two never-sampled
+    # streaming rows rotate in) — for ten never-driver-sampled
+    # exact-oracle rows, prioritized at the surfaces round 13 touched:
+    # word_count_min_sketch (r13 CMS rework), basket_part_pairs (r13
+    # shared-exchange edge build), bpe_merge_pairs,
+    # corpus_token_budget_fill (two-level running sum),
+    # streaming_stateful_sessions (the heaviest Python-state drain,
+    # r13-profiled) + streaming_stream_stream_join,
+    # asof_join_events_forward, part_pareto_frontier (two-level
+    # running max), events_linear_attribution,
+    # embedding_pc1_power_iteration (iterative exact tier). All
+    # rotated-out rows remain swept + benched.
     "q1_pricing_summary", "q3_shipping_priority",
-    # mutation / SCD2 / timeseries tier (r8 rotation; merge upsert +
-    # ratio_to_report rotated out r12 — corpus_pack_sequences keeps
-    # the two-level global-window surface sampled)
-    "scd2_customer_segments", "events_decay_ewma",
+    # mutation / SCD2 tier (r8 rotation; merge upsert + ratio_to_report
+    # rotated out r12 — corpus_pack_sequences keeps the two-level
+    # global-window surface sampled)
+    "scd2_customer_segments",
+    # r13 rotation: touched-this-round + never-sampled tiers
+    "word_count_min_sketch", "basket_part_pairs", "bpe_merge_pairs",
+    "corpus_token_budget_fill", "asof_join_events_forward",
+    "part_pareto_frontier", "events_linear_attribution",
+    "embedding_pc1_power_iteration",
     # portable sketch tier (r7): the two mergeable-rollup rows (the
     # order-statistic + sampled-quantile rows rotated out r12)
     "events_kmv_sketch_rollup", "events_kmv_type_overlap",
@@ -117,25 +142,12 @@ _FRONT = [
     # layout + range join (r12 rotation: never driver-sampled —
     # Z-order interleave clustering, bucketized interval join)
     "layout_zorder_orders", "range_join_clicks_before_purchase",
-    # window-frame tier (r10 rotation: never driver-sampled, long-green
-    # in the sweep — GROUPS frames, percent_rank/cume_dist, RANGE
-    # frames over real intervals)
-    "window_groups_frame", "window_percent_rank_cume",
-    "window_range_frame",
-    # events analytics tier (r10 rotation: never driver-sampled —
-    # ordered funnel conversion, weekly cohort retention)
-    "events_funnel_conversion", "events_weekly_retention",
-    # lateral join + as-of join + pagerank (r10 rotation: never
-    # driver-sampled; asof_join_events is the operators/asof.py
-    # backward-join surface, copurchase_pagerank the iterative
-    # graph twin of the rotated-out LPA communities)
-    "sql_lateral_top2_orders", "asof_join_events",
+    # pagerank (r10 rotation; the r12 scalar-gate rework rides it)
     "copurchase_pagerank",
     # analytics/statistics tier (r9 rotation; winsorized/RFM/blocked-ER
-    # rows rotated out r12)
+    # rows rotated out r12; both rows ride the r13 two_level_quantiles
+    # probe rework)
     "events_mad_outliers", "agg_percentiles",
-    # r5-r6 exact oracles: end-to-end PDF ingest (DOCX rotated out r11)
-    "pdf_extract_pages",
     # timeseries tier (r11 rotation: never driver-sampled — dense
     # resample + forward fill, OHLC 2-exchange window+agg)
     "events_gap_fill", "events_ohlc_buckets",
@@ -164,12 +176,14 @@ _FRONT = [
     "multimodal_media_stats", "streaming_scatter_pc1",
     # training-data ops + pinned-model scoring (newly oracled r5)
     "corpus_pack_sequences", "doc_quality_classifier",
-    # streaming drains (real micro-batch engine, exact oracles) + the
-    # newly-oracled custom stateful op (exact fixed-point state, r5)
-    # + the incremental near-dup index drain under the exact portable-
-    # hash MinHash oracle (r6 — newest work, rotated in over
-    # streaming_chained_windows which had been green since r4)
-    "streaming_tumbling_rollup", "streaming_minhash_index",
+    # streaming drains (real micro-batch engine, exact oracles): the
+    # incremental near-dup index (rides the r13 MinHash kernel +
+    # struct band keys), the stateful tier's heaviest drain
+    # (streaming_stateful_sessions, never sampled, r13-profiled), the
+    # never-sampled inner stream-stream join + the left variant, and
+    # the applyInPandasWithState running totals
+    "streaming_minhash_index", "streaming_stateful_sessions",
+    "streaming_stream_stream_join",
     "streaming_stream_stream_left_join", "streaming_user_running_totals",
     # UDTF (UDAF geo-mean rotated out r11; grouped-agg UDAF coverage
     # stays in the sweep + pytest)
